@@ -1,0 +1,253 @@
+"""String-keyed loss registry and weighted multi-loss factory.
+
+TPU-native counterpart of ``tensorflow_ranking/python/losses.py``: the same
+``RankingLossKey`` strings, a ``make_loss_fn`` that builds a closure
+``(labels, logits, features, key=None) -> scalar`` combining weighted losses
+(with one shared Gumbel sampler feeding every ``gumbel_*``/``yeti_*`` key),
+and ``make_loss_metric_fn`` turning a loss into a per-list eval stream.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ranking_tpu.ops import lambda_weights as lw
+from ranking_tpu.ops import losses as losses_lib
+from ranking_tpu.ops import sorting
+from ranking_tpu.ops.reductions import Reduction
+from ranking_tpu.utils import list_ops
+
+Array = jnp.ndarray
+LossFn = Callable[..., Array]
+
+
+class RankingLossKey:
+  """Ranking loss key strings (parity with python/losses.py:29-54)."""
+
+  PAIRWISE_HINGE_LOSS = 'pairwise_hinge_loss'
+  PAIRWISE_LOGISTIC_LOSS = 'pairwise_logistic_loss'
+  PAIRWISE_SOFT_ZERO_ONE_LOSS = 'pairwise_soft_zero_one_loss'
+  PAIRWISE_MSE_LOSS = 'pairwise_mse_loss'
+  YETI_LOGISTIC_LOSS = 'yeti_logistic_loss'
+  CIRCLE_LOSS = 'circle_loss'
+  SOFTMAX_LOSS = 'softmax_loss'
+  POLY_ONE_SOFTMAX_LOSS = 'poly_one_softmax_loss'
+  UNIQUE_SOFTMAX_LOSS = 'unique_softmax_loss'
+  SIGMOID_CROSS_ENTROPY_LOSS = 'sigmoid_cross_entropy_loss'
+  MEAN_SQUARED_LOSS = 'mean_squared_loss'
+  LIST_MLE_LOSS = 'list_mle_loss'
+  APPROX_NDCG_LOSS = 'approx_ndcg_loss'
+  APPROX_MRR_LOSS = 'approx_mrr_loss'
+  GUMBEL_APPROX_NDCG_LOSS = 'gumbel_approx_ndcg_loss'
+  NEURAL_SORT_CROSS_ENTROPY_LOSS = 'neural_sort_cross_entropy_loss'
+  GUMBEL_NEURAL_SORT_CROSS_ENTROPY_LOSS = (
+      'gumbel_neural_sort_cross_entropy_loss')
+  NEURAL_SORT_NDCG_LOSS = 'neural_sort_ndcg_loss'
+  GUMBEL_NEURAL_SORT_NDCG_LOSS = 'gumbel_neural_sort_ndcg_loss'
+  ORDINAL_LOSS = 'ordinal_loss'
+  MULTI_CLASS_LOSS = 'multi_class_loss'
+  CLICK_EM_LOSS = 'click_em_loss'
+  MIXTURE_EM_LOSS = 'mixture_em_loss'
+  COUPLED_RANK_DISTIL_LOSS = 'coupled_rank_distil_loss'
+
+  @classmethod
+  def all_keys(cls):
+    return [v for k, v in vars(cls).items()
+            if k.isupper() and isinstance(v, str)]
+
+
+# Keys whose inputs go through the shared Gumbel sampler first.
+_GUMBEL_KEYS = frozenset({
+    RankingLossKey.YETI_LOGISTIC_LOSS,
+    RankingLossKey.GUMBEL_APPROX_NDCG_LOSS,
+    RankingLossKey.GUMBEL_NEURAL_SORT_CROSS_ENTROPY_LOSS,
+    RankingLossKey.GUMBEL_NEURAL_SORT_NDCG_LOSS,
+})
+
+# Keys that accept a lambda weight.
+_LAMBDA_KEYS = frozenset({
+    RankingLossKey.PAIRWISE_HINGE_LOSS,
+    RankingLossKey.PAIRWISE_LOGISTIC_LOSS,
+    RankingLossKey.PAIRWISE_SOFT_ZERO_ONE_LOSS,
+    RankingLossKey.PAIRWISE_MSE_LOSS,
+    RankingLossKey.YETI_LOGISTIC_LOSS,
+    RankingLossKey.CIRCLE_LOSS,
+    RankingLossKey.SOFTMAX_LOSS,
+    RankingLossKey.POLY_ONE_SOFTMAX_LOSS,
+    RankingLossKey.UNIQUE_SOFTMAX_LOSS,
+    RankingLossKey.LIST_MLE_LOSS,
+})
+
+
+def build_loss(
+    loss_key: str,
+    lambda_weight: Optional[lw.LambdaWeight] = None,
+    name: str = '',
+    **params: Any,
+) -> losses_lib.RankingLoss:
+  """Instantiates the loss object behind a key.
+
+  ``params`` are loss-specific constructor args (temperature, gamma, margin,
+  epsilon, ordinal_size, ...). Keys that take no lambda weight ignore it, as
+  in the reference factory.
+  """
+  kw: Dict[str, Any] = dict(name=name or loss_key, **params)
+  if loss_key in _LAMBDA_KEYS and lambda_weight is not None:
+    kw['lambda_weight'] = lambda_weight
+
+  builders: Dict[str, Callable[..., losses_lib.RankingLoss]] = {
+      RankingLossKey.PAIRWISE_HINGE_LOSS: losses_lib.PairwiseHingeLoss,
+      RankingLossKey.PAIRWISE_LOGISTIC_LOSS: losses_lib.PairwiseLogisticLoss,
+      RankingLossKey.PAIRWISE_SOFT_ZERO_ONE_LOSS:
+          losses_lib.PairwiseSoftZeroOneLoss,
+      RankingLossKey.PAIRWISE_MSE_LOSS: losses_lib.PairwiseMSELoss,
+      RankingLossKey.YETI_LOGISTIC_LOSS: losses_lib.PairwiseLogisticLoss,
+      RankingLossKey.CIRCLE_LOSS: losses_lib.CircleLoss,
+      RankingLossKey.SOFTMAX_LOSS: losses_lib.SoftmaxLoss,
+      RankingLossKey.POLY_ONE_SOFTMAX_LOSS: losses_lib.PolyOneSoftmaxLoss,
+      RankingLossKey.UNIQUE_SOFTMAX_LOSS: losses_lib.UniqueSoftmaxLoss,
+      RankingLossKey.SIGMOID_CROSS_ENTROPY_LOSS:
+          losses_lib.SigmoidCrossEntropyLoss,
+      RankingLossKey.MEAN_SQUARED_LOSS: losses_lib.MeanSquaredLoss,
+      RankingLossKey.LIST_MLE_LOSS: losses_lib.ListMLELoss,
+      RankingLossKey.APPROX_NDCG_LOSS: losses_lib.ApproxNDCGLoss,
+      RankingLossKey.APPROX_MRR_LOSS: losses_lib.ApproxMRRLoss,
+      RankingLossKey.GUMBEL_APPROX_NDCG_LOSS: losses_lib.ApproxNDCGLoss,
+      RankingLossKey.NEURAL_SORT_CROSS_ENTROPY_LOSS:
+          losses_lib.NeuralSortCrossEntropyLoss,
+      RankingLossKey.GUMBEL_NEURAL_SORT_CROSS_ENTROPY_LOSS:
+          losses_lib.NeuralSortCrossEntropyLoss,
+      RankingLossKey.NEURAL_SORT_NDCG_LOSS: losses_lib.NeuralSortNDCGLoss,
+      RankingLossKey.GUMBEL_NEURAL_SORT_NDCG_LOSS:
+          losses_lib.NeuralSortNDCGLoss,
+      RankingLossKey.ORDINAL_LOSS: losses_lib.OrdinalLoss,
+      RankingLossKey.MULTI_CLASS_LOSS: losses_lib.MultiClassLoss,
+      RankingLossKey.CLICK_EM_LOSS: losses_lib.ClickEMLoss,
+      RankingLossKey.MIXTURE_EM_LOSS: losses_lib.MixtureEMLoss,
+      RankingLossKey.COUPLED_RANK_DISTIL_LOSS:
+          losses_lib.CoupledRankDistilLoss,
+  }
+  if loss_key not in builders:
+    raise ValueError(f'Invalid loss_key: {loss_key!r}. '
+                     f'Valid keys: {RankingLossKey.all_keys()}')
+  return builders[loss_key](**kw)
+
+
+def make_loss_fn(
+    loss_keys: Union[str, Sequence[str]],
+    loss_weights: Optional[Sequence[float]] = None,
+    weights_feature_name: Optional[str] = None,
+    lambda_weight: Optional[lw.LambdaWeight] = None,
+    reduction: Reduction = Reduction.SUM_BY_NONZERO_WEIGHTS,
+    name: Optional[str] = None,
+    params: Optional[Mapping[str, Any]] = None,
+    gumbel_params: Optional[Mapping[str, Any]] = None,
+) -> LossFn:
+  """Builds ``loss_fn(labels, logits, features=None, key=None) -> scalar``.
+
+  Mirrors tensorflow_ranking/python/losses.py:265-311, including the
+  ``'softmax_loss:0.9,sigmoid_cross_entropy_loss:0.1'`` encoded form and one
+  shared Gumbel sample feeding all gumbel/yeti keys. ``key`` drives Gumbel
+  sampling and tie shuffles; None = deterministic defaults.
+  """
+  reduction = Reduction(reduction)
+  if reduction == Reduction.NONE:
+    raise ValueError('Reduction.NONE is not a valid training reduction.')
+
+  if isinstance(loss_keys, str) and (':' in loss_keys or ',' in loss_keys):
+    if loss_weights is not None:
+      raise ValueError('loss_weights must be None when weights are encoded '
+                       'in loss_keys.')
+    keys_to_weights = list_ops.parse_keys_and_weights(loss_keys)
+    loss_keys = list(keys_to_weights.keys())
+    loss_weights = list(keys_to_weights.values())
+  if isinstance(loss_keys, str):
+    loss_keys = [loss_keys]
+  if not loss_keys:
+    raise ValueError('loss_keys cannot be None or empty.')
+  if loss_weights and len(loss_keys) != len(loss_weights):
+    raise ValueError('loss_keys and loss_weights must have the same size.')
+
+  params = dict(params or {})
+  gumbel_params = dict(gumbel_params or {})
+  gumbel_sample_size = gumbel_params.pop('sample_size', 8)
+  gumbel_temperature = gumbel_params.pop('temperature', 1.0)
+  if gumbel_params:
+    raise ValueError(f'Unknown gumbel_params: {sorted(gumbel_params)}')
+
+  loss_objs = [build_loss(k, lambda_weight, name or k, **params)
+               for k in loss_keys]
+  needs_gumbel = any(k in _GUMBEL_KEYS for k in loss_keys)
+
+  def _loss_fn(labels, logits, features=None, key=None):
+    labels = jnp.asarray(labels, jnp.float32)
+    logits = jnp.asarray(logits, jnp.float32)
+    weights = None
+    if weights_feature_name:
+      if features is None or weights_feature_name not in features:
+        raise ValueError(
+            f'features must contain {weights_feature_name!r}.')
+      weights = list_ops.reshape_to_2d(
+          jnp.asarray(features[weights_feature_name], jnp.float32))
+
+    gbl = None
+    if needs_gumbel:
+      gumbel_key = (jax.random.PRNGKey(17) if key is None
+                    else jax.random.fold_in(key, 17))
+      gbl = sorting.gumbel_sample_lists(
+          labels, logits, gumbel_key, weights=weights,
+          sample_size=gumbel_sample_size, temperature=gumbel_temperature)
+
+    total = jnp.zeros((), jnp.float32)
+    for i, (loss_key, loss_obj) in enumerate(zip(loss_keys, loss_objs)):
+      if loss_key in _GUMBEL_KEYS:
+        l, s, w = gbl
+      else:
+        l, s, w = labels, logits, weights
+      sub_key = None if key is None else jax.random.fold_in(key, i)
+      value = loss_obj(l, s, weights=w, reduction=reduction, key=sub_key)
+      if loss_weights:
+        value = value * loss_weights[i]
+      total = total + value
+    return total
+
+  return _loss_fn
+
+
+def make_loss_metric_fn(
+    loss_key: str,
+    weights_feature_name: Optional[str] = None,
+    lambda_weight: Optional[lw.LambdaWeight] = None,
+    name: Optional[str] = None,
+    **params: Any,
+) -> Callable[..., Tuple[Array, Array]]:
+  """Turns a loss into an eval metric stream.
+
+  Returns ``metric_fn(labels, predictions, features=None) ->
+  (per_elem_losses, per_elem_weights)`` whose weighted mean equals the
+  reference's ``eval_metric`` (losses_impl.py:837-860).
+  """
+  loss_obj = build_loss(loss_key, lambda_weight, name or loss_key, **params)
+
+  def _metric_fn(labels, predictions, features=None):
+    labels = jnp.asarray(labels, jnp.float32)
+    predictions = jnp.asarray(predictions, jnp.float32)
+    weights = None
+    if weights_feature_name:
+      weights = list_ops.reshape_to_2d(
+          jnp.asarray(features[weights_feature_name], jnp.float32))
+    if isinstance(loss_obj, losses_lib.SoftmaxLoss):
+      logits = loss_obj.get_logits(predictions)
+      mask = list_ops.is_label_valid(labels)
+      lbl, lgt = loss_obj.precompute(labels, logits, weights, mask)
+      return loss_obj.unreduced(lbl, lgt, mask=mask)
+    losses, loss_weights = loss_obj.unreduced(
+        labels, loss_obj.get_logits(predictions))
+    weights = jnp.multiply(
+        loss_obj.normalize_weights(labels, weights), loss_weights)
+    return losses, jnp.broadcast_to(weights, losses.shape)
+
+  return _metric_fn

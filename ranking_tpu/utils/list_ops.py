@@ -1,0 +1,271 @@
+"""Masking-aware list algebra on padded ``[batch, list_size]`` tensors.
+
+This module is the TPU-native counterpart of the reference's shared tensor
+utilities (``tensorflow_ranking/python/utils.py``). The data model it operates
+on is the one every layer of the framework shares:
+
+* labels ``[B, L]`` float, padded with ``-1.0`` (invalid <=> ``label < 0``),
+* per-item scores/logits ``[B, L]``,
+* example features ``[B, L, F]``,
+* optional boolean validity ``mask [B, L]``.
+
+Everything here is a pure function with static output shapes, safe to use
+under ``jax.jit``/``pjit``/``vmap``. Randomness (tie shuffling) is controlled
+by an explicit ``jax.random`` key instead of TF graph seeds: pass ``key=None``
+for deterministic (stable-sort) behavior, which is what evaluation uses.
+
+Reference parity notes (file:line are in /root/reference):
+* ``is_label_valid``          -> tensorflow_ranking/python/utils.py:78
+* ``sort_by_scores``          -> tensorflow_ranking/python/utils.py:115
+* ``sorted_ranks``            -> tensorflow_ranking/python/utils.py:167
+* ``organize_valid_indices``  -> tensorflow_ranking/python/utils.py:203
+* ``padded_nd_indices``       -> tensorflow_ranking/python/utils.py:308 (here:
+  ``padded_gather_indices`` returning per-row indices, the idiomatic JAX form)
+* ``de_noise``                -> tensorflow_ranking/python/utils.py:359
+* ``parse_keys_and_weights``  -> tensorflow_ranking/python/utils.py:446
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+PADDING_LABEL = -1.0
+PADDING_PREDICTION = -1e6
+PADDING_WEIGHT = 0.0
+
+
+def is_label_valid(labels: Array) -> Array:
+  """Boolean validity mask: an item is valid iff its label is >= 0."""
+  return labels >= 0.0
+
+
+def _shuffle_order(
+    shape: Tuple[int, int],
+    mask: Optional[Array],
+    key: Optional[Array],
+) -> Array:
+  """Returns per-row permutation indices that shuffle ties / push masked last.
+
+  With ``key`` set, entries get uniform random sort keys in [0, 1); without,
+  all-zero keys (a no-op permutation among equally-masked items thanks to the
+  stable sort). Masked-out entries have 2.0 added so they always sort last.
+  """
+  if key is not None:
+    values = jax.random.uniform(key, shape, dtype=jnp.float32)
+  else:
+    values = jnp.zeros(shape, dtype=jnp.float32)
+  if mask is not None:
+    values = jnp.where(mask, values, values + 2.0)
+  return jnp.argsort(values, axis=1, stable=True)
+
+
+def sort_by_scores(
+    scores: Array,
+    features_list: Sequence[Array],
+    topn: Optional[int] = None,
+    mask: Optional[Array] = None,
+    key: Optional[Array] = None,
+) -> List[Array]:
+  """Sorts each feature tensor per-list by descending ``scores``.
+
+  Args:
+    scores: ``[B, L]`` float scores.
+    features_list: tensors of shape ``[B, L]`` or ``[B, L, ...]`` to reorder.
+    topn: static cutoff; output lists have length ``min(topn, L)``.
+    mask: optional ``[B, L]`` bool; invalid entries are pushed to the end.
+    key: optional PRNG key for random tie-breaking (training-time parity with
+      the reference's ``shuffle_ties=True``). ``None`` = deterministic.
+
+  Returns:
+    List of tensors shaped ``[B, topn, ...]`` sorted by score.
+  """
+  scores = scores.astype(jnp.float32)
+  batch, list_size = scores.shape
+  topn = list_size if topn is None else min(topn, list_size)
+
+  if mask is not None:
+    scores = jnp.where(mask, scores, jnp.min(scores))
+
+  shuffle_ind = None
+  if key is not None or mask is not None:
+    shuffle_ind = _shuffle_order((batch, list_size), mask, key)
+    scores = jnp.take_along_axis(scores, shuffle_ind, axis=1)
+
+  _, indices = jax.lax.top_k(scores, topn)
+  if shuffle_ind is not None:
+    indices = jnp.take_along_axis(shuffle_ind, indices, axis=1)
+  return [jnp.take_along_axis(f, _expand_indices(indices, f), axis=1)
+          for f in features_list]
+
+
+def _expand_indices(indices: Array, feature: Array) -> Array:
+  """Broadcasts ``[B, K]`` gather indices against trailing feature dims."""
+  extra = feature.ndim - indices.ndim
+  if extra == 0:
+    return indices
+  return indices.reshape(indices.shape + (1,) * extra)
+
+
+def sorted_ranks(
+    scores: Array,
+    key: Optional[Array] = None,
+) -> Array:
+  """1-based rank of each item when its list is sorted by descending score.
+
+  ``scores=[[1.0, 3.5, 2.1]]`` -> ``[[3, 1, 2]]``. Ties are broken by position
+  (stable) unless ``key`` is given, in which case they are shuffled.
+  """
+  batch, list_size = scores.shape
+  positions = jnp.broadcast_to(jnp.arange(list_size)[None, :],
+                               (batch, list_size))
+  sorted_positions = sort_by_scores(scores, [positions], key=key)[0]
+  return jnp.argsort(sorted_positions, axis=1, stable=True) + 1
+
+
+def organize_valid_indices(
+    is_valid: Array,
+    key: Optional[Array] = None,
+) -> Array:
+  """Per-row indices placing valid items first (optionally shuffled).
+
+  Returns ``[B, L]`` int32 indices usable with ``jnp.take_along_axis``; the
+  reference's ``[B, L, 2]`` nd-index form is a TF gather_nd artifact we do not
+  need in JAX.
+  """
+  shape = is_valid.shape
+  if key is not None:
+    values = jax.random.uniform(key, shape, dtype=jnp.float32)
+  else:
+    # Descending positional value keeps the original order among valid items.
+    values = jnp.broadcast_to(
+        jnp.arange(shape[1] - 1, -1, -1, dtype=jnp.float32)[None, :], shape)
+  rand = jnp.where(is_valid, values, -1e-6)
+  return jnp.argsort(-rand, axis=1, stable=True).astype(jnp.int32)
+
+
+def padded_gather_indices(
+    is_valid: Array,
+    key: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+  """Circularly pads invalid slots with valid indices.
+
+  Used by list-flattening layers and groupwise scoring so that padded slots
+  point at *some* valid item (scores there are discarded via the mask) instead
+  of feeding garbage features through the scorer.
+
+  Returns:
+    (indices ``[B, L]`` int32, mask ``[B, L]`` bool). ``indices[b, k]`` indexes
+    into row ``b``; the first ``n_valid`` point at valid items in order, the
+    rest wrap around circularly.
+  """
+  batch, list_size = is_valid.shape
+  num_valid = jnp.sum(is_valid.astype(jnp.int32), axis=1, keepdims=True)
+  positions = jnp.broadcast_to(jnp.arange(list_size)[None, :],
+                               (batch, list_size))
+  mask = positions < num_valid
+  safe_num_valid = jnp.maximum(num_valid, 1)
+  circular = jnp.mod(positions, safe_num_valid)
+  valid_first = organize_valid_indices(is_valid, key=key)
+  indices = jnp.take_along_axis(valid_first, circular, axis=1)
+  return indices.astype(jnp.int32), mask
+
+
+def gather_per_row(inputs: Array, indices: Array) -> Array:
+  """Per-row gather: ``out[b, k] = inputs[b, indices[b, k]]`` (2D or 3D+)."""
+  return jnp.take_along_axis(
+      inputs, _expand_indices(indices.astype(jnp.int32), inputs), axis=1)
+
+
+def reshape_to_2d(tensor: Array) -> Array:
+  """Converts a tensor to 2-D by squeezing trailing dims / expanding 1-D."""
+  if tensor.ndim == 2:
+    return tensor
+  if tensor.ndim >= 3:
+    return tensor.reshape(tensor.shape[:2])
+  while tensor.ndim < 2:
+    tensor = tensor[..., None]
+  return tensor
+
+
+def ragged_to_dense(
+    list_of_labels: Sequence[Sequence[float]],
+    list_of_predictions: Optional[Sequence[Sequence[float]]] = None,
+    list_of_weights: Optional[Sequence[Sequence[float]]] = None,
+    list_size: Optional[int] = None,
+) -> Tuple[Array, Optional[Array], Optional[Array], Array]:
+  """Host-side helper densifying variable-length lists to padded arrays.
+
+  JAX has no ragged tensors; variable-length lists are padded at ingestion.
+  Padding values mirror the reference (label -1, prediction -1e6, weight 0;
+  tensorflow_ranking/python/utils.py:421).
+  """
+  import numpy as np
+
+  lengths = [len(row) for row in list_of_labels]
+  size = list_size or (max(lengths) if lengths else 0)
+
+  def _pad(rows, fill):
+    out = np.full((len(rows), size), fill, dtype=np.float32)
+    for i, row in enumerate(rows):
+      n = min(len(row), size)
+      out[i, :n] = np.asarray(row, dtype=np.float32)[:n]
+    return jnp.asarray(out)
+
+  labels = _pad(list_of_labels, PADDING_LABEL)
+  predictions = (_pad(list_of_predictions, PADDING_PREDICTION)
+                 if list_of_predictions is not None else None)
+  weights = (_pad(list_of_weights, PADDING_WEIGHT)
+             if list_of_weights is not None else None)
+  mask = jnp.asarray(
+      np.arange(size)[None, :] < np.asarray(lengths)[:, None])
+  return labels, predictions, weights, mask
+
+
+def de_noise(counts: Array, noise: Array, ratio: float = 0.9) -> Array:
+  """Exact MLE de-noising of a count distribution against a noise mixture.
+
+  Solves for the true distribution assuming
+  ``observed ~ ratio * noise + (1 - ratio) * true`` per row, via the sorted
+  simplex projection of Zhang & Xu, "Fast Exact Maximum Likelihood Estimation
+  for Mixture of Language Models". Mirrors
+  tensorflow_ranking/python/utils.py:359.
+  """
+  if not 0.0 < ratio < 1.0:
+    raise ValueError(f'ratio must be in (0, 1), got {ratio}')
+  odds = (1.0 - ratio) / ratio
+  counts = counts.astype(jnp.float32)
+  noise = noise.astype(jnp.float32)
+  noise = noise / jnp.sum(noise, axis=1, keepdims=True)
+
+  order = jnp.argsort(-(counts / noise), axis=1, stable=True)
+  sorted_counts = jnp.take_along_axis(counts, order, axis=1)
+  sorted_noise = jnp.take_along_axis(noise, order, axis=1)
+  is_pos = (
+      (odds + jnp.cumsum(sorted_noise, axis=1))
+      / jnp.cumsum(sorted_counts, axis=1)
+      > sorted_noise / sorted_counts).astype(jnp.float32)
+  lagrangian = (
+      jnp.sum(sorted_counts * is_pos, axis=1, keepdims=True)
+      / (1.0 + jnp.sum(sorted_noise * is_pos, axis=1, keepdims=True) / odds))
+  res = (sorted_counts / lagrangian - sorted_noise / odds) * is_pos
+  # Scatter back to the original order.
+  inverse = jnp.argsort(order, axis=1, stable=True)
+  return jnp.take_along_axis(res, inverse, axis=1)
+
+
+def parse_keys_and_weights(key: str) -> Dict[str, float]:
+  """Parses ``'softmax_loss:0.9,sigmoid_cross_entropy_loss:0.1'`` to a dict."""
+
+  def _parse(kw: str) -> Tuple[str, float]:
+    if ':' in kw:
+      name, weight = kw.split(':')
+      return name, float(weight)
+    return kw, 1.0
+
+  key = key.replace(' ', '')
+  return dict(_parse(part) for part in key.split(','))
