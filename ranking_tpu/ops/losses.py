@@ -278,9 +278,18 @@ class CircleLoss(_ListwiseLoss):
         (pairwise_label_diff > 0).astype(jnp.float32)
         * valid_pair.astype(jnp.float32))
 
-    losses = jnp.exp(self.gamma * pairwise_logits)
-    per_list_losses = jnp.log1p(
-        jnp.sum(losses * pairwise_labels, axis=(1, 2)))
+    # log1p(sum_k w_k exp(g x_k)) computed as softplus(logsumexp(g x + ln w))
+    # so that exp(gamma * x) can never overflow in the forward or the grad.
+    log_terms = jnp.where(
+        pairwise_labels > 0.0,
+        self.gamma * pairwise_logits + jnp.log(
+            jnp.maximum(pairwise_labels, EPSILON)),
+        -jnp.inf)
+    flat = log_terms.reshape(log_terms.shape[0], -1)
+    has_pairs = jnp.any(pairwise_labels > 0.0, axis=(1, 2))
+    lse = jax.nn.logsumexp(
+        jnp.where(has_pairs[:, None], flat, 0.0), axis=1)
+    per_list_losses = jnp.where(has_pairs, jax.nn.softplus(lse), 0.0)
     num_pairs = jnp.sum((pairwise_labels > 0).astype(jnp.float32),
                         axis=(1, 2))
     pair_weight_sum = jnp.sum(pairwise_labels, axis=(1, 2))
