@@ -1,0 +1,27 @@
+"""Ranking models: scorers, layers, groupwise scoring, embeddings."""
+
+from ranking_tpu.models import embeddings
+from ranking_tpu.models import groupwise
+from ranking_tpu.models import layers
+from ranking_tpu.models import scorers
+from ranking_tpu.models.groupwise import GroupwiseDNNScorer
+from ranking_tpu.models.scorers import (
+    DINScorer,
+    DNNScorer,
+    GAMScorer,
+    MultiTaskScorer,
+    RankingModel,
+)
+
+__all__ = [
+    'DINScorer',
+    'DNNScorer',
+    'GAMScorer',
+    'GroupwiseDNNScorer',
+    'MultiTaskScorer',
+    'RankingModel',
+    'embeddings',
+    'groupwise',
+    'layers',
+    'scorers',
+]

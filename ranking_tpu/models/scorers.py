@@ -1,0 +1,212 @@
+"""Scorers and ranking models: univariate DNN, GAM, DIN, multi-task.
+
+TPU-native equivalent of the model-construction layer
+(tensorflow_ranking/python/keras/model.py:316-865). The three OO generations
+of the reference collapse into one functional pattern: a ``RankingModel``
+flax module mapping ``(context_features, example_features, mask) ->
+logits [B, L]`` (or a dict of logits for multi-task), built from a Scorer
+module. Params are a pytree; training state lives in the train loop.
+
+Scorer contract: ``scorer(context, examples, mask, training) -> logits``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ranking_tpu.models import layers as layers_lib
+
+Array = jax.Array
+FeatureDict = Dict[str, Array]
+
+
+class DNNScorer(nn.Module):
+  """Univariate feed-forward scorer (keras/model.py:780-817).
+
+  Each document is scored independently: features are concatenated (context
+  broadcast over the list), circularly padded, flattened to ``[B*L, F]``,
+  scored by a tower, and restored to masked ``[B, L]`` logits. The flatten /
+  restore trick keeps batch norm statistics clean of padding
+  (keras/model.py:755-777).
+  """
+
+  hidden_layer_dims: Sequence[int]
+  output_units: int = 1
+  activation: str = 'relu'
+  input_batch_norm: bool = False
+  use_batch_norm: bool = True
+  batch_norm_momentum: float = 0.999
+  dropout: float = 0.5
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, context: FeatureDict, examples: FeatureDict,
+               mask: Array, training: bool = False) -> Array:
+    batch, list_size = mask.shape
+    concat = layers_lib.concat_features(context, examples, mask)
+    flat = concat.reshape(batch * list_size, -1)
+    scores = layers_lib.Tower(
+        hidden_layer_dims=self.hidden_layer_dims,
+        output_units=self.output_units,
+        activation=self.activation,
+        input_batch_norm=self.input_batch_norm,
+        use_batch_norm=self.use_batch_norm,
+        batch_norm_momentum=self.batch_norm_momentum,
+        dropout=self.dropout,
+        dtype=self.dtype)(flat, training=training)
+    if self.output_units == 1:
+      return layers_lib.restore_list(scores, mask)
+    logits = scores.reshape(batch, list_size, self.output_units)
+    return jnp.where(mask[:, :, None], logits, jnp.log(1e-10))
+
+
+class GAMScorer(nn.Module):
+  """Generalized additive scorer (keras/model.py:820-865).
+
+  Per-feature towers plus context-derived softmax feature weights; inherently
+  interpretable (sub-scores are exposed via ``self.sow``).
+  """
+
+  example_hidden_layer_dims: Sequence[int]
+  context_hidden_layer_dims: Sequence[int] = ()
+  activation: str = 'relu'
+  use_batch_norm: bool = True
+  batch_norm_momentum: float = 0.999
+  dropout: float = 0.0
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, context: FeatureDict, examples: FeatureDict,
+               mask: Array, training: bool = False) -> Array:
+    batch, list_size = mask.shape
+    example_inputs = [
+        examples[name].reshape(batch, list_size, -1).astype(jnp.float32)
+        for name in sorted(examples)
+    ]
+    context_inputs = [
+        context[name].reshape(batch, -1).astype(jnp.float32)
+        for name in sorted(context)
+    ]
+    # Broadcast context over the list so towers share shapes.
+    context_inputs = [
+        jnp.broadcast_to(t[:, None, :], (batch, list_size, t.shape[-1]))
+        for t in context_inputs
+    ]
+    gam = layers_lib.GAMLayer(
+        example_feature_num=len(example_inputs),
+        example_hidden_layer_dims=self.example_hidden_layer_dims,
+        context_feature_num=len(context_inputs),
+        context_hidden_layer_dims=self.context_hidden_layer_dims,
+        activation=self.activation,
+        use_batch_norm=self.use_batch_norm,
+        batch_norm_momentum=self.batch_norm_momentum,
+        dropout=self.dropout,
+        dtype=self.dtype)
+    scores, sub_scores = gam(
+        example_inputs, context_inputs, training=training)
+    self.sow('intermediates', 'gam_sub_scores', sub_scores)
+    logits = scores.squeeze(-1)
+    return jnp.where(mask, logits, jnp.log(1e-10))
+
+
+class DINScorer(nn.Module):
+  """Document Interaction Network scorer: cross-document attention over the
+  list followed by a scoring tower (keras/layers.py:420-587 +
+  examples/keras/antique_kpl_din.py)."""
+
+  num_heads: int = 2
+  head_size: int = 100
+  num_attention_layers: int = 1
+  hidden_layer_dims: Sequence[int] = (256, 128)
+  activation: str = 'relu'
+  use_batch_norm: bool = True
+  batch_norm_momentum: float = 0.999
+  dropout: float = 0.5
+  input_noise_stddev: float = 0.0
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, context: FeatureDict, examples: FeatureDict,
+               mask: Array, training: bool = False) -> Array:
+    batch, list_size = mask.shape
+    concat = layers_lib.concat_features(context, examples, mask)
+    if self.input_noise_stddev and training:
+      rng = self.make_rng('noise')
+      concat = concat + self.input_noise_stddev * jax.random.normal(
+          rng, concat.shape)
+    attended = layers_lib.DocumentInteractionAttention(
+        num_heads=self.num_heads,
+        head_size=self.head_size,
+        num_layers=self.num_attention_layers,
+        dropout=self.dropout,
+        dtype=self.dtype)(concat, mask, training=training)
+    flat = attended.reshape(batch * list_size, -1)
+    scores = layers_lib.Tower(
+        hidden_layer_dims=self.hidden_layer_dims,
+        output_units=1,
+        activation=self.activation,
+        use_batch_norm=self.use_batch_norm,
+        batch_norm_momentum=self.batch_norm_momentum,
+        dropout=self.dropout,
+        dtype=self.dtype)(flat, training=training)
+    return layers_lib.restore_list(scores, mask)
+
+
+class MultiTaskScorer(nn.Module):
+  """Wraps a shared-body scorer producing a dict of per-task logits.
+
+  Equivalent of the reference's multi-task ``UnivariateScorer`` dict output
+  (keras/model.py:726-777): one tower body with ``len(task_names)`` output
+  units, split into named heads.
+  """
+
+  task_names: Sequence[str]
+  hidden_layer_dims: Sequence[int]
+  activation: str = 'relu'
+  use_batch_norm: bool = True
+  batch_norm_momentum: float = 0.999
+  dropout: float = 0.5
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, context: FeatureDict, examples: FeatureDict,
+               mask: Array, training: bool = False) -> Dict[str, Array]:
+    scorer = DNNScorer(
+        hidden_layer_dims=self.hidden_layer_dims,
+        output_units=len(self.task_names),
+        activation=self.activation,
+        use_batch_norm=self.use_batch_norm,
+        batch_norm_momentum=self.batch_norm_momentum,
+        dropout=self.dropout,
+        dtype=self.dtype)
+    logits = scorer(context, examples, mask, training=training)
+    return {name: logits[:, :, i]
+            for i, name in enumerate(self.task_names)}
+
+
+class RankingModel(nn.Module):
+  """Top-level model: optional feature transforms + scorer.
+
+  ``transform`` is the equivalent of the reference's Preprocessor stage
+  (keras/model.py:552-665): a name->callable mapping applied to individual
+  features before scoring (e.g. log1p for web30k features).
+  """
+
+  scorer: nn.Module
+  transform_name: str = 'none'  # 'none' | 'log1p'
+
+  def _transform(self, t: Array) -> Array:
+    if self.transform_name == 'log1p':
+      return jnp.log1p(jnp.abs(t)) * jnp.sign(t)
+    return t
+
+  @nn.compact
+  def __call__(self, context: FeatureDict, examples: FeatureDict,
+               mask: Array, training: bool = False):
+    context = {k: self._transform(v) for k, v in context.items()}
+    examples = {k: self._transform(v) for k, v in examples.items()}
+    return self.scorer(context, examples, mask, training=training)
