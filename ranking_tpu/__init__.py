@@ -8,7 +8,12 @@ embedding tables, and a pjit-based train/eval/export pipeline.
 
 __version__ = '0.1.0'
 
+from ranking_tpu import data
+from ranking_tpu import models
 from ranking_tpu import ops
+from ranking_tpu import parallel
+from ranking_tpu import train
 from ranking_tpu import utils
 
-__all__ = ['ops', 'utils', '__version__']
+__all__ = ['data', 'models', 'ops', 'parallel', 'train', 'utils',
+           '__version__']

@@ -1,0 +1,72 @@
+"""The shared batch data model.
+
+Every layer of the framework exchanges this one structure — the equivalent
+of the reference's feature-dict convention (tensorflow_ranking/python/
+data.py:41,207, utils.py:78-81): context features ``[B, ...]``, example
+(per-document) features ``[B, L, ...]``, labels ``[B, L]`` with -1.0 padding
+(or a dict of such for multi-task), and a boolean mask ``[B, L]``.
+
+Static shapes by construction: ``B`` and ``L`` are fixed at parse time
+(truncate/pad), which TPU/XLA requires and the reference only half-honored
+(keras/model.py:53-54).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Union
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+Labels = Union[Array, Dict[str, Array]]
+
+
+@flax.struct.dataclass
+class RankingBatch:
+  """One training/eval batch as a pytree."""
+
+  context: Dict[str, Array]   # each [B, ...]
+  examples: Dict[str, Array]  # each [B, L, ...]
+  labels: Labels              # [B, L] float, padding -1.0 (or dict of)
+  mask: Array                 # [B, L] bool
+
+  @property
+  def features(self) -> Dict[str, Array]:
+    """Merged view for weight-feature lookup (losses.make_loss_fn)."""
+    return {**self.context, **self.examples}
+
+  @property
+  def batch_size(self) -> int:
+    return self.mask.shape[0]
+
+  @property
+  def list_size(self) -> int:
+    return self.mask.shape[1]
+
+
+def batch_from_labels(
+    labels: Labels,
+    context: Optional[Mapping[str, Array]] = None,
+    examples: Optional[Mapping[str, Array]] = None,
+    mask: Optional[Array] = None,
+) -> RankingBatch:
+  """Convenience constructor; mask defaults to ``labels >= 0``."""
+  ref = labels if not isinstance(labels, dict) else next(iter(labels.values()))
+  ref = jnp.asarray(ref)
+  if mask is None:
+    mask = ref >= 0
+  return RankingBatch(
+      context=dict(context or {}),
+      examples=dict(examples or {}),
+      labels=(jax.tree.map(jnp.asarray, dict(labels))
+              if isinstance(labels, dict) else ref),
+      mask=jnp.asarray(mask, bool))
+
+
+def stack_numpy_batches(batches) -> 'RankingBatch':
+  """Stacks a list of per-step numpy batches along a new leading axis
+  (useful for scan-over-steps eval loops)."""
+  return jax.tree.map(lambda *xs: np.stack(xs), *batches)

@@ -1,0 +1,37 @@
+"""Device mesh, shardings, and explicit-collective sharded embeddings."""
+
+from ranking_tpu.parallel import embedding
+from ranking_tpu.parallel import mesh
+from ranking_tpu.parallel.embedding import (
+    ShardedEmbeddingEncoder,
+    sharded_pooled_lookup,
+)
+from ranking_tpu.parallel.mesh import (
+    DATA_AXIS,
+    DEFAULT_RULES,
+    MODEL_AXIS,
+    batch_sharding,
+    local_batch_to_global,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    'DATA_AXIS',
+    'DEFAULT_RULES',
+    'MODEL_AXIS',
+    'ShardedEmbeddingEncoder',
+    'batch_sharding',
+    'embedding',
+    'local_batch_to_global',
+    'make_mesh',
+    'mesh',
+    'param_shardings',
+    'replicated',
+    'shard_batch',
+    'shard_params',
+    'sharded_pooled_lookup',
+]

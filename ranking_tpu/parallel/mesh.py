@@ -1,0 +1,144 @@
+"""Device mesh and sharding utilities.
+
+TPU-native replacement for the reference's ``tf.distribute`` strategy layer
+(tensorflow_ranking/python/keras/strategy_utils.py:45-116). Instead of four
+strategy classes, there is one concept: a ``jax.sharding.Mesh`` with a
+``data`` axis (batch parallelism — the analog of Mirrored/MultiWorker/TPU
+strategies) and a ``model`` axis (parameter sharding for large embedding
+tables — the analog of ParameterServerStrategy's ``MinSizePartitioner``,
+strategy_utils.py:100-113, done SPMD-style).
+
+Params follow sharding *rules*: path-pattern -> PartitionSpec. Dense tower
+params are replicated; embedding tables are row-sharded over ``model``.
+XLA's SPMD partitioner inserts the collectives (grad psum over ``data``,
+lookup gather over ``model``) from these annotations alone.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+# Default rules: (param-path regex, PartitionSpec). First match wins; params
+# with no match are replicated. Embedding tables (models/embeddings.py,
+# parallel/embedding.py name the table param 'embedding') shard rows over
+# the model axis — vocab is the only axis worth sharding in this model class.
+DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
+    (r'.*\bembedding\b$', P(MODEL_AXIS, None)),
+)
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+  """Builds a ``(data, model)`` mesh over the available devices.
+
+  With defaults, all devices go to the data axis — pure data parallelism,
+  the reference's only parallelism mode. ``model > 1`` carves out a
+  table-sharding axis; adjacent device ids share a model group so the
+  lookup collectives ride the fastest ICI links.
+  """
+  if devices is None:
+    devices = jax.devices()
+  n = len(devices)
+  if data is None:
+    if n % model:
+      raise ValueError(f'{n} devices not divisible by model={model}')
+    data = n // model
+  if data * model > n:
+    raise ValueError(f'mesh {data}x{model} exceeds {n} devices')
+  grid = np.asarray(devices[:data * model]).reshape(data, model)
+  return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+  """Sharding for batch arrays: leading axis split over ``data``."""
+  return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+  return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+  """Places every array leaf of a batch pytree with its leading axis split
+  over the ``data`` axis of the mesh."""
+  sharding = batch_sharding(mesh)
+  return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def param_shardings(
+    params: Any,
+    mesh: Mesh,
+    rules: Sequence[Tuple[str, P]] = DEFAULT_RULES,
+) -> Any:
+  """Pytree of NamedShardings for a param tree, by path-regex rules.
+
+  Paths are '/'-joined key paths (e.g. ``tower/dense_0/kernel``). A rule's
+  spec is downgraded to replication if the named param is too small or not
+  divisible along the sharded axis — mirroring the min-size behavior of the
+  reference's ``MinSizePartitioner`` (keras/strategy_utils.py:104-113).
+  """
+  compiled = [(re.compile(pat), spec) for pat, spec in rules]
+
+  def _path_str(path) -> str:
+    parts = []
+    for p in path:
+      if hasattr(p, 'key'):
+        parts.append(str(p.key))
+      elif hasattr(p, 'idx'):
+        parts.append(str(p.idx))
+      else:
+        parts.append(str(p))
+    return '/'.join(parts)
+
+  def _spec_for(path, leaf) -> NamedSharding:
+    s = _path_str(path)
+    for pat, spec in compiled:
+      if pat.match(s):
+        if _divisible(leaf, spec, mesh):
+          return NamedSharding(mesh, spec)
+        break
+    return NamedSharding(mesh, P())
+
+  return jax.tree_util.tree_map_with_path(_spec_for, params)
+
+
+def _divisible(leaf: Any, spec: P, mesh: Mesh) -> bool:
+  shape = getattr(leaf, 'shape', ())
+  if len(spec) > len(shape):
+    return False
+  for dim, axes in zip(shape, spec):
+    if axes is None:
+      continue
+    names = (axes,) if isinstance(axes, str) else tuple(axes)
+    size = int(np.prod([mesh.shape[a] for a in names]))
+    if dim % size:
+      return False
+  return True
+
+
+def shard_params(params: Any, mesh: Mesh,
+                 rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> Any:
+  """Places a param pytree according to ``param_shardings``."""
+  shardings = param_shardings(params, mesh, rules)
+  return jax.tree.map(jax.device_put, params, shardings)
+
+
+def local_batch_to_global(batch: Any, mesh: Mesh) -> Any:
+  """Multi-host feed: assembles per-process host-local batch shards into
+  global arrays sharded over ``data`` (replaces the per-worker dataset
+  sharding of MultiWorkerMirroredStrategy)."""
+  sharding = batch_sharding(mesh)
+  return jax.tree.map(
+      lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+      batch)

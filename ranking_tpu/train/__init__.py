@@ -1,0 +1,22 @@
+"""Training loop: state, jitted steps, checkpointing."""
+
+from ranking_tpu.train import state as state_lib
+from ranking_tpu.train import steps
+from ranking_tpu.train.state import TrainState, create_train_state
+from ranking_tpu.train.steps import (
+    init_metric_states,
+    make_eval_step,
+    make_train_step,
+    metric_results,
+)
+
+__all__ = [
+    'TrainState',
+    'create_train_state',
+    'init_metric_states',
+    'make_eval_step',
+    'make_train_step',
+    'metric_results',
+    'state_lib',
+    'steps',
+]

@@ -1,0 +1,150 @@
+"""Jitted train / eval step builders.
+
+The hot loop of the framework — the equivalent of the per-replica step Keras
+``model.fit`` runs (tensorflow_ranking/python/keras/pipeline.py:561-650) and
+the Orbit task's custom ``train_step`` (extension/task.py:254-277), collapsed
+into two pure functions over a ``TrainState``:
+
+* ``train_step(state, batch, key) -> (state, metrics)`` — forward, loss,
+  grad, optimizer update, batch-stat update.
+* ``eval_step(state, batch, metric_states) -> metric_states`` — forward +
+  streaming ``MeanState`` updates for every registered metric.
+
+Distribution is by sharding, not by rewriting: batches arrive sharded over
+the mesh ``data`` axis, params replicated (tables over ``model``), and XLA
+inserts the gradient psum. There is no ``num_replicas_in_sync`` loss scaling
+(extension/task.py:259) because the global loss reduction is computed on
+global arrays — weighted-mean semantics are exact, not approximated per
+replica.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ranking_tpu.data.batch import RankingBatch
+from ranking_tpu.ops.metric_registry import MeanState
+
+Array = jax.Array
+LossFn = Callable[..., Array]
+MetricFn = Callable[..., Tuple[Array, Array]]
+
+
+def _masked_mean(values: Array, mask: Array) -> Array:
+  mask = mask.astype(jnp.float32)
+  denom = jnp.maximum(jnp.sum(mask), 1.0)
+  return jnp.sum(values * mask) / denom
+
+
+def _forward(state, batch: RankingBatch, training: bool,
+             rngs: Optional[Mapping[str, Array]] = None,
+             params: Optional[Any] = None):
+  """Applies the model; returns (logits, new_batch_stats)."""
+  variables = {'params': state.params if params is None else params}
+  if state.batch_stats:
+    variables['batch_stats'] = state.batch_stats
+  mutable = ['batch_stats'] if (training and state.batch_stats) else False
+  out = state.apply_fn(
+      variables, batch.context, batch.examples, batch.mask,
+      training=training, rngs=dict(rngs) if rngs else None, mutable=mutable)
+  if mutable:
+    logits, updated = out
+    return logits, updated.get('batch_stats', state.batch_stats)
+  return out, state.batch_stats
+
+
+def make_train_step(
+    loss_fn: LossFn,
+    multi_task_weights: Optional[Mapping[str, float]] = None,
+) -> Callable[..., Tuple[Any, Dict[str, Array]]]:
+  """Builds ``train_step(state, batch, key) -> (state, metrics)``.
+
+  ``loss_fn(labels, logits, features=None, key=None) -> scalar`` as built by
+  ``ops.make_loss_fn``; for multi-task models pass a dict
+  ``{task: loss_fn}`` and the batch carries dict labels (the analog of
+  MultiTaskPipeline, keras/pipeline.py:733-830).
+  """
+
+  def _total_loss(labels, logits, features, key):
+    if isinstance(loss_fn, Mapping):
+      total = jnp.zeros((), jnp.float32)
+      for i, (task, fn) in enumerate(sorted(loss_fn.items())):
+        w = 1.0 if not multi_task_weights else multi_task_weights.get(task, 1.)
+        sub_key = None if key is None else jax.random.fold_in(key, i)
+        total = total + w * fn(labels[task], logits[task], features=features,
+                               key=sub_key)
+      return total
+    return loss_fn(labels, logits, features=features, key=key)
+
+  def train_step(state, batch: RankingBatch, key: Array):
+    dropout_key, noise_key, loss_key = jax.random.split(
+        jax.random.fold_in(key, state.step), 3)
+
+    def _loss(params):
+      logits, new_stats = _forward(
+          state, batch, training=True,
+          rngs={'dropout': dropout_key, 'noise': noise_key}, params=params)
+      loss = _total_loss(batch.labels, logits, batch.features, loss_key)
+      return loss, (logits, new_stats)
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        _loss, has_aux=True)(state.params)
+    state = state.apply_gradients(grads, batch_stats=new_stats)
+
+    ref_logits = (logits if not isinstance(logits, dict)
+                  else next(iter(sorted(logits.items())))[1])
+    ref_labels = (batch.labels if not isinstance(batch.labels, dict)
+                  else next(iter(sorted(batch.labels.items())))[1])
+    # Sanity metrics mirroring the reference head (python/head.py:216-223).
+    metrics = {
+        'loss': loss,
+        'labels_mean': _masked_mean(ref_labels, batch.mask),
+        'logits_mean': _masked_mean(ref_logits, batch.mask),
+    }
+    return state, metrics
+
+  return train_step
+
+
+def make_eval_step(
+    metric_fns: Mapping[str, MetricFn],
+) -> Callable[..., Tuple[Dict[str, MeanState], Any]]:
+  """Builds ``eval_step(state, batch, metric_states) -> (states, logits)``.
+
+  ``metric_fns`` maps display name -> fn from ``ops.make_ranking_metric_fn``.
+  For multi-task models, names of the form ``task/metric`` route to that
+  task's logits/labels. Metric states are ``MeanState`` pytrees — pure
+  functional analogs of ``tf.keras.metrics.Mean`` variables
+  (keras/metrics.py:156-200) that also ``psum`` across hosts.
+  """
+
+  def eval_step(state, batch: RankingBatch,
+                metric_states: Dict[str, MeanState]):
+    logits, _ = _forward(state, batch, training=False)
+    out = {}
+    for name, fn in metric_fns.items():
+      if isinstance(logits, dict):
+        task, _, _rest = name.partition('/')
+        default_logits = next(iter(sorted(logits.items())))[1]
+        task_logits = logits.get(task, default_logits)
+        task_labels = (batch.labels[task]
+                       if isinstance(batch.labels, dict) else batch.labels)
+      else:
+        task_logits, task_labels = logits, batch.labels
+      values, weights = fn(task_labels, task_logits, features=batch.features)
+      out[name] = metric_states[name].update(values, weights)
+    return out, logits
+
+  return eval_step
+
+
+def init_metric_states(
+    metric_fns: Mapping[str, MetricFn]) -> Dict[str, MeanState]:
+  return {name: MeanState.zero() for name in metric_fns}
+
+
+def metric_results(metric_states: Mapping[str, MeanState]) -> Dict[str, Array]:
+  return {name: s.result() for name, s in metric_states.items()}

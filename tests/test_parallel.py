@@ -1,0 +1,81 @@
+"""Mesh/sharding and sharded-embedding tests over 8 virtual CPU devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from ranking_tpu import parallel
+from ranking_tpu.models import embeddings
+
+
+def test_make_mesh_default_is_pure_data_parallel():
+  mesh = parallel.make_mesh()
+  assert mesh.shape['data'] == 8
+  assert mesh.shape['model'] == 1
+
+
+def test_make_mesh_2d():
+  mesh = parallel.make_mesh(model=4)
+  assert mesh.shape['data'] == 2
+  assert mesh.shape['model'] == 4
+
+
+def test_shard_batch_splits_leading_axis():
+  mesh = parallel.make_mesh()
+  x = np.arange(32, dtype=np.float32).reshape(16, 2)
+  out = parallel.shard_batch({'x': x}, mesh)
+  assert out['x'].sharding.spec == P('data')
+  np.testing.assert_array_equal(np.asarray(out['x']), x)
+
+
+def test_param_shardings_rules_and_min_size():
+  mesh = parallel.make_mesh(model=4)
+  params = {
+      'encoder': {'embedding': jnp.zeros((64, 8))},
+      'tower': {'dense_0': {'kernel': jnp.zeros((8, 4))}},
+      # vocab 6 not divisible by model=4 -> falls back to replication
+      'small': {'embedding': jnp.zeros((6, 8))},
+  }
+  sh = parallel.param_shardings(params, mesh)
+  assert sh['encoder']['embedding'].spec == P('model', None)
+  assert sh['tower']['dense_0']['kernel'].spec == P()
+  assert sh['small']['embedding'].spec == P()
+
+
+@pytest.mark.parametrize('combiner', ['mean', 'sum', 'sqrtn'])
+def test_sharded_lookup_matches_replicated(combiner):
+  mesh = parallel.make_mesh(model=4)
+  rng = np.random.RandomState(0)
+  table = jnp.asarray(rng.randn(32, 5).astype(np.float32))
+  ids = jnp.asarray(
+      rng.randint(-1, 32, size=(8, 3, 4)))  # leading axis divisible by data=2
+  expected = embeddings.pooled_lookup(table, ids, combiner)
+  got = parallel.sharded_pooled_lookup(table, ids, mesh, combiner)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_lookup_all_padding_row():
+  mesh = parallel.make_mesh(model=2)
+  table = jnp.ones((8, 4))
+  ids = jnp.full((4, 3), -1)
+  out = parallel.sharded_pooled_lookup(table, ids, mesh, 'mean')
+  np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_sharded_encoder_module_grad_flows():
+  mesh = parallel.make_mesh(model=2)
+  enc = parallel.ShardedEmbeddingEncoder(
+      vocab_size=16, embedding_dim=4, mesh=mesh)
+  ids = jnp.asarray(np.random.RandomState(1).randint(0, 16, size=(8, 5)))
+  variables = enc.init(jax.random.PRNGKey(0), ids)
+
+  def loss(v):
+    return jnp.sum(enc.apply(v, ids) ** 2)
+
+  g = jax.grad(loss)(variables)
+  table_grad = g['params']['embedding']
+  assert table_grad.shape == (16, 4)
+  assert float(jnp.sum(jnp.abs(table_grad))) > 0

@@ -1,0 +1,130 @@
+"""Train/eval step tests: loss decreases, metrics stream, sharded run works."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ranking_tpu import models, ops, parallel, train
+from ranking_tpu.data.batch import RankingBatch, batch_from_labels
+
+
+def _synthetic_batch(rng, batch=16, list_size=10, feat=4):
+  """Labels correlated with a linear score of the features."""
+  x = rng.randn(batch, list_size, feat).astype(np.float32)
+  w = np.arange(1, feat + 1, dtype=np.float32)
+  score = x @ w
+  labels = (score > np.median(score, axis=1, keepdims=True)).astype(np.float32)
+  # Pad the tail of some lists.
+  labels[:, -2:] = np.where(rng.rand(batch, 2) < 0.5, -1.0, labels[:, -2:])
+  return batch_from_labels(
+      labels=jnp.asarray(labels),
+      examples={'x': jnp.asarray(x)})
+
+
+def _make_state(batch, rng_seed=0, lr=0.05, tx=None):
+  model = models.RankingModel(
+      scorer=models.DNNScorer(hidden_layer_dims=(16,), use_batch_norm=True,
+                              dropout=0.0))
+  return model, train.create_train_state(
+      model, tx or optax.adam(lr), jax.random.PRNGKey(rng_seed),
+      batch.context, batch.examples, batch.mask)
+
+
+def test_train_step_decreases_loss():
+  rng = np.random.RandomState(0)
+  batch = _synthetic_batch(rng)
+  _, state = _make_state(batch)
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  step = jax.jit(train.make_train_step(loss_fn), donate_argnums=0)
+  key = jax.random.PRNGKey(42)
+
+  first = None
+  for _ in range(30):
+    state, metrics = step(state, batch, key)
+    if first is None:
+      first = float(metrics['loss'])
+  assert float(metrics['loss']) < first
+  assert int(state.step) == 30
+  assert np.isfinite(float(metrics['labels_mean']))
+  assert np.isfinite(float(metrics['logits_mean']))
+
+
+def test_eval_step_streams_metrics():
+  rng = np.random.RandomState(1)
+  batch = _synthetic_batch(rng)
+  _, state = _make_state(batch)
+  metric_fns = {
+      'ndcg@5': ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG, topn=5),
+      'mrr': ops.make_ranking_metric_fn(ops.RankingMetricKey.MRR),
+  }
+  eval_step = jax.jit(train.make_eval_step(metric_fns))
+  states = train.init_metric_states(metric_fns)
+  for _ in range(3):
+    states, logits = eval_step(state, batch, states)
+  results = train.metric_results(states)
+  assert 0.0 <= float(results['ndcg@5']) <= 1.0
+  assert 0.0 <= float(results['mrr']) <= 1.0
+  assert logits.shape == batch.mask.shape
+
+
+def test_train_step_sharded_matches_unsharded():
+  rng = np.random.RandomState(2)
+  batch = _synthetic_batch(rng)
+  # SGD: Adam's first step is sign-like and amplifies float reassociation
+  # noise between sharded and unsharded reductions.
+  _, state = _make_state(batch, tx=optax.sgd(0.1))
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SIGMOID_CROSS_ENTROPY_LOSS)
+  step = train.make_train_step(loss_fn)
+  key = jax.random.PRNGKey(7)
+
+  # Unsharded (single-device) result.
+  state1, m1 = jax.jit(step)(state, batch, key)
+
+  # Data-parallel over the 8-device mesh.
+  mesh = parallel.make_mesh()
+  sbatch = parallel.shard_batch(batch, mesh)
+  sstate = jax.tree.map(
+      lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
+  state2, m2 = jax.jit(step)(sstate, sbatch, key)
+
+  np.testing.assert_allclose(float(m1['loss']), float(m2['loss']), rtol=1e-5)
+  p1 = jax.tree.leaves(state1.params)
+  p2 = jax.tree.leaves(state2.params)
+  for a, b in zip(p1, p2):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_multi_task_train_and_eval():
+  rng = np.random.RandomState(3)
+  base = _synthetic_batch(rng)
+  labels = {'click': base.labels,
+            'purchase': jnp.where(base.labels > 0, base.labels, base.labels)}
+  batch = RankingBatch(context=base.context, examples=base.examples,
+                       labels=labels, mask=base.mask)
+  model = models.RankingModel(
+      scorer=models.MultiTaskScorer(task_names=('click', 'purchase'),
+                                    hidden_layer_dims=(8,), dropout=0.0))
+  state = train.create_train_state(
+      model, optax.adam(0.01), jax.random.PRNGKey(0),
+      batch.context, batch.examples, batch.mask)
+  loss_fns = {
+      'click': ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS),
+      'purchase': ops.make_loss_fn(
+          ops.RankingLossKey.SIGMOID_CROSS_ENTROPY_LOSS),
+  }
+  step = jax.jit(train.make_train_step(loss_fns,
+                                       multi_task_weights={'click': 2.0}))
+  state, metrics = step(state, batch, jax.random.PRNGKey(1))
+  assert np.isfinite(float(metrics['loss']))
+
+  metric_fns = {
+      'click/ndcg': ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG),
+      'purchase/mrr': ops.make_ranking_metric_fn(ops.RankingMetricKey.MRR),
+  }
+  eval_step = jax.jit(train.make_eval_step(metric_fns))
+  states, logits = eval_step(state, batch, train.init_metric_states(metric_fns))
+  assert set(logits) == {'click', 'purchase'}
+  results = train.metric_results(states)
+  assert all(np.isfinite(float(v)) for v in results.values())
