@@ -1,0 +1,89 @@
+"""Headline benchmark: listwise training throughput on the flagship workload.
+
+Workload mirrors the reference's canonical MSLR-WEB30K config
+(/root/reference/examples/tf_ranking_libsvm.py:90-91, research/dasalc.py:90):
+batch 128 query lists x list_size 200 x 136 float features, univariate DNN
+scorer (1024-512-256), softmax listwise loss — one full jitted train step
+(forward + loss + backward + adam) per measurement.
+
+Prints one JSON line: examples/s where an example is one query list.
+``vs_baseline`` compares against the TF-Ranking baseline measured by
+``benchmarks/tf_baseline.py`` on this machine (stored in
+BASELINE_MEASURED.json); falls back to 1.0 if never measured.
+"""
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+import optax
+
+BATCH = 128
+LIST_SIZE = 200
+NUM_FEATURES = 136
+HIDDEN = (1024, 512, 256)
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+  from ranking_tpu import models, ops, parallel, train
+  from ranking_tpu.data.batch import batch_from_labels
+
+  rng = np.random.RandomState(0)
+  labels = rng.randint(0, 5, size=(BATCH, LIST_SIZE)).astype(np.float32)
+  labels[:, -LIST_SIZE // 8:] = -1.0
+  batch = batch_from_labels(
+      labels=labels,
+      examples={'float_features': rng.randn(
+          BATCH, LIST_SIZE, NUM_FEATURES).astype(np.float32)})
+
+  model = models.RankingModel(
+      scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0),
+      transform_name='log1p')
+  state = train.create_train_state(
+      model, optax.adam(1e-3), jax.random.PRNGKey(0),
+      batch.context, batch.examples, batch.mask)
+
+  mesh = parallel.make_mesh()  # all local devices on the data axis
+  state = jax.tree.map(
+      lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
+  batch = parallel.shard_batch(batch, mesh)
+
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  step = jax.jit(train.make_train_step(loss_fn), donate_argnums=0)
+  key = jax.random.PRNGKey(1)
+
+  for _ in range(WARMUP):
+    state, metrics = step(state, batch, key)
+  jax.block_until_ready(metrics)
+
+  t0 = time.perf_counter()
+  for _ in range(ITERS):
+    state, metrics = step(state, batch, key)
+  jax.block_until_ready(metrics)
+  dt = time.perf_counter() - t0
+
+  n_chips = max(1, len(jax.devices()))
+  examples_per_sec_per_chip = BATCH * ITERS / dt / n_chips
+
+  baseline = None
+  path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      'BASELINE_MEASURED.json')
+  if os.path.exists(path):
+    with open(path) as f:
+      baseline = json.load(f).get('tf_ranking_examples_per_sec')
+
+  print(json.dumps({
+      'metric': 'listwise_train_examples_per_sec_per_chip',
+      'value': round(examples_per_sec_per_chip, 2),
+      'unit': 'query_lists/s/chip (B128xL200xF136 DNN softmax train step)',
+      'vs_baseline': round(examples_per_sec_per_chip / baseline, 3)
+                     if baseline else 1.0,
+  }))
+
+
+if __name__ == '__main__':
+  main()

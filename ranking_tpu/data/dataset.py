@@ -1,0 +1,268 @@
+"""Streaming ranking dataset pipeline: files -> shuffled padded batches.
+
+Host-side replacement for the reference's tf.data pipeline
+(tensorflow_ranking/python/data.py:914-1017: list_files -> interleave ->
+repeat -> shuffle -> batch -> parse batched -> prefetch): a record-level
+reader with an epoch-aware shuffle buffer, batch-wise proto parsing on a
+thread pool, and double-buffered host->device transfer with an explicit
+``data``-axis sharding (the host side of the input feed the reference
+delegated to ``tf.distribute``'s dataset iterators).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+import glob as glob_lib
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Mapping, Optional
+
+import jax
+import numpy as np
+
+from ranking_tpu.data import parsers, tfrecord
+from ranking_tpu.data.batch import RankingBatch
+from ranking_tpu.data.parsers import FeatureSpec, ParsedLists
+
+PARSER_FNS = {
+    'example_list_with_context': parsers.parse_example_list,
+    'example_in_example': parsers.parse_example_in_example,
+    'sequence_example': parsers.parse_sequence_example,
+    'tf_example': parsers.parse_tf_example,
+}
+
+
+@dataclasses.dataclass
+class DatasetHparams:
+  """Mirrors keras/pipeline.py:337-366 DatasetHparams, host-side."""
+  train_input_pattern: str = ''
+  valid_input_pattern: str = ''
+  train_batch_size: int = 32
+  valid_batch_size: int = 32
+  list_size: Optional[int] = None
+  dataset_reader: str = 'example_list_with_context'
+  convert_labels_to_binary: bool = False
+  shuffle_buffer_size: int = 1000
+  seed: Optional[int] = None
+
+
+def _records_stream(paths: List[str], epochs: Optional[int],
+                    shuffle_files: bool,
+                    rng: np.random.RandomState) -> Iterator[bytes]:
+  epoch = 0
+  while epochs is None or epoch < epochs:
+    order = list(paths)
+    if shuffle_files:
+      rng.shuffle(order)
+    for p in order:
+      yield from tfrecord.read_records(p)
+    epoch += 1
+
+
+def _shuffled(stream: Iterator[bytes], buffer_size: int,
+              rng: np.random.RandomState) -> Iterator[bytes]:
+  if buffer_size <= 1:
+    yield from stream
+    return
+  buf: List[bytes] = []
+  for rec in stream:
+    buf.append(rec)
+    if len(buf) >= buffer_size:
+      i = rng.randint(len(buf))
+      buf[i], buf[-1] = buf[-1], buf[i]
+      yield buf.pop()
+  rng.shuffle(buf)
+  yield from buf
+
+
+def _batched(stream: Iterator[bytes], batch_size: int,
+             drop_remainder: bool) -> Iterator[List[bytes]]:
+  batch: List[bytes] = []
+  for rec in stream:
+    batch.append(rec)
+    if len(batch) == batch_size:
+      yield batch
+      batch = []
+  if batch and not drop_remainder:
+    yield batch
+
+
+def parsed_to_batch(
+    parsed: ParsedLists,
+    label_feature_name: str,
+    convert_labels_to_binary: bool = False,
+    mask_feature_name: Optional[str] = None,
+    size_feature_name: Optional[str] = None,
+    padded_batch_size: Optional[int] = None,
+) -> RankingBatch:
+  """ParsedLists -> RankingBatch: pops the label feature out of the example
+  features, squeezes it to [B, L], stamps -1 on padded slots
+  (python/data.py:41), optionally binarizes (keras/pipeline.py:1026-1117
+  SimpleDatasetBuilder), and exposes mask/size features on request
+  (python/data.py:99-130)."""
+  examples = dict(parsed.examples)
+  labels = examples.pop(label_feature_name).astype(np.float32)
+  labels = labels.reshape(labels.shape[0], labels.shape[1])
+  if convert_labels_to_binary:
+    labels = np.where(labels > 0, 1.0, np.where(labels >= 0, 0.0, labels))
+  labels = np.where(parsed.mask, labels, parsers.PADDING_LABEL)
+
+  context = dict(parsed.context)
+  mask = parsed.mask
+  if size_feature_name:
+    context[size_feature_name] = parsed.sizes.astype(np.int32)
+  if mask_feature_name:
+    examples[mask_feature_name] = mask
+
+  if padded_batch_size and labels.shape[0] < padded_batch_size:
+    pad = padded_batch_size - labels.shape[0]
+
+    def _pad(a):
+      widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+      return np.pad(a, widths)
+
+    context = {k: _pad(v) for k, v in context.items()}
+    examples = {k: _pad(v) for k, v in examples.items()}
+    labels = np.concatenate(
+        [labels, np.full((pad, labels.shape[1]), parsers.PADDING_LABEL,
+                         labels.dtype)])
+    mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), bool)])
+
+  return RankingBatch(context=context, examples=examples, labels=labels,
+                      mask=mask)
+
+
+def build_ranking_dataset(
+    file_pattern: str,
+    data_format: str,
+    batch_size: int,
+    context_feature_spec: Mapping[str, FeatureSpec],
+    example_feature_spec: Mapping[str, FeatureSpec],
+    label_feature_name: str = 'relevance',
+    list_size: Optional[int] = None,
+    convert_labels_to_binary: bool = False,
+    epochs: Optional[int] = 1,
+    shuffle: bool = True,
+    shuffle_buffer_size: int = 1000,
+    shuffle_examples: bool = False,
+    drop_remainder: bool = True,
+    pad_final_batch: bool = False,
+    mask_feature_name: Optional[str] = None,
+    size_feature_name: Optional[str] = None,
+    seed: Optional[int] = None,
+    num_parser_threads: int = 4,
+    prefetch_batches: int = 4,
+) -> Iterator[RankingBatch]:
+  """Streams RankingBatches from TFRecord files of ranking protos.
+
+  The parse stage runs on a thread pool with ``prefetch_batches`` batches in
+  flight (protobuf upb parsing releases the GIL) — the AUTOTUNE-prefetch
+  analog of python/data.py:1015.
+  """
+  if data_format not in PARSER_FNS:
+    raise ValueError(f'Unknown data_format {data_format!r}; '
+                     f'one of {sorted(PARSER_FNS)}')
+  paths = sorted(glob_lib.glob(file_pattern))
+  if not paths:
+    raise FileNotFoundError(f'No files match {file_pattern!r}')
+  if list_size is None and batch_size > 1:
+    raise ValueError('list_size must be set for batched parsing (static '
+                     'shapes are required on TPU)')
+  rng = np.random.RandomState(seed)
+  parse_fn = PARSER_FNS[data_format]
+
+  stream = _records_stream(paths, epochs, shuffle, rng)
+  if shuffle:
+    stream = _shuffled(stream, shuffle_buffer_size, rng)
+  batches = _batched(stream, batch_size, drop_remainder)
+
+  def _parse(records: List[bytes]) -> RankingBatch:
+    kwargs = {}
+    if data_format in ('example_list_with_context', 'example_in_example'):
+      kwargs = dict(shuffle_examples=shuffle_examples,
+                    rng=np.random.RandomState(rng.randint(1 << 31))
+                    if shuffle_examples else None)
+    parsed = parse_fn(records, context_feature_spec, example_feature_spec,
+                      list_size=list_size, **kwargs)
+    return parsed_to_batch(
+        parsed, label_feature_name,
+        convert_labels_to_binary=convert_labels_to_binary,
+        mask_feature_name=mask_feature_name,
+        size_feature_name=size_feature_name,
+        padded_batch_size=batch_size if pad_final_batch else None)
+
+  with concurrent.futures.ThreadPoolExecutor(num_parser_threads) as pool:
+    # Bounded queue: the filler blocks once ``prefetch_batches`` parses are
+    # in flight, so the raw-record stream is consumed lazily.
+    pending: 'queue.Queue' = queue.Queue(maxsize=prefetch_batches)
+    it = iter(batches)
+
+    def _fill():
+      for recs in it:
+        pending.put(pool.submit(_parse, recs))
+      pending.put(None)
+
+    filler = threading.Thread(target=_fill, daemon=True)
+    filler.start()
+    while True:
+      item = pending.get()
+      if item is None:
+        return
+      yield item.result()
+
+
+def in_memory_batches(
+    features: np.ndarray,
+    labels: np.ndarray,
+    batch_size: int,
+    feature_name: str = 'float_features',
+    epochs: Optional[int] = 1,
+    shuffle: bool = True,
+    seed: Optional[int] = None,
+    drop_remainder: bool = True,
+) -> Iterator[RankingBatch]:
+  """Batches pre-loaded listwise arrays (the LIBSVM path:
+  examples/tf_ranking_libsvm.py:197-224 used an in-memory feed the same way).
+  """
+  n = features.shape[0]
+  rng = np.random.RandomState(seed)
+  epoch = 0
+  while epochs is None or epoch < epochs:
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    for start in range(0, n, batch_size):
+      idx = order[start:start + batch_size]
+      if len(idx) < batch_size and drop_remainder:
+        break
+      lab = labels[idx]
+      yield RankingBatch(
+          context={},
+          examples={feature_name: features[idx]},
+          labels=lab,
+          mask=lab >= 0)
+    epoch += 1
+
+
+def prefetch_to_device(
+    batches: Iterable[RankingBatch],
+    sharding: Optional[jax.sharding.Sharding] = None,
+    buffer_size: int = 2,
+) -> Iterator[RankingBatch]:
+  """Double-buffered host->device feed (python/data.py:1015 prefetch analog).
+
+  Dispatches ``jax.device_put`` for up to ``buffer_size`` batches ahead of
+  the consumer so transfer overlaps step compute.
+  """
+  put = (lambda b: jax.device_put(b, sharding)) if sharding else jax.device_put
+  it = iter(batches)
+  buf: List[RankingBatch] = []
+  try:
+    for _ in range(buffer_size):
+      buf.append(put(next(it)))
+  except StopIteration:
+    pass
+  for nxt in it:
+    out = buf.pop(0)
+    buf.append(put(nxt))
+    yield out
+  yield from buf

@@ -8,6 +8,7 @@ from ranking_tpu.models.groupwise import GroupwiseDNNScorer
 from ranking_tpu.models.scorers import (
     DINScorer,
     DNNScorer,
+    EmbeddingDNNScorer,
     GAMScorer,
     MultiTaskScorer,
     RankingModel,
@@ -16,6 +17,7 @@ from ranking_tpu.models.scorers import (
 __all__ = [
     'DINScorer',
     'DNNScorer',
+    'EmbeddingDNNScorer',
     'GAMScorer',
     'GroupwiseDNNScorer',
     'MultiTaskScorer',

@@ -156,6 +156,62 @@ class DINScorer(nn.Module):
     return layers_lib.restore_list(scores, mask)
 
 
+class EmbeddingDNNScorer(nn.Module):
+  """DNN scorer over mixed dense + sparse-token features.
+
+  The sparse->embedding workload of the reference
+  (examples/tf_ranking_tfrecord.py:99-115, feature columns with
+  ``embedding_column``): features named in ``vocab_sizes`` are integer token
+  ids ``[..., T]`` (padding < 0), embedded with a learned table and
+  mean-pooled; everything else passes through as dense. When ``mesh`` is
+  set, tables are row-sharded over the mesh ``model`` axis with
+  explicit-collective lookup (parallel/embedding.py) — the SPMD analog of
+  ParameterServerStrategy table partitioning.
+  """
+
+  hidden_layer_dims: Sequence[int]
+  vocab_sizes: Any = None  # Mapping[str, int]: feature name -> vocab size
+  embedding_dim: int = 20
+  mesh: Any = None  # Optional[jax.sharding.Mesh]
+  combiner: str = 'mean'
+  activation: str = 'relu'
+  use_batch_norm: bool = True
+  batch_norm_momentum: float = 0.999
+  dropout: float = 0.5
+  dtype: Any = jnp.float32
+
+  def _encode(self, name: str, ids: Array) -> Array:
+    from ranking_tpu.models import embeddings as emb_lib
+    vocab = dict(self.vocab_sizes or {})[name]
+    if self.mesh is not None:
+      from ranking_tpu.parallel import embedding as sharded_emb
+      enc = sharded_emb.ShardedEmbeddingEncoder(
+          vocab_size=vocab, embedding_dim=self.embedding_dim, mesh=self.mesh,
+          combiner=self.combiner, name=f'embed_{name}')
+    else:
+      enc = emb_lib.EmbeddingEncoder(
+          vocab_size=vocab, embedding_dim=self.embedding_dim,
+          combiner=self.combiner, name=f'embed_{name}')
+    return enc(ids)
+
+  @nn.compact
+  def __call__(self, context: FeatureDict, examples: FeatureDict,
+               mask: Array, training: bool = False) -> Array:
+    vocabs = dict(self.vocab_sizes or {})
+    context = {k: (self._encode(k, v) if k in vocabs else v)
+               for k, v in context.items()}
+    examples = {k: (self._encode(k, v) if k in vocabs else v)
+                for k, v in examples.items()}
+    return DNNScorer(
+        hidden_layer_dims=self.hidden_layer_dims,
+        activation=self.activation,
+        use_batch_norm=self.use_batch_norm,
+        batch_norm_momentum=self.batch_norm_momentum,
+        dropout=self.dropout,
+        dtype=self.dtype,
+        name='dnn')(context, examples, mask, training=training)
+
+
 class MultiTaskScorer(nn.Module):
   """Wraps a shared-body scorer producing a dict of per-task logits.
 

@@ -1,0 +1,184 @@
+"""Data layer tests: tfrecord io, proto parsing, parsers, dataset pipeline."""
+
+import numpy as np
+import pytest
+
+from ranking_tpu.data import (
+    FixedLenFeature, VarLenFeature, Vocabulary,
+    build_ranking_dataset, in_memory_batches, libsvm, parsers, proto, tfrecord,
+)
+
+REF_DATA = '/root/reference/tensorflow_ranking/examples/data'
+
+
+def _elwc_bytes(context, examples):
+  return proto.make_elwc(context, examples).SerializeToString()
+
+
+def test_tfrecord_roundtrip(tmp_path):
+  path = str(tmp_path / 'x.tfrecord')
+  payloads = [b'alpha', b'b' * 1000, b'']
+  assert tfrecord.write_records(path, payloads) == 3
+  got = list(tfrecord.read_records(path, verify=True))
+  assert got == payloads
+
+
+def test_crc32c_known_vectors():
+  # Castagnoli CRC of 'a'..'i' strings (RFC 3720 style checks).
+  assert tfrecord.crc32c(b'') == 0
+  assert tfrecord.crc32c(b'123456789') == 0xE3069283
+  assert tfrecord.crc32c(b'\x00' * 32) == 0x8A9136AA
+
+
+def test_reads_reference_elwc_with_verification():
+  recs = tfrecord.read_all_records(f'{REF_DATA}/train_elwc.tfrecord',
+                                   verify=True)
+  assert len(recs) == 10
+  e = proto.ExampleListWithContext()
+  e.ParseFromString(recs[0])
+  assert 'query_tokens' in e.context.features.feature
+  assert 'relevance' in e.examples[0].features.feature
+
+
+def test_parse_example_list_padding_and_truncation():
+  recs = [
+      _elwc_bytes({'q': [1.0]}, [{'f': [1.0], 'rel': [2]},
+                                 {'f': [2.0], 'rel': [0]},
+                                 {'f': [3.0], 'rel': [1]}]),
+      _elwc_bytes({'q': [2.0]}, [{'f': [4.0], 'rel': [1]}]),
+  ]
+  spec_c = {'q': FixedLenFeature(shape=(1,), dtype='float32')}
+  spec_e = {'f': FixedLenFeature(shape=(1,), dtype='float32',
+                                 default_value=0.0),
+            'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  parsed = parsers.parse_example_list(recs, spec_c, spec_e, list_size=2)
+  assert parsed.examples['f'].shape == (2, 2, 1)
+  np.testing.assert_array_equal(parsed.sizes, [2, 1])
+  np.testing.assert_array_equal(parsed.mask, [[True, True], [True, False]])
+  np.testing.assert_allclose(parsed.examples['f'][:, :, 0],
+                             [[1.0, 2.0], [4.0, 0.0]])
+  np.testing.assert_array_equal(parsed.examples['rel'], [[2, 0], [1, 0]])
+
+
+def test_parse_example_in_example():
+  ctx = proto.make_example({'q': [7.0]}).SerializeToString()
+  exs = [proto.make_example({'f': [float(i)]}).SerializeToString()
+         for i in range(3)]
+  outer = proto.Example()
+  outer.features.feature['serialized_context'].bytes_list.value.append(ctx)
+  outer.features.feature['serialized_examples'].bytes_list.value.extend(exs)
+  parsed = parsers.parse_example_in_example(
+      [outer.SerializeToString()],
+      {'q': FixedLenFeature(shape=(1,), dtype='float32')},
+      {'f': FixedLenFeature(shape=(1,), dtype='float32', default_value=0.0)},
+      list_size=4)
+  np.testing.assert_allclose(parsed.context['q'], [[7.0]])
+  np.testing.assert_allclose(parsed.examples['f'][0, :, 0],
+                             [0.0, 1.0, 2.0, 0.0])
+  np.testing.assert_array_equal(parsed.mask[0], [True, True, True, False])
+
+
+def test_parse_sequence_example():
+  seq = proto.SequenceExample()
+  seq.context.feature['q'].float_list.value.append(3.0)
+  fl = seq.feature_lists.feature_list['f']
+  for v in (1.0, 2.0):
+    fl.feature.add().float_list.value.append(v)
+  parsed = parsers.parse_sequence_example(
+      [seq.SerializeToString()],
+      {'q': FixedLenFeature(shape=(1,), dtype='float32')},
+      {'f': FixedLenFeature(shape=(1,), dtype='float32', default_value=0.0)},
+      list_size=3)
+  np.testing.assert_allclose(parsed.examples['f'][0, :, 0], [1.0, 2.0, 0.0])
+  np.testing.assert_array_equal(parsed.sizes, [2])
+
+
+def test_varlen_tokens_with_vocab_and_hash():
+  vocab = Vocabulary(['apple', 'pear'], num_oov_buckets=1)
+  rec = _elwc_bytes({'qt': ['apple', 'unknown']},
+                    [{'dt': ['pear'], 'rel': [1]}])
+  parsed = parsers.parse_example_list(
+      [rec],
+      {'qt': VarLenFeature(dtype='string', max_len=3, vocab=vocab)},
+      {'dt': VarLenFeature(dtype='string', max_len=2, vocab=vocab),
+       'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)},
+      list_size=1)
+  qt = parsed.context['qt'][0]
+  assert qt[0] == 1  # apple -> first real id after 1 oov bucket
+  assert qt[1] == 0  # unknown -> oov bucket 0
+  assert qt[2] == -1  # padding
+  assert parsed.examples['dt'][0, 0, 0] == 2  # pear
+
+  hashed = parsers.parse_example_list(
+      [rec],
+      {'qt': VarLenFeature(dtype='string', max_len=2, hash_buckets=100)},
+      {'dt': VarLenFeature(dtype='string', max_len=2, hash_buckets=100),
+       'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)},
+      list_size=1)
+  assert 0 <= hashed.context['qt'][0, 0] < 100
+
+
+def test_build_ranking_dataset_on_reference_data(tmp_path):
+  batches = list(build_ranking_dataset(
+      f'{REF_DATA}/train_elwc.tfrecord',
+      data_format='example_list_with_context',
+      batch_size=4,
+      context_feature_spec={
+          'query_tokens': VarLenFeature(dtype='string', max_len=6,
+                                        hash_buckets=1000)},
+      example_feature_spec={
+          'document_tokens': VarLenFeature(dtype='string', max_len=20,
+                                           hash_buckets=1000),
+          'relevance': FixedLenFeature(shape=(), dtype='int64',
+                                       default_value=0)},
+      label_feature_name='relevance',
+      list_size=5,
+      epochs=2,
+      shuffle=True,
+      seed=7))
+  # 10 records x 2 epochs / batch 4 = 5 full batches.
+  assert len(batches) == 5
+  b = batches[0]
+  assert b.labels.shape == (4, 5)
+  assert b.mask.shape == (4, 5)
+  assert b.examples['document_tokens'].shape == (4, 5, 20)
+  assert b.context['query_tokens'].shape == (4, 6)
+  # Padded slots must carry the padding label.
+  assert np.all(b.labels[~b.mask] == -1.0)
+  assert np.all(b.labels[b.mask] >= 0)
+
+
+def test_libsvm_loader():
+  feats, labels, qids = libsvm.load_libsvm_lists(
+      f'{REF_DATA}/train.txt', list_size=10, num_features=136)
+  assert feats.shape[1:] == (10, 136)
+  assert labels.shape == feats.shape[:2]
+  assert len(qids) == feats.shape[0]
+  valid = labels >= 0
+  assert valid.any() and (labels[valid] <= 4).all()
+  assert np.isfinite(feats).all()
+
+
+def test_in_memory_batches_epochs():
+  feats = np.random.randn(10, 4, 3).astype(np.float32)
+  labels = np.random.randint(0, 3, (10, 4)).astype(np.float32)
+  out = list(in_memory_batches(feats, labels, batch_size=4, epochs=3,
+                               seed=0))
+  assert len(out) == 6  # 2 full batches per epoch x 3
+  assert out[0].examples['float_features'].shape == (4, 4, 3)
+
+
+def test_convert_labels_to_binary(tmp_path):
+  rec = _elwc_bytes({}, [{'f': [1.0], 'rel': [3]}, {'f': [2.0], 'rel': [0]}])
+  path = str(tmp_path / 'd.tfrecord')
+  tfrecord.write_records(path, [rec])
+  (b,) = build_ranking_dataset(
+      path, data_format='example_list_with_context', batch_size=1,
+      context_feature_spec={},
+      example_feature_spec={
+          'f': FixedLenFeature(shape=(1,), dtype='float32',
+                               default_value=0.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)},
+      label_feature_name='rel', list_size=3, epochs=1, shuffle=False,
+      drop_remainder=False, convert_labels_to_binary=True)
+  np.testing.assert_allclose(b.labels[0], [1.0, 0.0, -1.0])
