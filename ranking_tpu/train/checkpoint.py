@@ -1,0 +1,117 @@
+"""Checkpoint / resume / best-export via Orbax.
+
+Replaces the reference's callback trio — ``BackupAndRestore`` (preemption
+recovery), ``ModelCheckpoint(save_best_only)`` and the latest/best SavedModel
+exports (tensorflow_ranking/python/keras/pipeline.py:492-510,634-650) — with
+an Orbax ``CheckpointManager`` over the ``TrainState`` pytree plus a small
+JSON sidecar of metric values for best-tracking.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Mapping, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+  """Latest + best-by-metric checkpointing of a TrainState."""
+
+  def __init__(self, directory: str, max_to_keep: int = 3,
+               best_metric: Optional[str] = None,
+               best_mode: str = 'max'):
+    self.directory = os.path.abspath(directory)
+    os.makedirs(self.directory, exist_ok=True)
+    self.best_metric = best_metric
+    self.best_mode = best_mode
+    self._mgr = ocp.CheckpointManager(
+        self.directory,
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True,
+            best_fn=(lambda m: m[best_metric]) if best_metric else None,
+            best_mode=best_mode))
+
+  def save(self, state: Any, metrics: Optional[Mapping[str, float]] = None,
+           force: bool = False) -> None:
+    step = int(state.step)
+    metrics = {k: float(v) for k, v in (metrics or {}).items()}
+    self._mgr.save(step, args=ocp.args.StandardSave(_savable(state)),
+                   metrics=metrics or None, force=force)
+
+  def wait(self) -> None:
+    self._mgr.wait_until_finished()
+
+  def restore(self, state: Any, step: Optional[int] = None) -> Any:
+    """Restores into the structure of ``state`` (a freshly-built template)."""
+    if step is None:
+      step = self._mgr.latest_step()
+    if step is None:
+      return state
+    restored = self._mgr.restore(
+        step, args=ocp.args.StandardRestore(_savable(state)))
+    return _merge(state, restored)
+
+  def latest_step(self) -> Optional[int]:
+    return self._mgr.latest_step()
+
+  def best_step(self) -> Optional[int]:
+    return self._mgr.best_step()
+
+  def close(self) -> None:
+    self._mgr.wait_until_finished()
+    self._mgr.close()
+
+
+def _savable(state: Any) -> Mapping[str, Any]:
+  """The array-bearing portion of a TrainState (tx/apply_fn are code)."""
+  return {
+      'step': state.step,
+      'params': state.params,
+      'batch_stats': state.batch_stats,
+      'opt_state': state.opt_state,
+  }
+
+
+def _merge(state: Any, restored: Mapping[str, Any]) -> Any:
+  return state.replace(
+      step=restored['step'],
+      params=restored['params'],
+      batch_stats=restored['batch_stats'],
+      opt_state=restored['opt_state'])
+
+
+def export_params(state: Any, path: str) -> None:
+  """One-shot export of inference params (the SavedModel-export analog:
+  serving = these params + the jitted apply fn + a host parse shim).
+  Overwrites an existing export, matching SavedModel re-export behavior."""
+  ckptr = ocp.StandardCheckpointer()
+  ckptr.save(os.path.abspath(path),
+             {'params': state.params, 'batch_stats': state.batch_stats},
+             force=True)
+  ckptr.wait_until_finished()
+  ckptr.close()
+
+
+def load_params(path: str, template: Optional[Any] = None) -> Any:
+  ckptr = ocp.StandardCheckpointer()
+  try:
+    if template is not None:
+      return ckptr.restore(os.path.abspath(path), template)
+    return ckptr.restore(os.path.abspath(path))
+  finally:
+    ckptr.close()
+
+
+def write_metrics_log(directory: str, step: int,
+                      metrics: Mapping[str, float]) -> None:
+  """Appends a JSON line of metric values (host-side TensorBoard-scalar
+  analog; keras/pipeline.py:489-495)."""
+  os.makedirs(directory, exist_ok=True)
+  with open(os.path.join(directory, 'metrics.jsonl'), 'a') as f:
+    f.write(json.dumps({'step': int(step),
+                        **{k: float(np.asarray(v))
+                           for k, v in metrics.items()}}) + '\n')

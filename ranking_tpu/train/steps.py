@@ -109,6 +109,27 @@ def make_train_step(
   return train_step
 
 
+def make_multi_step(
+    train_step: Callable[..., Tuple[Any, Dict[str, Array]]],
+) -> Callable[..., Tuple[Any, Dict[str, Array]]]:
+  """Wraps a train_step to run K steps per dispatch via ``lax.scan``.
+
+  The TPU-native analog of the reference's ``steps_per_execution`` knob
+  (keras/pipeline.py:287-289): the host dispatches once per K steps, hiding
+  host->device latency. The batch argument gains a leading steps axis
+  (stack K batches); returned metrics are per-step ``[K]`` arrays.
+  """
+
+  def multi_step(state, stacked_batch: RankingBatch, key: Array):
+    def body(carry, batch):
+      new_state, metrics = train_step(carry, batch, key)
+      return new_state, metrics
+
+    return jax.lax.scan(body, state, stacked_batch)
+
+  return multi_step
+
+
 def make_eval_step(
     metric_fns: Mapping[str, MetricFn],
 ) -> Callable[..., Tuple[Dict[str, MeanState], Any]]:

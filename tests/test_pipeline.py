@@ -1,0 +1,170 @@
+"""End-to-end pipeline tests: train on bundled reference data, resume from
+checkpoint, export, and serving parity (listwise predict == pointwise
+regress, the invariant of python/keras/pipeline_test.py:216-238)."""
+
+import numpy as np
+import pytest
+
+from ranking_tpu import models, ops, pipeline
+from ranking_tpu.data import FixedLenFeature, VarLenFeature, proto, tfrecord
+
+REF_DATA = '/root/reference/tensorflow_ranking/examples/data'
+
+
+def _specs():
+  context_spec = {
+      'query_tokens': VarLenFeature(dtype='string', max_len=6,
+                                    hash_buckets=100)}
+  example_spec = {
+      'document_tokens': VarLenFeature(dtype='string', max_len=20,
+                                       hash_buckets=100),
+      'relevance': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  return context_spec, example_spec
+
+
+def _model():
+  return models.RankingModel(
+      scorer=models.EmbeddingDNNScorer(
+          hidden_layer_dims=(16, 8),
+          vocab_sizes={'query_tokens': 100, 'document_tokens': 100},
+          embedding_dim=4,
+          dropout=0.0,
+          use_batch_norm=False))
+
+
+def _hparams(tmp_path, **kw):
+  defaults = dict(
+      model_dir=str(tmp_path / 'model'),
+      num_epochs=2,
+      steps_per_epoch=3,
+      validation_steps=2,
+      learning_rate=0.05,
+      loss=ops.RankingLossKey.SOFTMAX_LOSS,
+      mesh_data=None)
+  defaults.update(kw)
+  return pipeline.PipelineHparams(**defaults)
+
+
+def _builder():
+  context_spec, example_spec = _specs()
+  return pipeline.SimpleDatasetBuilder(
+      context_spec, example_spec,
+      pipeline.DatasetHparams(
+          train_input_pattern=f'{REF_DATA}/train_elwc.tfrecord',
+          valid_input_pattern=f'{REF_DATA}/eval_elwc.tfrecord',
+          train_batch_size=4,
+          valid_batch_size=4,
+          list_size=5,
+          shuffle_buffer_size=10),
+      seed=3)
+
+
+def test_simple_pipeline_end_to_end(tmp_path):
+  pipe = pipeline.SimplePipeline(_model(), _builder(), _hparams(tmp_path))
+  history = pipe.train_and_validate()
+  assert np.isfinite(history['loss'])
+  for name in ('ndcg@1', 'ndcg@5', 'ndcg@10', 'ndcg'):
+    assert 0.0 <= history[name] <= 1.0
+  assert history['examples_per_sec'] > 0
+  assert int(pipe.final_state.step) == 6
+  # Metrics log written.
+  assert (tmp_path / 'model' / 'metrics.jsonl').exists()
+
+
+def test_pipeline_resumes_from_checkpoint(tmp_path):
+  pipe = pipeline.SimplePipeline(_model(), _builder(), _hparams(tmp_path))
+  pipe.train_and_validate()
+  assert int(pipe.final_state.step) == 6
+  # A new pipeline over the same model_dir resumes at step 6 and runs to 9.
+  pipe2 = pipeline.SimplePipeline(
+      _model(), _builder(), _hparams(tmp_path, num_epochs=3))
+  pipe2.train_and_validate()
+  assert int(pipe2.final_state.step) == 9
+
+
+def test_serving_parity_listwise_vs_pointwise(tmp_path):
+  context_spec, example_spec = _specs()
+  pipe = pipeline.SimplePipeline(_model(), _builder(), _hparams(tmp_path))
+  pipe.train_and_validate()
+
+  predictor = pipeline.Predictor(
+      _model(), pipe.final_state.variables, context_spec, example_spec,
+      list_size=None, label_feature_name='relevance')
+
+  # Build an ELWC by hand; its docs as pointwise examples must score equal.
+  docs = [{'document_tokens': ['hello', 'world'], 'relevance': [1]},
+          {'document_tokens': ['foo'], 'relevance': [0]},
+          {'document_tokens': ['bar', 'baz', 'qux'], 'relevance': [2]}]
+  ctx = {'query_tokens': ['some', 'query']}
+  elwc = proto.make_elwc(ctx, docs).SerializeToString()
+  listwise = predictor.predict([elwc])[0]
+
+  pointwise_protos = [
+      proto.make_example({**ctx, **d}).SerializeToString() for d in docs]
+  pointwise = predictor.regress(pointwise_protos)
+  np.testing.assert_allclose(listwise[:3], pointwise, rtol=1e-4, atol=1e-5)
+
+
+def test_predictor_from_export(tmp_path):
+  context_spec, example_spec = _specs()
+  pipe = pipeline.SimplePipeline(_model(), _builder(), _hparams(tmp_path))
+  pipe.train_and_validate()
+  predictor = pipeline.Predictor.from_export(
+      _model(), str(tmp_path / 'model' / 'export' / 'latest'),
+      context_spec, example_spec, label_feature_name='relevance')
+  elwc = proto.make_elwc({'query_tokens': ['q']},
+                         [{'document_tokens': ['a'], 'relevance': [0]},
+                          {'document_tokens': ['b'], 'relevance': [1]}]
+                         ).SerializeToString()
+  scores = predictor.predict([elwc])
+  assert scores.shape == (1, 2)
+  assert np.isfinite(scores).all()
+
+
+def test_multi_task_pipeline(tmp_path):
+  context_spec, example_spec = _specs()
+
+  class TwoLabelBuilder(pipeline.SimpleDatasetBuilder):
+    def _batches(self, *a, **kw):
+      from ranking_tpu.data.batch import RankingBatch
+      for b in super()._batches(*a, **kw):
+        yield RankingBatch(context=b.context, examples=b.examples,
+                           labels={'rel': b.labels, 'click': b.labels},
+                           mask=b.mask)
+
+  builder = TwoLabelBuilder(
+      context_spec, example_spec,
+      pipeline.DatasetHparams(
+          train_input_pattern=f'{REF_DATA}/train_elwc.tfrecord',
+          valid_input_pattern=f'{REF_DATA}/eval_elwc.tfrecord',
+          train_batch_size=4, valid_batch_size=4, list_size=5), seed=0)
+
+  model = models.RankingModel(
+      scorer=models.MultiTaskScorer(
+          task_names=('rel', 'click'), hidden_layer_dims=(8,),
+          dropout=0.0, use_batch_norm=False))
+  hp = _hparams(
+      tmp_path, num_epochs=1,
+      loss={'rel': ops.RankingLossKey.SOFTMAX_LOSS,
+            'click': ops.RankingLossKey.SIGMOID_CROSS_ENTROPY_LOSS},
+      loss_weights={'rel': 1.0, 'click': 0.5})
+  # MultiTaskScorer embeds nothing — drop token features to dense-only.
+  class DenseOnly(TwoLabelBuilder):
+    def _batches(self, *a, **kw):
+      from ranking_tpu.data.batch import RankingBatch
+      for b in super()._batches(*a, **kw):
+        dense = {'dt_float': b.examples['document_tokens'].astype(np.float32)}
+        yield RankingBatch(context={}, examples=dense, labels=b.labels,
+                           mask=b.mask)
+
+  builder = DenseOnly(
+      context_spec, example_spec,
+      pipeline.DatasetHparams(
+          train_input_pattern=f'{REF_DATA}/train_elwc.tfrecord',
+          valid_input_pattern=f'{REF_DATA}/eval_elwc.tfrecord',
+          train_batch_size=4, valid_batch_size=4, list_size=5), seed=0)
+  pipe = pipeline.MultiTaskPipeline(model, builder, hp)
+  history = pipe.train_and_validate()
+  assert np.isfinite(history['loss'])
+  assert 0.0 <= history['rel/ndcg@5'] <= 1.0
+  assert 0.0 <= history['click/ndcg'] <= 1.0
