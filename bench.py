@@ -58,12 +58,14 @@ def main():
 
   for _ in range(WARMUP):
     state, metrics = step(state, batch, key)
-  jax.block_until_ready(metrics)
+  # A scalar fetch is the only reliable execution barrier on tunneled
+  # devices (block_until_ready can return before remote execution ends).
+  float(metrics['loss'])
 
   t0 = time.perf_counter()
   for _ in range(ITERS):
     state, metrics = step(state, batch, key)
-  jax.block_until_ready(metrics)
+  float(metrics['loss'])  # barrier: chained states force all steps done
   dt = time.perf_counter() - t0
 
   n_chips = max(1, len(jax.devices()))

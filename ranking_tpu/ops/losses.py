@@ -131,6 +131,19 @@ class _PairwiseLoss(RankingLoss):
   def _pairwise_loss(self, pairwise_logits: Array) -> Array:
     raise NotImplementedError
 
+  def __call__(self, labels, logits, weights=None, mask=None,
+               reduction: Reduction = Reduction.SUM_BY_NONZERO_WEIGHTS,
+               key=None) -> Array:
+    # Fused Pallas fast path (VMEM-resident pair matrices); falls back to
+    # the canonical jnp path for non-kernelized configs.
+    from ranking_tpu.ops import pallas as pallas_ops
+    fused = pallas_ops.maybe_fused_pairwise(
+        self, labels, logits, weights, mask, reduction, key)
+    if fused is not None:
+      return fused
+    return super().__call__(labels, logits, weights=weights, mask=mask,
+                            reduction=reduction, key=key)
+
   def unreduced(self, labels, logits, mask=None, key=None):
     if mask is None:
       mask = list_ops.is_label_valid(labels)

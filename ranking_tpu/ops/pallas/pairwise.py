@@ -1,0 +1,251 @@
+"""Fused pairwise ranking-loss kernel (Pallas/Mosaic).
+
+The reference materializes ``[B, L, L]`` pairwise tensors in HBM for every
+pairwise loss (tensorflow_ranking/python/losses_impl.py:61-64,503-537); this
+kernel keeps the pair matrices VMEM-resident: for each batch tile it builds
+logit diffs, preference labels, lambda weights and the loss surface in VMEM,
+reduces to per-list (loss_sum, weight_sum, nonzero_count), and never writes
+an O(L^2) tensor to HBM. A custom VJP recomputes the pair structure in the
+backward kernel and emits ``dlogits`` directly (pair weights are
+stop_gradient, matching losses_impl.py:882).
+
+Lambda-weight support (static ``lambda_mode``):
+
+* ``none``       — plain preference pairs.
+* ``labeldiff``  — ``|l_i - l_j|`` (LabelDiffLambdaWeight,
+  losses_impl.py:210-216).
+* ``dcg_v2``     — ``|g_i - g_j| * |D(|r_i - r_j|) - D(|r_i - r_j| + 1)| *
+  mult * scale_b`` with the V2 topn multiplier ``1 / (1 - D(max_rank))``
+  (DCGLambdaWeightV2, losses_impl.py:372-394). Per-item gains ``g`` and
+  1-based ranks ``r`` are computed outside (O(B L log L)); the O(L^2) work
+  stays in VMEM. ``scale_b`` folds the ``* list_size`` rescale and the
+  optional 1/maxDCG normalization.
+
+The rank-mixing DCGLambdaWeight (smooth_fraction) stays on the jnp path.
+
+Batch tiles of 8 lists; Mosaic pads the L axis to the 128-lane boundary.
+VMEM per tile ~ 4 * TB * L^2 * 4B; L <= 1024 fits comfortably.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+TILE_B = 8
+
+LOSS_LOGISTIC = 0
+LOSS_HINGE = 1
+LOSS_SOFT_ZERO_ONE = 2
+
+LAMBDA_NONE = 0
+LAMBDA_LABELDIFF = 1
+LAMBDA_DCG_V2 = 2
+
+DISCOUNT_LOG2_INVERSE = 0  # D(r) = 1 / log2(1 + r)
+DISCOUNT_INVERSE = 1       # D(r) = 1 / r
+
+_INTERPRET = False  # flipped by CPU tests
+
+
+_LN2 = 0.6931471805599453
+
+
+def _discount(kind: int, r: Array) -> Array:
+  if kind == DISCOUNT_LOG2_INVERSE:
+    return _LN2 / jnp.log1p(r)
+  if kind == DISCOUNT_INVERSE:
+    return 1.0 / r
+  raise ValueError(f'unknown discount kind {kind}')
+
+
+def _loss_and_grad(loss_type: int, d: Array) -> Tuple[Array, Array]:
+  """Pair loss l(d) and dl/dd for d = s_i - s_j. Static branch."""
+  if loss_type == LOSS_LOGISTIC:
+    return (jnp.maximum(-d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d))),
+            -jax.nn.sigmoid(-d))
+  if loss_type == LOSS_HINGE:
+    return (jnp.maximum(1.0 - d, 0.0),
+            -(d < 1.0).astype(jnp.float32))
+  if loss_type == LOSS_SOFT_ZERO_ONE:
+    s = jax.nn.sigmoid(-d)
+    return s, -s * (1.0 - s)
+  raise ValueError(f'unknown loss_type {loss_type}')
+
+
+def _pair_structure(lab, log, msk, w, g, r, scale,
+                    lambda_mode, discount_kind, topn):
+  """Pair weights W and logit diffs D for one batch tile (all [TB, L, L])."""
+  diff = log[:, :, None] - log[:, None, :]
+  pref = ((lab[:, :, None] - lab[:, None, :]) > 0).astype(jnp.float32)
+  valid = msk[:, :, None] * msk[:, None, :]
+  pw = pref * valid
+  if lambda_mode == LAMBDA_LABELDIFF:
+    pw = pw * jnp.abs(lab[:, :, None] - lab[:, None, :])
+  elif lambda_mode == LAMBDA_DCG_V2:
+    pair_gain = jnp.abs(g[:, :, None] - g[:, None, :])
+    rank_diff = jnp.abs(r[:, :, None] - r[:, None, :])
+    max_rank = jnp.maximum(r[:, :, None], r[:, None, :])
+    mult = jnp.where(
+        max_rank > topn,
+        1.0 / (1.0 - _discount(discount_kind, max_rank)),
+        1.0)
+    pair_disc = jnp.where(
+        rank_diff > 0.0,
+        jnp.abs(_discount(discount_kind, jnp.maximum(rank_diff, 1e-12))
+                - _discount(discount_kind, rank_diff + 1.0)) * mult,
+        0.0)
+    pw = pw * pair_gain * pair_disc * scale[:, :, None]
+  # Left-item normalized weights apply to every pair (i, j)
+  # (losses_impl.py:917-930).
+  pw = pw * w[:, :, None]
+  return pw, diff
+
+
+def _fwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
+                out_ref, *, loss_type, lambda_mode, discount_kind, topn):
+  pw, diff = _pair_structure(
+      lab_ref[:], log_ref[:], msk_ref[:], w_ref[:], g_ref[:], r_ref[:],
+      scale_ref[:], lambda_mode, discount_kind, topn)
+  losses, _ = _loss_and_grad(loss_type, diff)
+  loss_sum = jnp.sum(losses * pw, axis=(1, 2))      # [TB]
+  weight_sum = jnp.sum(pw, axis=(1, 2))
+  nonzero = jnp.sum((pw != 0).astype(jnp.float32), axis=(1, 2))
+  out_ref[:, 0] = loss_sum
+  out_ref[:, 1] = weight_sum
+  out_ref[:, 2] = nonzero
+
+
+def _bwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
+                ct_ref, dlog_ref, *, loss_type, lambda_mode, discount_kind,
+                topn):
+  pw, diff = _pair_structure(
+      lab_ref[:], log_ref[:], msk_ref[:], w_ref[:], g_ref[:], r_ref[:],
+      scale_ref[:], lambda_mode, discount_kind, topn)
+  _, grad = _loss_and_grad(loss_type, diff)
+  wg = pw * grad                                    # [TB, L, L]
+  # d loss_sum / d s_i = sum_j wg[i, j] - sum_j wg[j, i].
+  per_item = jnp.sum(wg, axis=2) - jnp.sum(wg, axis=1)   # [TB, L]
+  dlog_ref[:] = per_item * ct_ref[:, 0][:, None]
+
+
+def _pad_batch(x: Array, tile: int = TILE_B) -> Array:
+  pad = (-x.shape[0]) % tile
+  if pad:
+    x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+  return x
+
+
+def _specs(l):
+  spec2 = pl.BlockSpec((TILE_B, l), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+  spec1 = pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+  return spec2, spec1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _pairwise_sums(labels, logits, mask, norm_w, gain, ranks, scale,
+                   loss_type, lambda_mode, discount_kind, topn):
+  out, _ = _pairwise_sums_fwd(labels, logits, mask, norm_w, gain, ranks,
+                              scale, loss_type, lambda_mode, discount_kind,
+                              topn)
+  return out
+
+
+def _pairwise_sums_fwd(labels, logits, mask, norm_w, gain, ranks, scale,
+                       loss_type, lambda_mode, discount_kind, topn):
+  b, l = labels.shape
+  args = [_pad_batch(jnp.asarray(a, jnp.float32))
+          for a in (labels, logits, mask, norm_w, gain, ranks)]
+  scale2 = _pad_batch(jnp.asarray(scale, jnp.float32).reshape(b, 1))
+  bp = args[0].shape[0]
+  spec2, spec1 = _specs(l)
+  out = pl.pallas_call(
+      functools.partial(_fwd_kernel, loss_type=loss_type,
+                        lambda_mode=lambda_mode,
+                        discount_kind=discount_kind, topn=topn),
+      grid=(bp // TILE_B,),
+      in_specs=[spec2] * 6 + [spec1],
+      out_specs=pl.BlockSpec((TILE_B, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((bp, 128), jnp.float32),
+      interpret=_INTERPRET,
+      cost_estimate=pl.CostEstimate(
+          flops=10 * bp * l * l, bytes_accessed=7 * bp * l * 4,
+          transcendentals=2 * bp * l * l),
+  )(*args, scale2)
+  sums = out[:b, :3]  # [B, 3]: loss_sum, weight_sum, nonzero_count
+  return sums, (labels, logits, mask, norm_w, gain, ranks, scale)
+
+
+def _pairwise_sums_bwd(loss_type, lambda_mode, discount_kind, topn,
+                       residuals, ct):
+  labels, logits, mask, norm_w, gain, ranks, scale = residuals
+  b, l = labels.shape
+  args = [_pad_batch(jnp.asarray(a, jnp.float32))
+          for a in (labels, logits, mask, norm_w, gain, ranks)]
+  scale2 = _pad_batch(jnp.asarray(scale, jnp.float32).reshape(b, 1))
+  ct_pad = _pad_batch(jnp.asarray(ct, jnp.float32))
+  bp = args[0].shape[0]
+  spec2, spec1 = _specs(l)
+  spec_ct = pl.BlockSpec((TILE_B, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+  dlog = pl.pallas_call(
+      functools.partial(_bwd_kernel, loss_type=loss_type,
+                        lambda_mode=lambda_mode,
+                        discount_kind=discount_kind, topn=topn),
+      grid=(bp // TILE_B,),
+      in_specs=[spec2] * 6 + [spec1, spec_ct],
+      out_specs=spec2,
+      out_shape=jax.ShapeDtypeStruct((bp, l), jnp.float32),
+      interpret=_INTERPRET,
+      cost_estimate=pl.CostEstimate(
+          flops=12 * bp * l * l, bytes_accessed=8 * bp * l * 4,
+          transcendentals=2 * bp * l * l),
+  )(*args, scale2, ct_pad)
+  dlogits = dlog[:b]
+  z = lambda a: jnp.zeros_like(a)
+  return (z(labels), dlogits, z(mask), z(norm_w), z(gain), z(ranks),
+          z(scale))
+
+
+_pairwise_sums.defvjp(_pairwise_sums_fwd, _pairwise_sums_bwd)
+
+
+def fused_pairwise_sums(
+    labels: Array,
+    logits: Array,
+    mask: Array,
+    norm_weights: Array,
+    loss_type: int,
+    lambda_mode: int = LAMBDA_NONE,
+    gain: Optional[Array] = None,
+    ranks: Optional[Array] = None,
+    scale: Optional[Array] = None,
+    discount_kind: int = DISCOUNT_LOG2_INVERSE,
+    topn: float = 1e9,
+) -> Array:
+  """Per-list ``[B, 3]`` (loss_sum, weight_sum, nonzero_count).
+
+  ``norm_weights`` are the left-item weights ``[B, L]`` (already masked).
+  For ``dcg_v2`` pass per-item ``gain`` (cleaned labels through gain_fn),
+  1-based ``ranks``, and per-list ``scale`` (list_size x optional 1/maxDCG).
+  """
+  b, l = labels.shape
+  zeros = jnp.zeros((b, l), jnp.float32)
+  return _pairwise_sums(
+      jnp.asarray(labels, jnp.float32), jnp.asarray(logits, jnp.float32),
+      jnp.asarray(mask, jnp.float32), jnp.asarray(norm_weights, jnp.float32),
+      zeros if gain is None else jnp.asarray(gain, jnp.float32),
+      zeros if ranks is None else jnp.asarray(ranks, jnp.float32),
+      jnp.ones((b,), jnp.float32) if scale is None
+      else jnp.asarray(scale, jnp.float32),
+      loss_type, lambda_mode, discount_kind, float(topn))
