@@ -1,0 +1,88 @@
+"""Example CLIs run a few steps on the bundled reference data
+(the reference's example-test strategy, e.g. tf_ranking_libsvm_test.py).
+
+Examples are executed in-process (main() with patched argv) so they run on
+the CPU test backend configured by conftest.py.
+"""
+
+import importlib.util
+import sys
+
+REF_DATA = '/root/reference/tensorflow_ranking/examples/data'
+
+
+def _run_example(monkeypatch, capsys, path, args):
+  spec = importlib.util.spec_from_file_location('example_under_test', path)
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  monkeypatch.setattr(sys, 'argv', [path] + args)
+  mod.main()
+  return capsys.readouterr().out
+
+
+def test_ranking_libsvm_example(tmp_path, monkeypatch, capsys):
+  out = _run_example(monkeypatch, capsys, 'examples/ranking_libsvm.py', [
+      f'--train_path={REF_DATA}/train.txt',
+      f'--vali_path={REF_DATA}/vali.txt',
+      f'--test_path={REF_DATA}/test.txt',
+      f'--output_dir={tmp_path}/out',
+      '--num_features=136', '--list_size=10', '--batch_size=4',
+      '--num_train_steps=8', '--eval_every=8',
+      '--hidden_layer_dims=16,8',
+  ])
+  assert 'ndcg@5=' in out
+  assert 'test:' in out
+  assert 'exported params' in out
+
+
+def test_ranking_libsvm_groupwise_lambda(tmp_path, monkeypatch, capsys):
+  out = _run_example(monkeypatch, capsys, 'examples/ranking_libsvm.py', [
+      f'--train_path={REF_DATA}/train.txt',
+      f'--vali_path={REF_DATA}/vali.txt',
+      f'--output_dir={tmp_path}/out',
+      '--num_features=136', '--list_size=10', '--batch_size=4',
+      '--num_train_steps=4', '--eval_every=4',
+      '--hidden_layer_dims=8', '--group_size=2', '--lambda_ndcg',
+  ])
+  assert 'ndcg@5=' in out
+
+
+def test_ranking_elwc_pipeline_example(tmp_path, monkeypatch, capsys):
+  out = _run_example(monkeypatch, capsys,
+                     'examples/ranking_elwc_pipeline.py', [
+      f'--train_pattern={REF_DATA}/train_elwc.tfrecord',
+      f'--valid_pattern={REF_DATA}/eval_elwc.tfrecord',
+      f'--model_dir={tmp_path}/model',
+      '--batch_size=4', '--list_size=5', '--num_epochs=1',
+      '--steps_per_epoch=3', '--validation_steps=2',
+      '--hash_buckets=100', '--embedding_dim=4',
+      '--hidden_layer_dims=8',
+  ])
+  assert 'final:' in out
+
+
+def test_ranking_elwc_pipeline_with_vocab(tmp_path, monkeypatch, capsys):
+  out = _run_example(monkeypatch, capsys,
+                     'examples/ranking_elwc_pipeline.py', [
+      f'--train_pattern={REF_DATA}/train_elwc.tfrecord',
+      f'--valid_pattern={REF_DATA}/eval_elwc.tfrecord',
+      f'--vocab_file={REF_DATA}/vocab.txt',
+      f'--model_dir={tmp_path}/model',
+      '--batch_size=4', '--list_size=5', '--num_epochs=1',
+      '--steps_per_epoch=2', '--validation_steps=1',
+      '--embedding_dim=4', '--hidden_layer_dims=8',
+  ])
+  assert 'final:' in out
+
+
+def test_antique_din_example(tmp_path, monkeypatch, capsys):
+  out = _run_example(monkeypatch, capsys, 'examples/antique_din.py', [
+      f'--train_pattern={REF_DATA}/train_elwc.tfrecord',
+      f'--valid_pattern={REF_DATA}/eval_elwc.tfrecord',
+      f'--model_dir={tmp_path}/model',
+      '--batch_size=4', '--list_size=5', '--num_epochs=1',
+      '--steps_per_epoch=2', '--validation_steps=1',
+      '--hash_buckets=100', '--embedding_dim=4',
+      '--hidden_layer_dims=8', '--head_size=4',
+  ])
+  assert 'final:' in out
