@@ -177,14 +177,31 @@ def build_ranking_dataset(
     stream = _shuffled(stream, shuffle_buffer_size, rng)
   batches = _batched(stream, batch_size, drop_remainder)
 
+  def _native_parse(records: List[bytes]):
+    """C++ fast path for plain ELWC batches (data/native/decoder.cc);
+    returns None when the config isn't natively decodable."""
+    if (data_format != 'example_list_with_context' or shuffle_examples
+        or list_size is None):
+      return None
+    try:
+      from ranking_tpu.data import native
+      if not native.available():
+        return None
+      return native.decode_elwc_batch(
+          records, list_size, context_feature_spec, example_feature_spec)
+    except (ValueError, RuntimeError):
+      return None
+
   def _parse(records: List[bytes]) -> RankingBatch:
-    kwargs = {}
-    if data_format in ('example_list_with_context', 'example_in_example'):
-      kwargs = dict(shuffle_examples=shuffle_examples,
-                    rng=np.random.RandomState(rng.randint(1 << 31))
-                    if shuffle_examples else None)
-    parsed = parse_fn(records, context_feature_spec, example_feature_spec,
-                      list_size=list_size, **kwargs)
+    parsed = _native_parse(records)
+    if parsed is None:
+      kwargs = {}
+      if data_format in ('example_list_with_context', 'example_in_example'):
+        kwargs = dict(shuffle_examples=shuffle_examples,
+                      rng=np.random.RandomState(rng.randint(1 << 31))
+                      if shuffle_examples else None)
+      parsed = parse_fn(records, context_feature_spec, example_feature_spec,
+                        list_size=list_size, **kwargs)
     return parsed_to_batch(
         parsed, label_feature_name,
         convert_labels_to_binary=convert_labels_to_binary,

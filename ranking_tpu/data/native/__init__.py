@@ -1,0 +1,203 @@
+"""ctypes bindings for the native batch decoder (decoder.cc).
+
+Builds the shared library on first use (single-file g++ compile, no
+dependencies) and caches it next to the source. All entry points degrade
+gracefully: ``available()`` is False when no toolchain exists and callers
+fall back to the pure-Python parsers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, 'decoder.cc')
+_LIB = os.path.join(_DIR, 'libranking_data.so')
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+class FeatureSpecStruct(ctypes.Structure):
+  _fields_ = [
+      ('name', ctypes.c_char_p),
+      ('kind', ctypes.c_int32),
+      ('size', ctypes.c_int32),
+      ('buckets', ctypes.c_int64),
+      ('fout', ctypes.POINTER(ctypes.c_float)),
+      ('iout', ctypes.POINTER(ctypes.c_int32)),
+      ('default_value', ctypes.c_float),
+  ]
+
+
+KIND_FIXED_FLOAT = 0
+KIND_FIXED_INT64 = 1
+KIND_VARLEN_INT64 = 2
+KIND_VARLEN_HASHED = 3
+
+
+def _build() -> bool:
+  try:
+    subprocess.run(
+        ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-o', _LIB, _SRC],
+        check=True, capture_output=True, timeout=120)
+    return True
+  except (subprocess.SubprocessError, FileNotFoundError):
+    return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+  global _lib, _build_failed
+  with _lock:
+    if _lib is not None:
+      return _lib
+    if _build_failed:
+      return None
+    if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
+                                    < os.path.getmtime(_SRC)):
+      if not _build():
+        _build_failed = True
+        return None
+    lib = ctypes.CDLL(_LIB)
+    lib.rt_decode_elwc_batch.restype = ctypes.c_int
+    lib.rt_decode_elwc_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
+        ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.rt_scan_tfrecord.restype = ctypes.c_int64
+    lib.rt_scan_tfrecord.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+  return _load() is not None
+
+
+def read_tfrecord_payloads(path: str):
+  """Fast TFRecord payload scan; returns a list of bytes."""
+  lib = _load()
+  if lib is None:
+    raise RuntimeError('native decoder unavailable')
+  import numpy as np
+  with open(path, 'rb') as f:
+    data = f.read()
+  max_records = max(16, len(data) // 16)
+  offsets = np.zeros(max_records, np.int64)
+  lengths = np.zeros(max_records, np.int64)
+  n = lib.rt_scan_tfrecord(
+      data, len(data),
+      offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+      lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+      max_records)
+  return [data[offsets[i]:offsets[i] + lengths[i]] for i in range(n)]
+
+
+def decode_elwc_batch(records, list_size, context_spec, example_spec):
+  """Decodes serialized ELWC records into padded arrays natively.
+
+  Specs are mappings name -> parsers.FeatureSpec restricted to the
+  kernelized kinds: FixedLenFeature float32/int64 and VarLenFeature
+  int64 / hashed string. Returns a parsers.ParsedLists.
+  """
+  import numpy as np
+
+  from ranking_tpu.data import parsers
+
+  lib = _load()
+  if lib is None:
+    raise RuntimeError('native decoder unavailable')
+  n = len(records)
+
+  def make_specs(spec_map, rows):
+    structs = []
+    outputs = {}
+    for name in sorted(spec_map):
+      spec = spec_map[name]
+      st = FeatureSpecStruct()
+      st.name = name.encode()
+      if isinstance(spec, parsers.FixedLenFeature):
+        size = int(np.prod(spec.shape)) if spec.shape else 1
+        st.kind = (KIND_FIXED_FLOAT if spec.dtype == 'float32'
+                   else KIND_FIXED_INT64)
+        if spec.dtype == 'string':
+          raise ValueError('fixed-len string not supported natively')
+        st.size = size
+        st.default_value = float(spec.default_value or 0.0)
+        arr = np.empty((rows, size), np.float32)
+        st.fout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+      else:
+        if spec.max_len is None:
+          raise ValueError('native varlen decode requires max_len')
+        st.size = spec.max_len
+        if spec.dtype == 'string':
+          if not spec.hash_buckets:
+            raise ValueError('native string decode requires hash_buckets')
+          st.kind = KIND_VARLEN_HASHED
+          st.buckets = spec.hash_buckets
+        elif spec.dtype == 'int64':
+          st.kind = KIND_VARLEN_INT64
+        else:
+          raise ValueError('native varlen float not supported')
+        arr = np.empty((rows, spec.max_len), np.int32)
+        st.iout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+      structs.append(st)
+      outputs[name] = (arr, spec)
+    arr_type = FeatureSpecStruct * max(1, len(structs))
+    c_arr = arr_type(*structs) if structs else arr_type()
+    return c_arr, outputs
+
+  recs = (ctypes.c_char_p * n)(*records)
+  lens = (ctypes.c_int64 * n)(*[len(r) for r in records])
+  ctx_structs, ctx_out = make_specs(context_spec, n)
+  ex_structs, ex_out = make_specs(example_spec, n * list_size)
+  sizes = np.zeros(n, np.int32)
+
+  rc = lib.rt_decode_elwc_batch(
+      ctypes.cast(recs, ctypes.POINTER(ctypes.c_char_p)),
+      ctypes.cast(lens, ctypes.POINTER(ctypes.c_int64)),
+      n, list_size,
+      ctypes.cast(ctx_structs, ctypes.POINTER(FeatureSpecStruct)),
+      len(context_spec),
+      ctypes.cast(ex_structs, ctypes.POINTER(FeatureSpecStruct)),
+      len(example_spec),
+      sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+  if rc != 0:
+    raise ValueError('malformed ELWC record in native decode')
+
+  def finalize(outputs, rows, listwise):
+    out = {}
+    for name, (arr, spec) in outputs.items():
+      if isinstance(spec, parsers.FixedLenFeature):
+        a = arr
+        if spec.dtype == 'int64':
+          a = a.astype(np.int64)
+        if spec.shape:
+          a = a.reshape((rows,) + tuple(spec.shape))
+        else:
+          a = a.reshape(rows)
+      else:
+        a = arr.astype(np.int64)
+      if listwise:
+        a = a.reshape((n, list_size) + a.shape[1:])
+      out[name] = a
+    return out
+
+  mask = np.arange(list_size)[None, :] < sizes[:, None]
+  return parsers.ParsedLists(
+      context=finalize(ctx_out, n, False),
+      examples=finalize(ex_out, n * list_size, True),
+      sizes=sizes, mask=mask)

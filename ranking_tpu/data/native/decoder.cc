@@ -1,0 +1,329 @@
+// Native batch decoder for ranking data: ELWC / tf.Example wire format ->
+// padded numpy buffers.
+//
+// TPU-native replacement for the proto-decode hot path the reference
+// delegates to TensorFlow's C++ kernels (tf.io.decode_proto /
+// parse_example, tensorflow_ranking/python/data.py:83-96,142). One call
+// decodes a batch of serialized ExampleListWithContext records directly
+// into caller-allocated padded arrays ([B, L, F] floats, [B, L, T] token
+// ids with -1 padding, hashed strings) with zero Python-object overhead.
+// Exposed via a C ABI consumed with ctypes (ranking_tpu/data/native.py).
+//
+// Wire contract (field numbers):
+//   ExampleListWithContext: examples = repeated bytes 1, context = bytes 2
+//   Example.features = 1; Features.feature = map<string, Feature> 1
+//   map entry: key = 1, value = 2
+//   Feature: bytes_list = 1, float_list = 2, int64_list = 3; *.value = 1
+//   (float packed or unpacked, int64 varint packed or unpacked)
+//
+// Build: g++ -O3 -shared -fPIC -o libranking_data.so decoder.cc
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+
+namespace {
+
+struct Slice {
+  const uint8_t* p;
+  size_t n;
+};
+
+// --- varint / wire primitives ---------------------------------------------
+
+inline bool read_varint(const uint8_t*& p, const uint8_t* end, uint64_t* out) {
+  uint64_t v = 0;
+  int shift = 0;
+  while (p < end && shift < 64) {
+    uint8_t b = *p++;
+    v |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = v;
+      return true;
+    }
+    shift += 7;
+  }
+  return false;
+}
+
+// Skips a field with the given wire type. Returns false on malformed input.
+inline bool skip_field(const uint8_t*& p, const uint8_t* end, uint32_t wt) {
+  uint64_t tmp;
+  switch (wt) {
+    case 0:
+      return read_varint(p, end, &tmp);
+    case 1:
+      if (end - p < 8) return false;
+      p += 8;
+      return true;
+    case 2:
+      if (!read_varint(p, end, &tmp) || tmp > static_cast<uint64_t>(end - p))
+        return false;
+      p += tmp;
+      return true;
+    case 5:
+      if (end - p < 4) return false;
+      p += 4;
+      return true;
+    default:
+      return false;
+  }
+}
+
+inline bool read_len_delim(const uint8_t*& p, const uint8_t* end, Slice* out) {
+  uint64_t len;
+  if (!read_varint(p, end, &len) || len > static_cast<uint64_t>(end - p))
+    return false;
+  out->p = p;
+  out->n = static_cast<size_t>(len);
+  p += len;
+  return true;
+}
+
+// --- fnv1a hash (matches ranking_tpu/data/parsers.py) ----------------------
+
+inline uint64_t fnv1a(const uint8_t* p, size_t n) {
+  uint64_t h = 0xCBF29CE484222325ULL;
+  for (size_t i = 0; i < n; ++i) {
+    h ^= p[i];
+    h *= 0x100000001B3ULL;
+  }
+  return h;
+}
+
+// --- feature spec ----------------------------------------------------------
+
+// kind: 0 = fixed-len float, 1 = fixed-len int64 (as float out),
+//       2 = varlen int64 tokens, 3 = varlen hashed-string tokens
+struct FeatureSpec {
+  const char* name;
+  int32_t kind;
+  int32_t size;      // fixed: values per example; varlen: max_len
+  int64_t buckets;   // kind 3: hash bucket count
+  float* fout;       // kind 0/1 output base
+  int32_t* iout;     // kind 2/3 output base (int32 ids, -1 pad)
+  float default_value;
+};
+
+// Decodes one Feature message into the output row for (spec, row_offset).
+inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
+                                  size_t out_index) {
+  const uint8_t* p = feat.p;
+  const uint8_t* end = feat.p + feat.n;
+  int wrote = 0;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return;
+    uint32_t field = static_cast<uint32_t>(tag >> 3);
+    uint32_t wt = tag & 7;
+    if (wt != 2) {
+      if (!skip_field(p, end, wt)) return;
+      continue;
+    }
+    Slice list;
+    if (!read_len_delim(p, end, &list)) return;
+    // list is BytesList/FloatList/Int64List; iterate its value field(s).
+    const uint8_t* q = list.p;
+    const uint8_t* qend = list.p + list.n;
+    while (q < qend) {
+      uint64_t vtag;
+      if (!read_varint(q, qend, &vtag)) return;
+      uint32_t vwt = vtag & 7;
+      if ((vtag >> 3) != 1) {
+        if (!skip_field(q, qend, vwt)) return;
+        continue;
+      }
+      if (field == 2 && spec.kind == 0) {  // float_list
+        if (vwt == 5) {  // single float
+          if (qend - q < 4) return;
+          float v;
+          std::memcpy(&v, q, 4);
+          q += 4;
+          if (wrote < spec.size) spec.fout[out_index * spec.size + wrote++] = v;
+        } else if (vwt == 2) {  // packed floats
+          Slice packed;
+          if (!read_len_delim(q, qend, &packed)) return;
+          size_t count = packed.n / 4;
+          for (size_t i = 0; i < count && wrote < spec.size; ++i) {
+            float v;
+            std::memcpy(&v, packed.p + 4 * i, 4);
+            spec.fout[out_index * spec.size + wrote++] = v;
+          }
+        } else if (!skip_field(q, qend, vwt)) {
+          return;
+        }
+      } else if (field == 3 && (spec.kind == 1 || spec.kind == 2)) {
+        // int64_list, varint or packed
+        if (vwt == 0) {
+          uint64_t v;
+          if (!read_varint(q, qend, &v)) return;
+          if (wrote < spec.size) {
+            if (spec.kind == 1)
+              spec.fout[out_index * spec.size + wrote++] =
+                  static_cast<float>(static_cast<int64_t>(v));
+            else
+              spec.iout[out_index * spec.size + wrote++] =
+                  static_cast<int32_t>(static_cast<int64_t>(v));
+          }
+        } else if (vwt == 2) {
+          Slice packed;
+          if (!read_len_delim(q, qend, &packed)) return;
+          const uint8_t* r = packed.p;
+          const uint8_t* rend = packed.p + packed.n;
+          uint64_t v;
+          while (r < rend && read_varint(r, rend, &v)) {
+            if (wrote >= spec.size) break;
+            if (spec.kind == 1)
+              spec.fout[out_index * spec.size + wrote++] =
+                  static_cast<float>(static_cast<int64_t>(v));
+            else
+              spec.iout[out_index * spec.size + wrote++] =
+                  static_cast<int32_t>(static_cast<int64_t>(v));
+          }
+        } else if (!skip_field(q, qend, vwt)) {
+          return;
+        }
+      } else if (field == 1 && spec.kind == 3) {  // bytes_list, hashed
+        if (vwt != 2) {
+          if (!skip_field(q, qend, vwt)) return;
+          continue;
+        }
+        Slice s;
+        if (!read_len_delim(q, qend, &s)) return;
+        if (wrote < spec.size)
+          spec.iout[out_index * spec.size + wrote++] = static_cast<int32_t>(
+              fnv1a(s.p, s.n) % static_cast<uint64_t>(spec.buckets));
+      } else {
+        if (!skip_field(q, qend, vwt)) return;
+      }
+    }
+  }
+}
+
+// Walks Example.features.feature map entries; dispatches matching specs.
+inline void decode_example(const Slice& example, FeatureSpec* specs,
+                           int n_specs, size_t out_index) {
+  const uint8_t* p = example.p;
+  const uint8_t* end = example.p + example.n;
+  Slice features{nullptr, 0};
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return;
+    if ((tag >> 3) == 1 && (tag & 7) == 2) {
+      if (!read_len_delim(p, end, &features)) return;
+    } else if (!skip_field(p, end, tag & 7)) {
+      return;
+    }
+  }
+  if (!features.p) return;
+  p = features.p;
+  end = features.p + features.n;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return;
+    if ((tag >> 3) != 1 || (tag & 7) != 2) {
+      if (!skip_field(p, end, tag & 7)) return;
+      continue;
+    }
+    Slice entry;
+    if (!read_len_delim(p, end, &entry)) return;
+    // Map entry: key = 1 (string), value = 2 (Feature).
+    const uint8_t* q = entry.p;
+    const uint8_t* qend = entry.p + entry.n;
+    Slice key{nullptr, 0}, value{nullptr, 0};
+    while (q < qend) {
+      uint64_t etag;
+      if (!read_varint(q, qend, &etag)) return;
+      if ((etag >> 3) == 1 && (etag & 7) == 2) {
+        if (!read_len_delim(q, qend, &key)) return;
+      } else if ((etag >> 3) == 2 && (etag & 7) == 2) {
+        if (!read_len_delim(q, qend, &value)) return;
+      } else if (!skip_field(q, qend, etag & 7)) {
+        return;
+      }
+    }
+    if (!key.p || !value.p) continue;
+    for (int s = 0; s < n_specs; ++s) {
+      const FeatureSpec& spec = specs[s];
+      size_t name_len = std::strlen(spec.name);
+      if (name_len == key.n && std::memcmp(spec.name, key.p, key.n) == 0) {
+        decode_feature_values(value, spec, out_index);
+        break;
+      }
+    }
+  }
+}
+
+inline void prefill(FeatureSpec* specs, int n_specs, size_t rows) {
+  for (int s = 0; s < n_specs; ++s) {
+    FeatureSpec& sp = specs[s];
+    if (sp.kind == 0 || sp.kind == 1) {
+      for (size_t i = 0; i < rows * sp.size; ++i) sp.fout[i] =
+          sp.default_value;
+    } else {
+      for (size_t i = 0; i < rows * sp.size; ++i) sp.iout[i] = -1;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decodes n serialized ELWC records. Context outputs are [n, size]; example
+// outputs are [n, list_size, size] (row-major). sizes_out[i] = number of
+// real documents in list i (pre-truncation clip to list_size).
+int rt_decode_elwc_batch(const uint8_t** recs, const int64_t* lens, int n,
+                         int list_size, FeatureSpec* ctx_specs, int n_ctx,
+                         FeatureSpec* ex_specs, int n_ex,
+                         int32_t* sizes_out) {
+  prefill(ctx_specs, n_ctx, static_cast<size_t>(n));
+  prefill(ex_specs, n_ex, static_cast<size_t>(n) * list_size);
+  for (int i = 0; i < n; ++i) {
+    const uint8_t* p = recs[i];
+    const uint8_t* end = recs[i] + lens[i];
+    int doc = 0;
+    while (p < end) {
+      uint64_t tag;
+      if (!read_varint(p, end, &tag)) return -1;
+      uint32_t field = static_cast<uint32_t>(tag >> 3);
+      uint32_t wt = tag & 7;
+      if (wt != 2) {
+        if (!skip_field(p, end, wt)) return -1;
+        continue;
+      }
+      Slice msg;
+      if (!read_len_delim(p, end, &msg)) return -1;
+      if (field == 1) {  // one document Example
+        if (doc < list_size)
+          decode_example(msg, ex_specs, n_ex,
+                         static_cast<size_t>(i) * list_size + doc);
+        ++doc;
+      } else if (field == 2) {  // context Example
+        decode_example(msg, ctx_specs, n_ctx, static_cast<size_t>(i));
+      }
+    }
+    sizes_out[i] = doc < list_size ? doc : list_size;
+  }
+  return 0;
+}
+
+// Scans TFRecord framing: fills offsets/lengths for up to max_records
+// payloads; returns the count (no checksum verification on the hot path).
+int64_t rt_scan_tfrecord(const uint8_t* data, int64_t size, int64_t* offsets,
+                         int64_t* lengths, int64_t max_records) {
+  int64_t pos = 0, count = 0;
+  while (pos + 12 <= size && count < max_records) {
+    uint64_t len;
+    std::memcpy(&len, data + pos, 8);
+    pos += 12;  // length + length crc
+    if (pos + static_cast<int64_t>(len) + 4 > size) break;
+    offsets[count] = pos;
+    lengths[count] = static_cast<int64_t>(len);
+    ++count;
+    pos += static_cast<int64_t>(len) + 4;  // payload + payload crc
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -1,0 +1,101 @@
+"""Native C++ decoder == Python parser on reference + synthetic data."""
+
+import numpy as np
+import pytest
+
+from ranking_tpu.data import FixedLenFeature, VarLenFeature, parsers, proto
+from ranking_tpu.data import native, tfrecord
+
+REF_DATA = '/root/reference/tensorflow_ranking/examples/data'
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason='no native toolchain')
+
+
+def test_scan_tfrecord_matches_python_reader():
+  path = f'{REF_DATA}/train_elwc.tfrecord'
+  expected = tfrecord.read_all_records(path, verify=True)
+  got = native.read_tfrecord_payloads(path)
+  assert got == expected
+
+
+def test_decode_reference_elwc_matches_python_parser():
+  records = tfrecord.read_all_records(f'{REF_DATA}/train_elwc.tfrecord')
+  context_spec = {
+      'query_tokens': VarLenFeature(dtype='string', max_len=8,
+                                    hash_buckets=5000)}
+  example_spec = {
+      'document_tokens': VarLenFeature(dtype='string', max_len=30,
+                                       hash_buckets=5000),
+      'relevance': FixedLenFeature(shape=(), dtype='int64',
+                                   default_value=0)}
+  py = parsers.parse_example_list(records, context_spec, example_spec,
+                                  list_size=6)
+  nat = native.decode_elwc_batch(records, 6, context_spec, example_spec)
+  np.testing.assert_array_equal(nat.sizes, py.sizes)
+  np.testing.assert_array_equal(nat.mask, py.mask)
+  np.testing.assert_array_equal(nat.context['query_tokens'],
+                                py.context['query_tokens'])
+  np.testing.assert_array_equal(nat.examples['document_tokens'],
+                                py.examples['document_tokens'])
+  np.testing.assert_array_equal(nat.examples['relevance'],
+                                py.examples['relevance'])
+
+
+def test_decode_synthetic_floats_and_ints():
+  recs = []
+  rng = np.random.RandomState(0)
+  for i in range(7):
+    docs = [{'f': list(rng.randn(3).astype(float)),
+             'ids': [int(v) for v in rng.randint(0, 50, 4)],
+             'rel': [int(rng.randint(0, 5))]}
+            for _ in range(rng.randint(1, 5))]
+    ctx = {'cf': [float(i)]}
+    recs.append(proto.make_elwc(ctx, docs).SerializeToString())
+  context_spec = {'cf': FixedLenFeature(shape=(1,), dtype='float32',
+                                        default_value=0.0)}
+  example_spec = {
+      'f': FixedLenFeature(shape=(3,), dtype='float32', default_value=0.0),
+      'ids': VarLenFeature(dtype='int64', max_len=6),
+      'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  py = parsers.parse_example_list(recs, context_spec, example_spec,
+                                  list_size=3)
+  nat = native.decode_elwc_batch(recs, 3, context_spec, example_spec)
+  np.testing.assert_allclose(nat.context['cf'], py.context['cf'], rtol=1e-6)
+  np.testing.assert_allclose(nat.examples['f'], py.examples['f'], rtol=1e-6)
+  # Python pads varlen with spec.pad_value (-1 default): parity on ids.
+  np.testing.assert_array_equal(nat.examples['ids'], py.examples['ids'])
+  np.testing.assert_array_equal(nat.examples['rel'], py.examples['rel'])
+  np.testing.assert_array_equal(nat.mask, py.mask)
+
+
+def test_native_is_used_by_dataset_builder(tmp_path, monkeypatch):
+  # The streaming dataset should produce identical batches whether the
+  # native path resolves or not.
+  from ranking_tpu.data import build_ranking_dataset
+
+  kwargs = dict(
+      data_format='example_list_with_context',
+      batch_size=4,
+      context_feature_spec={
+          'query_tokens': VarLenFeature(dtype='string', max_len=6,
+                                        hash_buckets=1000)},
+      example_feature_spec={
+          'document_tokens': VarLenFeature(dtype='string', max_len=20,
+                                           hash_buckets=1000),
+          'relevance': FixedLenFeature(shape=(), dtype='int64',
+                                       default_value=0)},
+      label_feature_name='relevance',
+      list_size=5, epochs=1, shuffle=False, drop_remainder=False)
+
+  fast = list(build_ranking_dataset(f'{REF_DATA}/train_elwc.tfrecord',
+                                    **kwargs))
+  monkeypatch.setattr(native, 'available', lambda: False)
+  slow = list(build_ranking_dataset(f'{REF_DATA}/train_elwc.tfrecord',
+                                    **kwargs))
+  assert len(fast) == len(slow)
+  for a, b in zip(fast, slow):
+    np.testing.assert_array_equal(a.labels, b.labels)
+    np.testing.assert_array_equal(a.mask, b.mask)
+    np.testing.assert_array_equal(a.examples['document_tokens'],
+                                  b.examples['document_tokens'])
