@@ -1,9 +1,15 @@
 """Ranking models: scorers, layers, groupwise scoring, embeddings."""
 
 from ranking_tpu.models import embeddings
+from ranking_tpu.models import encoder
 from ranking_tpu.models import groupwise
 from ranking_tpu.models import layers
 from ranking_tpu.models import scorers
+from ranking_tpu.models.encoder import (
+    EncoderScorer,
+    TransformerEncoder,
+    warm_start_from,
+)
 from ranking_tpu.models.groupwise import GroupwiseDNNScorer
 from ranking_tpu.models.scorers import (
     DINScorer,
@@ -18,12 +24,16 @@ __all__ = [
     'DINScorer',
     'DNNScorer',
     'EmbeddingDNNScorer',
+    'EncoderScorer',
     'GAMScorer',
     'GroupwiseDNNScorer',
     'MultiTaskScorer',
     'RankingModel',
+    'TransformerEncoder',
     'embeddings',
+    'encoder',
     'groupwise',
     'layers',
     'scorers',
+    'warm_start_from',
 ]

@@ -1,0 +1,143 @@
+"""Transformer encoder scorer: the TFR-BERT analog.
+
+Re-designs the reference's TFR-BERT premade
+(/root/reference/tensorflow_ranking/extension/premade/tfrbert_task.py:
+TFRBertScorer at :110-132 — encoder pooled output -> dropout -> Dense(1))
+as a flax module family:
+
+* ``TransformerEncoder`` — a compact BERT-style text encoder (token +
+  position embeddings, N post-LN self-attention blocks, CLS pooling) sized
+  by config; runs flattened ``[B*L, T]`` so the MXU sees one large batch.
+* ``EncoderScorer`` — univariate scorer: each document's (query, doc) token
+  pair is encoded and scored; any flax encoder module with the same
+  ``(ids, attn_mask) -> pooled`` signature can be swapped in (e.g. a ported
+  HF checkpoint), mirroring how TFRBertScorer accepts any TF encoder.
+* ``warm_start_from`` — maps a flat ``{path: array}`` dict (e.g. converted
+  from a pretrained checkpoint) onto the encoder params by suffix match —
+  the analog of tfrbert_task.py:346-361's ckpt warm start.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class TransformerBlock(nn.Module):
+  hidden_dim: int
+  num_heads: int
+  mlp_dim: int
+  dropout: float = 0.1
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: Array, mask: Array, training: bool = False) -> Array:
+    attn_mask = mask[:, None, None, :].astype(bool)
+    y = nn.MultiHeadDotProductAttention(
+        num_heads=self.num_heads,
+        qkv_features=self.hidden_dim,
+        dropout_rate=self.dropout,
+        deterministic=not training,
+        dtype=self.dtype)(x, x, mask=attn_mask)
+    x = nn.LayerNorm(dtype=self.dtype)(x + y)
+    y = nn.Dense(self.mlp_dim, dtype=self.dtype)(x)
+    y = nn.gelu(y)
+    y = nn.Dense(self.hidden_dim, dtype=self.dtype)(y)
+    y = nn.Dropout(self.dropout, deterministic=not training)(y)
+    return nn.LayerNorm(dtype=self.dtype)(x + y)
+
+
+class TransformerEncoder(nn.Module):
+  """BERT-style encoder over token ids; ids < 0 are padding."""
+
+  vocab_size: int
+  hidden_dim: int = 128
+  num_layers: int = 2
+  num_heads: int = 4
+  mlp_dim: int = 512
+  max_len: int = 512
+  dropout: float = 0.1
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, ids: Array, training: bool = False) -> Array:
+    mask = ids >= 0
+    safe = jnp.where(mask, ids, 0)
+    x = nn.Embed(self.vocab_size, self.hidden_dim, name='token_embed',
+                 dtype=self.dtype)(safe)
+    pos = jnp.arange(ids.shape[-1])[None, :]
+    x = x + nn.Embed(self.max_len, self.hidden_dim, name='pos_embed',
+                     dtype=self.dtype)(pos)
+    x = nn.LayerNorm(dtype=self.dtype)(x)
+    x = nn.Dropout(self.dropout, deterministic=not training)(x)
+    x = x * mask[..., None]
+    for i in range(self.num_layers):
+      x = TransformerBlock(
+          hidden_dim=self.hidden_dim, num_heads=self.num_heads,
+          mlp_dim=self.mlp_dim, dropout=self.dropout, dtype=self.dtype,
+          name=f'block_{i}')(x, mask, training=training)
+    # CLS pooling with a tanh head (BERT pooled_output).
+    pooled = nn.Dense(self.hidden_dim, name='pooler', dtype=self.dtype)(
+        x[:, 0, :])
+    return jnp.tanh(pooled)
+
+
+class EncoderScorer(nn.Module):
+  """Univariate scorer over a text encoder (TFRBertScorer analog).
+
+  Expects example feature ``input_ids`` of shape ``[B, L, T]`` — the
+  query+document token pair per document, padding id < 0 (built host-side
+  by the data layer, mirroring TFRBertDataLoader's feature mapping,
+  tfrbert_task.py:50-97). Context features are unused (the query is fused
+  into each document's token sequence, as in TFR-BERT).
+  """
+
+  encoder: nn.Module
+  dropout: float = 0.1
+  ids_feature_name: str = 'input_ids'
+
+  @nn.compact
+  def __call__(self, context, examples, mask, training: bool = False):
+    ids = examples[self.ids_feature_name]
+    batch, list_size, seq_len = ids.shape
+    flat = ids.reshape(batch * list_size, seq_len)
+    pooled = self.encoder(flat, training=training)
+    pooled = nn.Dropout(self.dropout, deterministic=not training)(pooled)
+    scores = nn.Dense(1, name='score')(pooled)
+    logits = scores.reshape(batch, list_size)
+    return jnp.where(mask, logits, jnp.log(1e-10))
+
+
+def warm_start_from(params: Mapping[str, Any],
+                    pretrained: Mapping[str, Array],
+                    verbose: bool = False) -> Dict[str, Any]:
+  """Overlays pretrained arrays onto a param tree by '/'-joined path suffix.
+
+  Shapes must match; unmatched params keep their fresh initialization —
+  the same partial-restore contract as TFR-BERT's encoder warm start
+  (tfrbert_task.py:346-361).
+  """
+  flat = jax.tree_util.tree_flatten_with_path(dict(params))
+  leaves, treedef = flat
+  out = []
+  used = set()
+  for path, leaf in leaves:
+    key = '/'.join(str(getattr(p, 'key', p)) for p in path)
+    match = None
+    for name, value in pretrained.items():
+      if key.endswith(name) and value.shape == leaf.shape:
+        match = (name, value)
+        break
+    if match:
+      used.add(match[0])
+      out.append(jnp.asarray(match[1], leaf.dtype))
+      if verbose:
+        print(f'warm-start: {key} <- {match[0]}')
+    else:
+      out.append(leaf)
+  return jax.tree_util.tree_unflatten(treedef, out)

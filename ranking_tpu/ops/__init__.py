@@ -1,5 +1,6 @@
 """Core ranking math: losses, metrics, lambda weights, reductions, sorting."""
 
+from ranking_tpu.ops import aggregated
 from ranking_tpu.ops import lambda_weights
 from ranking_tpu.ops import loss_registry
 from ranking_tpu.ops import losses
@@ -16,6 +17,7 @@ from ranking_tpu.ops.metric_registry import (
 from ranking_tpu.ops.reductions import Reduction
 
 __all__ = [
+    'aggregated',
     'RankingLossKey',
     'RankingMetricKey',
     'Reduction',

@@ -34,6 +34,7 @@ class RankingLossKey:
   YETI_LOGISTIC_LOSS = 'yeti_logistic_loss'
   CIRCLE_LOSS = 'circle_loss'
   SOFTMAX_LOSS = 'softmax_loss'
+  CALIBRATED_SOFTMAX_LOSS = 'calibrated_softmax_loss'
   POLY_ONE_SOFTMAX_LOSS = 'poly_one_softmax_loss'
   UNIQUE_SOFTMAX_LOSS = 'unique_softmax_loss'
   SIGMOID_CROSS_ENTROPY_LOSS = 'sigmoid_cross_entropy_loss'
@@ -76,6 +77,7 @@ _LAMBDA_KEYS = frozenset({
     RankingLossKey.YETI_LOGISTIC_LOSS,
     RankingLossKey.CIRCLE_LOSS,
     RankingLossKey.SOFTMAX_LOSS,
+    RankingLossKey.CALIBRATED_SOFTMAX_LOSS,
     RankingLossKey.POLY_ONE_SOFTMAX_LOSS,
     RankingLossKey.UNIQUE_SOFTMAX_LOSS,
     RankingLossKey.LIST_MLE_LOSS,
@@ -107,6 +109,8 @@ def build_loss(
       RankingLossKey.YETI_LOGISTIC_LOSS: losses_lib.PairwiseLogisticLoss,
       RankingLossKey.CIRCLE_LOSS: losses_lib.CircleLoss,
       RankingLossKey.SOFTMAX_LOSS: losses_lib.SoftmaxLoss,
+      RankingLossKey.CALIBRATED_SOFTMAX_LOSS:
+          losses_lib.CalibratedSoftmaxLoss,
       RankingLossKey.POLY_ONE_SOFTMAX_LOSS: losses_lib.PolyOneSoftmaxLoss,
       RankingLossKey.UNIQUE_SOFTMAX_LOSS: losses_lib.UniqueSoftmaxLoss,
       RankingLossKey.SIGMOID_CROSS_ENTROPY_LOSS:

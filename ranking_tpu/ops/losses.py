@@ -366,6 +366,69 @@ class SoftmaxLoss(_ListwiseLoss):
 
 
 @dataclasses.dataclass(frozen=True)
+class CalibratedSoftmaxLoss(SoftmaxLoss):
+  """Softmax CE with a per-list virtual anchor item (Yan et al. 2022).
+
+  A virtual label ``y_0 >= 0`` with a fixed score of 0 is appended to every
+  list, calibrating absolute score scale: loss =
+  -sum_i y_i log(exp(s_i) / (1 + sum_j exp(s_j)))
+  - y_0 log(1 / (1 + sum_j exp(s_j)))
+  (tensorflow_ranking/python/keras/losses.py:836-943).
+  """
+
+  virtual_label: float = 0.0
+
+  def __post_init__(self):
+    if self.virtual_label < 0:
+      raise ValueError('virtual_label must be non-negative.')
+
+  def _augment(self, labels, logits, weights, mask):
+    batch = labels.shape[0]
+    labels = jnp.concatenate(
+        [labels, jnp.full((batch, 1), self.virtual_label, labels.dtype)],
+        axis=1)
+    # The virtual score is 0 *after* temperature scaling, so concat happens
+    # on raw logits in __call__ before get_logits... the reference concats
+    # post-hoc zeros and then scales; 0/T == 0 so order is irrelevant.
+    logits = jnp.concatenate(
+        [logits, jnp.zeros((batch, 1), logits.dtype)], axis=1)
+    if weights is not None and jnp.ndim(weights) == 2 and (
+        weights.shape[1] > 1):
+      weights = jnp.concatenate(
+          [weights, jnp.ones((batch, 1), weights.dtype)], axis=1)
+    if mask is not None:
+      mask = jnp.concatenate(
+          [mask, jnp.ones((batch, 1), bool)], axis=1)
+    return labels, logits, weights, mask
+
+  def __call__(self, labels, logits, weights=None, mask=None,
+               reduction: Reduction = Reduction.SUM_BY_NONZERO_WEIGHTS,
+               key=None) -> Array:
+    labels = jnp.asarray(labels, jnp.float32)
+    logits = jnp.asarray(logits, jnp.float32)
+    if mask is None:
+      mask = list_ops.is_label_valid(labels)
+    if weights is not None:
+      weights = jnp.asarray(weights, jnp.float32)
+    labels, logits, weights, mask = self._augment(labels, logits, weights,
+                                                  mask)
+    return SoftmaxLoss.__call__(self, labels, logits, weights=weights,
+                                mask=mask, reduction=reduction, key=key)
+
+  def per_list(self, labels, logits, weights=None, mask=None, key=None):
+    labels = jnp.asarray(labels, jnp.float32)
+    logits = jnp.asarray(logits, jnp.float32)
+    if mask is None:
+      mask = list_ops.is_label_valid(labels)
+    if weights is not None:
+      weights = jnp.asarray(weights, jnp.float32)
+    labels, logits, weights, mask = self._augment(labels, logits, weights,
+                                                  mask)
+    return SoftmaxLoss.per_list(self, labels, logits, weights=weights,
+                                mask=mask, key=key)
+
+
+@dataclasses.dataclass(frozen=True)
 class PolyOneSoftmaxLoss(SoftmaxLoss):
   """Poly-1 softmax: CE + epsilon * (1 - p_t) (Leng et al., ICLR'22).
 
