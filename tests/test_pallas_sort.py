@@ -1,0 +1,86 @@
+"""Pallas sort kernel == list_ops sort on tie-free inputs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ranking_tpu.ops.pallas import sort as psort
+from ranking_tpu.utils import list_ops
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+  psort._INTERPRET = True
+  yield
+  psort._INTERPRET = False
+
+
+def _data(b=5, l=9, seed=0):
+  rng = np.random.RandomState(seed)
+  # Tie-free scores: random then + tiny index jitter.
+  scores = rng.randn(b, l).astype(np.float32)
+  scores += np.arange(l)[None, :] * 1e-4
+  labels = rng.randint(0, 4, size=(b, l)).astype(np.float32)
+  mask = rng.rand(b, l) > 0.25
+  mask[:, 0] = True
+  return jnp.asarray(scores), jnp.asarray(labels), jnp.asarray(mask)
+
+
+def test_sorted_values_match_reference():
+  scores, labels, mask = _data()
+  expected, = list_ops.sort_by_scores(scores, [labels], mask=mask)
+  got, = psort.sort_by_scores(scores, [labels], mask=mask)
+  # Compare only the valid prefix: tie behavior among pushed-to-the-end
+  # invalid slots is unspecified.
+  n_valid = np.asarray(mask).sum(axis=1)
+  for b in range(scores.shape[0]):
+    np.testing.assert_allclose(np.asarray(got)[b, :n_valid[b]],
+                               np.asarray(expected)[b, :n_valid[b]],
+                               rtol=1e-6)
+
+
+def test_topn_cut():
+  scores, labels, mask = _data(seed=1)
+  expected, = list_ops.sort_by_scores(scores, [labels], topn=3, mask=mask)
+  got, = psort.sort_by_scores(scores, [labels], topn=3, mask=mask)
+  n_valid = np.minimum(np.asarray(mask).sum(axis=1), 3)
+  for b in range(scores.shape[0]):
+    np.testing.assert_allclose(np.asarray(got)[b, :n_valid[b]],
+                               np.asarray(expected)[b, :n_valid[b]],
+                               rtol=1e-6)
+
+
+def test_multiple_feature_channels():
+  scores, labels, mask = _data(seed=2)
+  weights = jnp.asarray(np.random.RandomState(3).rand(*labels.shape)
+                        .astype(np.float32))
+  el, ew = list_ops.sort_by_scores(scores, [labels, weights], mask=mask)
+  gl, gw = psort.sort_by_scores(scores, [labels, weights], mask=mask)
+  n_valid = np.asarray(mask).sum(axis=1)
+  for b in range(scores.shape[0]):
+    np.testing.assert_allclose(np.asarray(gl)[b, :n_valid[b]],
+                               np.asarray(el)[b, :n_valid[b]], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw)[b, :n_valid[b]],
+                               np.asarray(ew)[b, :n_valid[b]], rtol=1e-6)
+
+
+def test_sorted_ranks_match_reference_no_mask():
+  scores, _, _ = _data(seed=4)
+  expected = list_ops.sorted_ranks(scores)
+  got = psort.sorted_ranks(scores)
+  np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_ranks_put_invalid_last():
+  scores = jnp.asarray([[5.0, 1.0, 3.0, 2.0]])
+  mask = jnp.asarray([[True, True, False, True]])
+  ranks = psort.sorted_ranks(scores, mask=mask)
+  # Valid order: 5.0 (1), 2.0... scores: 5,1,2 valid -> ranks 1,3,?,2;
+  # invalid item is last (4).
+  np.testing.assert_array_equal(np.asarray(ranks), [[1, 3, 4, 2]])
+
+
+def test_odd_batch_padding():
+  scores, labels, mask = _data(b=3, l=5, seed=5)
+  got, = psort.sort_by_scores(scores, [labels], mask=mask)
+  assert got.shape == (3, 5)
