@@ -134,6 +134,17 @@ def shard_params(params: Any, mesh: Mesh,
   return jax.tree.map(jax.device_put, params, shardings)
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+  """Multi-host runtime bring-up: the analog of TPUClusterResolver +
+  initialize_tpu_system / MWMS cluster setup (keras/strategy_utils.py:
+  94-116). On TPU pods with standard env vars, call with no arguments."""
+  jax.distributed.initialize(coordinator_address=coordinator_address,
+                             num_processes=num_processes,
+                             process_id=process_id)
+
+
 def local_batch_to_global(batch: Any, mesh: Mesh) -> Any:
   """Multi-host feed: assembles per-process host-local batch shards into
   global arrays sharded over ``data`` (replaces the per-worker dataset

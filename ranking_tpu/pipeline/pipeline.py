@@ -134,9 +134,13 @@ class SimplePipeline:
     state = _place(self.ckpt.restore(state))  # preemption-safe resume
     weights = hp.loss_weights
     multi_weights = weights if isinstance(weights, Mapping) else None
-    self._train_step = jax.jit(
-        train.make_train_step(self.loss_fn, multi_task_weights=multi_weights),
-        donate_argnums=0)
+    step_fn = train.make_train_step(self.loss_fn,
+                                    multi_task_weights=multi_weights)
+    self._train_step = jax.jit(step_fn, donate_argnums=0)
+    # steps_per_execution analog (keras/pipeline.py:287-289): K steps per
+    # dispatch via lax.scan over a [K, B, ...] stacked batch.
+    self._multi_step = jax.jit(train.make_multi_step(step_fn),
+                               donate_argnums=0)
     self._eval_step = jax.jit(train.make_eval_step(self.metric_fns))
     return state
 
@@ -163,8 +167,13 @@ class SimplePipeline:
     # Peek one batch to build the state (shapes come from data).
     first = next(raw_iter)
     state = self._build(first)
-    train_iter = prefetch_to_device(itertools.chain([first], raw_iter),
-                                    parallel.batch_sharding(self.mesh))
+    spe = max(1, int(hp.steps_per_execution))
+    if spe > 1:
+      # Multi-step dispatch consumes host batches and stacks them itself.
+      train_iter = itertools.chain([first], raw_iter)
+    else:
+      train_iter = prefetch_to_device(itertools.chain([first], raw_iter),
+                                      parallel.batch_sharding(self.mesh))
     key = jax.random.PRNGKey((hp.seed or 0) + 1)
 
     best = -math.inf if hp.best_exporter_metric_higher_better else math.inf
@@ -177,11 +186,28 @@ class SimplePipeline:
     t0 = time.perf_counter()
     examples_seen = 0
 
+    stacked_sharding = jax.sharding.NamedSharding(
+        self.mesh, jax.sharding.PartitionSpec(None, parallel.DATA_AXIS))
+
     while step < total_steps:
       epoch_end = min(total_steps,
                       (step // hp.steps_per_epoch + 1) * hp.steps_per_epoch)
       losses = []
       while step < epoch_end:
+        chunk = min(spe, epoch_end - step)
+        if chunk > 1 and pending is None:
+          # One dispatch for `chunk` steps: stack host batches on a new
+          # leading axis and scan on-device.
+          host_batches = [next(train_iter) for _ in range(chunk)]
+          stacked = jax.tree.map(
+              lambda *xs: jax.device_put(np.stack([np.asarray(x)
+                                                   for x in xs]),
+                                         stacked_sharding), *host_batches)
+          state, metrics = self._multi_step(state, stacked, key)
+          examples_seen += sum(b.batch_size for b in host_batches)
+          losses.extend(np.asarray(metrics['loss']).tolist())
+          step += chunk
+          continue
         if pending is None:
           pending = next(train_iter)
         state, metrics = self._train_step(state, pending, key)
