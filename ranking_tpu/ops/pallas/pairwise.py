@@ -115,12 +115,14 @@ def _fwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
       lab_ref[:], log_ref[:], msk_ref[:], w_ref[:], g_ref[:], r_ref[:],
       scale_ref[:], lambda_mode, discount_kind, topn)
   losses, _ = _loss_and_grad(loss_type, diff)
-  loss_sum = jnp.sum(losses * pw, axis=(1, 2))      # [TB]
-  weight_sum = jnp.sum(pw, axis=(1, 2))
-  nonzero = jnp.sum((pw != 0).astype(jnp.float32), axis=(1, 2))
-  out_ref[:, 0] = loss_sum
-  out_ref[:, 1] = weight_sum
-  out_ref[:, 2] = nonzero
+  # Keep every intermediate >= 2-D: Mosaic layouts are (sublane, lane).
+  loss_sum = jnp.sum(jnp.sum(losses * pw, axis=2), axis=1,
+                     keepdims=True)                            # [TB, 1]
+  weight_sum = jnp.sum(jnp.sum(pw, axis=2), axis=1, keepdims=True)
+  nonzero = jnp.sum(jnp.sum((pw != 0).astype(jnp.float32), axis=2),
+                    axis=1, keepdims=True)
+  out = jnp.concatenate([loss_sum, weight_sum, nonzero], axis=1)  # [TB, 3]
+  out_ref[:, :] = jnp.pad(out, ((0, 0), (0, 128 - 3)))
 
 
 def _bwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
@@ -133,7 +135,7 @@ def _bwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
   wg = pw * grad                                    # [TB, L, L]
   # d loss_sum / d s_i = sum_j wg[i, j] - sum_j wg[j, i].
   per_item = jnp.sum(wg, axis=2) - jnp.sum(wg, axis=1)   # [TB, L]
-  dlog_ref[:] = per_item * ct_ref[:, 0][:, None]
+  dlog_ref[:] = per_item * ct_ref[:, 0:1]
 
 
 def _pad_batch(x: Array, tile: int = TILE_B) -> Array:
