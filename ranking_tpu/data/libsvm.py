@@ -42,6 +42,7 @@ def load_libsvm_lists(
     list_size: int,
     num_features: int,
     padding_label: float = -1.0,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
   """Loads one LIBSVM file into padded listwise arrays.
 
@@ -52,6 +53,14 @@ def load_libsvm_lists(
       file order; truncation keeps the first ``list_size`` docs, matching
       tf_ranking_libsvm.py:176-183).
   """
+  if use_native:
+    try:
+      from ranking_tpu.data import native
+      if native.available():
+        return native.load_libsvm_lists(path, list_size, num_features,
+                                        padding_label)
+    except (RuntimeError, OSError):
+      pass
   qid_order = []
   by_qid = {}
   for label, qid, feats in iter_libsvm_lines(path):

@@ -79,8 +79,50 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
     ]
+    lib.rt_libsvm_parse.restype = ctypes.c_void_p
+    lib.rt_libsvm_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.rt_libsvm_num_queries.restype = ctypes.c_int64
+    lib.rt_libsvm_num_queries.argtypes = [ctypes.c_void_p]
+    lib.rt_libsvm_fill.restype = None
+    lib.rt_libsvm_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.rt_libsvm_qid.restype = ctypes.c_int
+    lib.rt_libsvm_qid.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int]
+    lib.rt_libsvm_free.restype = None
+    lib.rt_libsvm_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def load_libsvm_lists(path: str, list_size: int, num_features: int,
+                      padding_label: float = -1.0):
+  """Native LIBSVM loader; same contract as data.libsvm.load_libsvm_lists."""
+  import numpy as np
+  lib = _load()
+  if lib is None:
+    raise RuntimeError('native decoder unavailable')
+  with open(path, 'rb') as f:
+    data = f.read()
+  handle = lib.rt_libsvm_parse(data, len(data))
+  try:
+    nq = lib.rt_libsvm_num_queries(handle)
+    features = np.empty((nq, list_size, num_features), np.float32)
+    labels = np.empty((nq, list_size), np.float32)
+    lib.rt_libsvm_fill(
+        handle, list_size, num_features, padding_label,
+        features.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    buf = ctypes.create_string_buffer(256)
+    qids = []
+    for i in range(nq):
+      lib.rt_libsvm_qid(handle, i, buf, 256)
+      qids.append(buf.value.decode())
+    return features, labels, np.asarray(qids)
+  finally:
+    lib.rt_libsvm_free(handle)
 
 
 def available() -> bool:

@@ -19,8 +19,11 @@
 // Build: g++ -O3 -shared -fPIC -o libranking_data.so decoder.cc
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
+#include <unordered_map>
+#include <vector>
 
 namespace {
 
@@ -326,16 +329,14 @@ int64_t rt_scan_tfrecord(const uint8_t* data, int64_t size, int64_t* offsets,
   return count;
 }
 
+}  // extern "C"
+
 // --- LIBSVM ranking parser -------------------------------------------------
 //
 // Handle-based API: rt_libsvm_parse() does one pass over the text buffer
 // grouping rows by qid (first-seen order, like the reference's host loop at
 // examples/tf_ranking_libsvm.py:137-195); rt_libsvm_fill() writes padded
 // [Q, list_size, F] / [Q, list_size] arrays; rt_libsvm_free() releases.
-
-#include <cstdlib>
-#include <unordered_map>
-#include <vector>
 
 namespace {
 

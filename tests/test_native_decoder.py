@@ -69,6 +69,16 @@ def test_decode_synthetic_floats_and_ints():
   np.testing.assert_array_equal(nat.mask, py.mask)
 
 
+def test_native_libsvm_matches_python():
+  from ranking_tpu.data import libsvm
+  py = libsvm.load_libsvm_lists(f'{REF_DATA}/train.txt', 10, 136,
+                                use_native=False)
+  nat = native.load_libsvm_lists(f'{REF_DATA}/train.txt', 10, 136)
+  np.testing.assert_allclose(nat[0], py[0], rtol=1e-6)
+  np.testing.assert_allclose(nat[1], py[1], rtol=1e-6)
+  np.testing.assert_array_equal(nat[2], py[2])
+
+
 def test_native_is_used_by_dataset_builder(tmp_path, monkeypatch):
   # The streaming dataset should produce identical batches whether the
   # native path resolves or not.
