@@ -34,12 +34,19 @@ def parse_args():
   p.add_argument('--num_epochs', type=int, default=5)
   p.add_argument('--steps_per_epoch', type=int, default=10)
   p.add_argument('--validation_steps', type=int, default=10)
+  p.add_argument('--mesh_model', type=int, default=1,
+                 help='Devices on the model axis: >1 row-shards the '
+                      'embedding tables with explicit-collective lookup '
+                      '(the ParameterServer-partitioning analog).')
+  p.add_argument('--weights_feature', default=None,
+                 help='Example feature holding per-example weights (IPW '
+                      'unbiased-LTR reweighting).')
   return p.parse_args()
 
 
 def main():
   args = parse_args()
-  from ranking_tpu import models, pipeline
+  from ranking_tpu import models, ops, parallel, pipeline
   from ranking_tpu.data import FixedLenFeature, VarLenFeature, Vocabulary
 
   vocab = Vocabulary(args.vocab_file) if args.vocab_file else None
@@ -53,6 +60,15 @@ def main():
       'document_tokens': VarLenFeature(dtype='string',
                                        max_len=args.document_tokens, **tok),
       'relevance': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  if args.weights_feature:
+    example_spec[args.weights_feature] = FixedLenFeature(
+        shape=(), dtype='float32', default_value=1.0)
+
+  mesh = None
+  if args.mesh_model > 1:
+    # Round the vocab up so tables divide across the model axis.
+    vocab_size += (-vocab_size) % args.mesh_model
+    mesh = parallel.make_mesh(model=args.mesh_model)
 
   model = models.RankingModel(
       scorer=models.EmbeddingDNNScorer(
@@ -61,6 +77,7 @@ def main():
           vocab_sizes={'query_tokens': vocab_size,
                        'document_tokens': vocab_size},
           embedding_dim=args.embedding_dim,
+          mesh=mesh,
           dropout=0.5))
 
   builder = pipeline.SimpleDatasetBuilder(
@@ -83,7 +100,12 @@ def main():
       export_best_model=True,
       best_exporter_metric='ndcg@5')
 
-  pipe = pipeline.SimplePipeline(model, builder, hparams)
+  loss_fn = None
+  if args.weights_feature:
+    loss_fn = ops.make_loss_fn(
+        args.loss, weights_feature_name=args.weights_feature)
+  pipe = pipeline.SimplePipeline(model, builder, hparams, loss_fn=loss_fn,
+                                 mesh=mesh)
   history = pipe.train_and_validate(verbose=True)
   print('final:', {k: round(v, 4) for k, v in history.items()})
 

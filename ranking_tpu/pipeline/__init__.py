@@ -3,7 +3,11 @@
 from ranking_tpu.pipeline import hparams as hparams_lib
 from ranking_tpu.pipeline import pipeline as pipeline_lib
 from ranking_tpu.pipeline import serving
-from ranking_tpu.pipeline.hparams import DatasetHparams, PipelineHparams
+from ranking_tpu.pipeline.hparams import (
+    DatasetHparams,
+    PipelineHparams,
+    from_yaml,
+)
 from ranking_tpu.pipeline.pipeline import (
     MultiTaskPipeline,
     SimpleDatasetBuilder,
@@ -18,6 +22,7 @@ __all__ = [
     'Predictor',
     'SimpleDatasetBuilder',
     'SimplePipeline',
+    'from_yaml',
     'hparams_lib',
     'pipeline_lib',
     'serving',

@@ -52,6 +52,29 @@ class DatasetHparams:
   label_feature_name: str = 'relevance'
 
 
+def from_yaml(path: str):
+  """Loads (PipelineHparams, DatasetHparams) from a YAML config file.
+
+  The config-file analog of the reference's tf-models experiment YAMLs
+  (examples/keras/tfrbert_antique_train_config.yaml): top-level keys
+  ``pipeline:`` and ``dataset:`` map one-to-one onto the dataclass fields.
+  """
+  import yaml
+  with open(path) as f:
+    cfg = yaml.safe_load(f) or {}
+
+  def _build(cls, section):
+    data = dict(cfg.get(section) or {})
+    valid = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(data) - valid
+    if unknown:
+      raise ValueError(f'Unknown {section} config keys: {sorted(unknown)}')
+    return cls(**data)
+
+  return _build(PipelineHparams, 'pipeline'), _build(DatasetHparams,
+                                                     'dataset')
+
+
 def optimizer_from_hparams(hparams: PipelineHparams):
   import optax
   name = hparams.optimizer.lower()

@@ -78,10 +78,12 @@ class SimplePipeline:
       hparams: PipelineHparams,
       metric_fns: Optional[Mapping[str, Callable]] = None,
       loss_fn: Optional[Callable] = None,
+      mesh: Optional[Any] = None,
   ):
     self.model = model
     self.dataset_builder = dataset_builder
     self.hparams = hparams
+    self._given_mesh = mesh  # e.g. shared with a ShardedEmbeddingEncoder
     self.metric_fns = dict(metric_fns) if metric_fns else (
         self._default_metrics())
     if loss_fn is not None:
@@ -104,13 +106,16 @@ class SimplePipeline:
 
   def _build(self, sample: RankingBatch):
     hp = self.hparams
-    data = hp.mesh_data
-    if data is None:
-      # Largest data-axis size that divides both the device pool and the
-      # global batch (batch must shard evenly over the data axis).
-      avail = max(1, len(jax.devices()) // hp.mesh_model)
-      data = math.gcd(avail, sample.batch_size)
-    self.mesh = parallel.make_mesh(data=data, model=hp.mesh_model)
+    if self._given_mesh is not None:
+      self.mesh = self._given_mesh
+    else:
+      data = hp.mesh_data
+      if data is None:
+        # Largest data-axis size that divides both the device pool and the
+        # global batch (batch must shard evenly over the data axis).
+        avail = max(1, len(jax.devices()) // hp.mesh_model)
+        data = math.gcd(avail, sample.batch_size)
+      self.mesh = parallel.make_mesh(data=data, model=hp.mesh_model)
     tx = optimizer_from_hparams(hp)
     rng = jax.random.PRNGKey(hp.seed or 0)
     state = train.create_train_state(

@@ -75,6 +75,24 @@ def test_ranking_elwc_pipeline_with_vocab(tmp_path, monkeypatch, capsys):
   assert 'final:' in out
 
 
+def test_ranking_elwc_sharded_embeddings_ipw_gumbel(tmp_path, monkeypatch,
+                                                   capsys):
+  # BASELINE configs 4+5: sharded tables over the model axis + IPW
+  # weights-feature + Gumbel-sampled listwise loss.
+  out = _run_example(monkeypatch, capsys,
+                     'examples/ranking_elwc_pipeline.py', [
+      f'--train_pattern={REF_DATA}/train_elwc.tfrecord',
+      f'--valid_pattern={REF_DATA}/eval_elwc.tfrecord',
+      f'--model_dir={tmp_path}/model',
+      '--batch_size=4', '--list_size=5', '--num_epochs=1',
+      '--steps_per_epoch=2', '--validation_steps=1',
+      '--hash_buckets=100', '--embedding_dim=4',
+      '--hidden_layer_dims=8', '--mesh_model=2',
+      '--loss=gumbel_approx_ndcg_loss', '--weights_feature=doc_weight',
+  ])
+  assert 'final:' in out
+
+
 def test_antique_din_example(tmp_path, monkeypatch, capsys):
   out = _run_example(monkeypatch, capsys, 'examples/antique_din.py', [
       f'--train_pattern={REF_DATA}/train_elwc.tfrecord',

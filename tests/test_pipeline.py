@@ -168,3 +168,31 @@ def test_multi_task_pipeline(tmp_path):
   assert np.isfinite(history['loss'])
   assert 0.0 <= history['rel/ndcg@5'] <= 1.0
   assert 0.0 <= history['click/ndcg'] <= 1.0
+
+
+def test_hparams_from_yaml(tmp_path):
+  cfg = tmp_path / 'config.yaml'
+  cfg.write_text("""
+pipeline:
+  model_dir: /tmp/m
+  num_epochs: 2
+  steps_per_epoch: 5
+  validation_steps: 3
+  learning_rate: 0.01
+  loss: softmax_loss
+  steps_per_execution: 1
+dataset:
+  train_input_pattern: train*
+  valid_input_pattern: valid*
+  train_batch_size: 8
+  valid_batch_size: 8
+  list_size: 50
+""")
+  hp, ds = pipeline.from_yaml(str(cfg))
+  assert hp.num_epochs == 2 and hp.loss == 'softmax_loss'
+  assert ds.list_size == 50
+
+  bad = tmp_path / 'bad.yaml'
+  bad.write_text('pipeline: {model_dir: /tmp, bogus_key: 1}')
+  with pytest.raises(ValueError):
+    pipeline.from_yaml(str(bad))
