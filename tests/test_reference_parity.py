@@ -245,3 +245,79 @@ def test_alpha_dcg_parity(ref):
   got = float(metric_registry.compute_mean(
       metric_registry.RankingMetricKey.ALPHA_DCG, labels, logits))
   np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_neural_sort_ndcg_parity(ref):
+  labels, logits, _ = _data(seed=5)
+  ref_loss = ref.losses_impl.NeuralSortNDCGLoss('pirank', temperature=1.0)
+  expected = float(ref_loss.compute(
+      tf.constant(labels), tf.constant(logits), None,
+      reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+  got = float(jl.NeuralSortNDCGLoss(name='pirank', temperature=1.0)(
+      labels, logits, reduction=SBNW))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_ordinal_loss_parity(ref):
+  rng = np.random.RandomState(9)
+  b, l, k = 5, 8, 3
+  labels = rng.randint(0, k + 1, size=(b, l)).astype(np.float32)
+  labels[:, -2:] = np.where(rng.rand(b, 2) < 0.5, -1.0, labels[:, -2:])
+  logits3 = rng.randn(b, l, k).astype(np.float32)
+  ref_loss = ref.losses_impl.OrdinalLoss('ordinal', ordinal_size=k)
+  expected = float(ref_loss.compute(
+      tf.constant(labels), tf.constant(logits3), None,
+      reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+  got = float(jl.OrdinalLoss(name='ordinal', ordinal_size=k)(
+      labels, logits3, reduction=SBNW))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_multiclass_loss_parity(ref):
+  rng = np.random.RandomState(10)
+  b, l, k = 5, 8, 4
+  labels = rng.randint(0, k, size=(b, l)).astype(np.float32)
+  labels[:, -2:] = np.where(rng.rand(b, 2) < 0.5, -1.0, labels[:, -2:])
+  logits3 = rng.randn(b, l, k).astype(np.float32)
+  ref_loss = ref.losses_impl.MultiClassLoss('mc', num_classes=k,
+                                            from_logits=True)
+  expected = float(ref_loss.compute(
+      tf.constant(labels), tf.constant(logits3), None,
+      reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+  got = float(jl.MultiClassLoss(name='mc', num_classes=k,
+                               from_logits=True)(
+      labels, logits3, reduction=SBNW))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_click_em_loss_parity(ref):
+  rng = np.random.RandomState(12)
+  b, l = 5, 8
+  clicks = (rng.rand(b, l) > 0.6).astype(np.float32)
+  clicks[:, -2:] = np.where(rng.rand(b, 2) < 0.5, -1.0, clicks[:, -2:])
+  # [B, L, 2]: exam logits + relevance logits.
+  logits3 = rng.randn(b, l, 2).astype(np.float32)
+  ref_loss = ref.losses_impl.ClickEMLoss('em')
+  expected = float(ref_loss.compute(
+      tf.constant(clicks), tf.constant(logits3), None,
+      reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+  got = float(jl.ClickEMLoss(name='em')(clicks, logits3, reduction=SBNW))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_softmax_with_ndcg_lambda_parity(ref):
+  labels, logits, weights = _data(seed=13)
+  ref_lw = ref.losses_impl.DCGLambdaWeight(
+      gain_fn=lambda l: tf.pow(2.0, l) - 1.0,
+      rank_discount_fn=lambda r: tf.math.log(2.0) / tf.math.log1p(r),
+      normalized=True)
+  ref_loss = ref.losses_impl.SoftmaxLoss('sm', lambda_weight=ref_lw)
+  expected = float(ref_loss.compute(
+      tf.constant(labels), tf.constant(logits), tf.constant(weights),
+      reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+  our_lw = lw.DCGLambdaWeight(gain_fn=fns.pow_minus_1,
+                              rank_discount_fn=fns.log2_inverse,
+                              normalized=True)
+  got = float(jl.SoftmaxLoss(name='sm', lambda_weight=our_lw)(
+      labels, logits, weights=weights, reduction=SBNW))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
