@@ -1,12 +1,13 @@
-"""Fused pairwise ranking-loss kernel (Pallas/Mosaic).
+"""Fused pairwise ranking-loss kernel (Pallas/Mosaic), tiled over the list.
 
 The reference materializes ``[B, L, L]`` pairwise tensors in HBM for every
-pairwise loss (tensorflow_ranking/python/losses_impl.py:61-64,503-537); this
-kernel keeps the pair matrices VMEM-resident: for each batch tile it builds
-logit diffs, preference labels, lambda weights and the loss surface in VMEM,
-reduces to per-list (loss_sum, weight_sum, nonzero_count), and never writes
-an O(L^2) tensor to HBM. A custom VJP recomputes the pair structure in the
-backward kernel and emits ``dlogits`` directly (pair weights are
+pairwise loss (tensorflow_ranking/python/losses_impl.py:61-64,503-537).
+This kernel tiles the pair matrix: the grid is (batch tiles x row tiles);
+each program builds the ``[TB, TR, L]`` slab of logit diffs, preference
+labels, lambda weights and the loss surface in VMEM and accumulates into
+per-list (loss_sum, weight_sum, nonzero_count) outputs — the full pair
+matrix never exists anywhere. A custom VJP recomputes the slab in the
+backward kernel and accumulates ``dlogits`` directly (pair weights are
 stop_gradient, matching losses_impl.py:882).
 
 Lambda-weight support (static ``lambda_mode``):
@@ -23,8 +24,10 @@ Lambda-weight support (static ``lambda_mode``):
 
 The rank-mixing DCGLambdaWeight (smooth_fraction) stays on the jnp path.
 
-Batch tiles of 8 lists; Mosaic pads the L axis to the 128-lane boundary.
-VMEM per tile ~ 4 * TB * L^2 * 4B; L <= 1024 fits comfortably.
+Padding strategy: the batch axis pads to TILE_B and the list axis to
+TILE_ROWS with ``mask = 0`` / ``weight = 0`` rows, which zero every pair
+they touch — no in-kernel bounds checks needed. VMEM per program is
+~12 slabs of [TB, TR, L] f32 (≈3 MB at L=1024).
 """
 
 from __future__ import annotations
@@ -39,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-TILE_B = 8
+TILE_B = 8     # lists per program (sublane-aligned)
+TILE_ROWS = 32  # pair-matrix rows per program
 
 LOSS_LOGISTIC = 0
 LOSS_HINGE = 1
@@ -53,7 +57,6 @@ DISCOUNT_LOG2_INVERSE = 0  # D(r) = 1 / log2(1 + r)
 DISCOUNT_INVERSE = 1       # D(r) = 1 / r
 
 _INTERPRET = False  # flipped by CPU tests
-
 
 _LN2 = 0.6931471805599453
 
@@ -80,19 +83,42 @@ def _loss_and_grad(loss_type: int, d: Array) -> Tuple[Array, Array]:
   raise ValueError(f'unknown loss_type {loss_type}')
 
 
-def _pair_structure(lab, log, msk, w, g, r, scale,
-                    lambda_mode, discount_kind, topn):
-  """Pair weights W and logit diffs D for one batch tile (all [TB, L, L])."""
-  diff = log[:, :, None] - log[:, None, :]
-  pref = ((lab[:, :, None] - lab[:, None, :]) > 0).astype(jnp.float32)
-  valid = msk[:, :, None] * msk[:, None, :]
+def _select_matrix(start, lp):
+  """One-hot ``[TR, Lp]`` selector: S[t, c] = 1 iff c == start + t.
+
+  Row entities are extracted from full-width lane blocks by an MXU matmul
+  with this matrix — Mosaic forbids both small lane-dim blocks (last dim
+  must divide 128) and dynamic lane slicing, so selection is arithmetic.
+  """
+  col = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, lp), 1)
+  row = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, lp), 0)
+  return (col == row + start).astype(jnp.float32)
+
+
+def _rows_of(x, sel):
+  """[TB, Lp] -> [TB, TR] row-tile extraction via the selector matmul."""
+  return jax.lax.dot_general(
+      x, sel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _slab(full_refs, scale_ref, sel, lambda_mode, discount_kind, topn):
+  """Pair weights W and logit diffs D for one row tile ``[TB, TR, L]``."""
+  lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref = full_refs
+  lab, log, msk = lab_ref[:], log_ref[:], msk_ref[:]
+  g, r, scale = g_ref[:], r_ref[:], scale_ref[:]
+  lab_r, log_r, msk_r, w_r = (_rows_of(lab, sel), _rows_of(log, sel),
+                              _rows_of(msk, sel), _rows_of(w_ref[:], sel))
+  diff = log_r[:, :, None] - log[:, None, :]
+  pref = ((lab_r[:, :, None] - lab[:, None, :]) > 0).astype(jnp.float32)
+  valid = msk_r[:, :, None] * msk[:, None, :]
   pw = pref * valid
   if lambda_mode == LAMBDA_LABELDIFF:
-    pw = pw * jnp.abs(lab[:, :, None] - lab[:, None, :])
+    pw = pw * jnp.abs(lab_r[:, :, None] - lab[:, None, :])
   elif lambda_mode == LAMBDA_DCG_V2:
-    pair_gain = jnp.abs(g[:, :, None] - g[:, None, :])
-    rank_diff = jnp.abs(r[:, :, None] - r[:, None, :])
-    max_rank = jnp.maximum(r[:, :, None], r[:, None, :])
+    g_r, r_r = _rows_of(g, sel), _rows_of(r, sel)
+    pair_gain = jnp.abs(g_r[:, :, None] - g[:, None, :])
+    rank_diff = jnp.abs(r_r[:, :, None] - r[:, None, :])
+    max_rank = jnp.maximum(r_r[:, :, None], r[:, None, :])
     mult = jnp.where(
         max_rank > topn,
         1.0 / (1.0 - _discount(discount_kind, max_rank)),
@@ -105,15 +131,22 @@ def _pair_structure(lab, log, msk, w, g, r, scale,
     pw = pw * pair_gain * pair_disc * scale[:, :, None]
   # Left-item normalized weights apply to every pair (i, j)
   # (losses_impl.py:917-930).
-  pw = pw * w[:, :, None]
+  pw = pw * w_r[:, :, None]
   return pw, diff
 
 
 def _fwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
                 out_ref, *, loss_type, lambda_mode, discount_kind, topn):
-  pw, diff = _pair_structure(
-      lab_ref[:], log_ref[:], msk_ref[:], w_ref[:], g_ref[:], r_ref[:],
-      scale_ref[:], lambda_mode, discount_kind, topn)
+  j = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _():
+    out_ref[:, :] = jnp.zeros_like(out_ref)
+
+  sel = _select_matrix(j * TILE_ROWS, lab_ref.shape[1])
+  pw, diff = _slab(
+      (lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref),
+      scale_ref, sel, lambda_mode, discount_kind, topn)
   losses, _ = _loss_and_grad(loss_type, diff)
   # Keep every intermediate >= 2-D: Mosaic layouts are (sublane, lane).
   loss_sum = jnp.sum(jnp.sum(losses * pw, axis=2), axis=1,
@@ -122,35 +155,56 @@ def _fwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
   nonzero = jnp.sum(jnp.sum((pw != 0).astype(jnp.float32), axis=2),
                     axis=1, keepdims=True)
   out = jnp.concatenate([loss_sum, weight_sum, nonzero], axis=1)  # [TB, 3]
-  out_ref[:, :] = jnp.pad(out, ((0, 0), (0, 128 - 3)))
+  out_ref[:, :] = out_ref[:, :] + jnp.pad(out, ((0, 0), (0, 128 - 3)))
 
 
 def _bwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
-                ct_ref, dlog_ref, *, loss_type, lambda_mode, discount_kind,
-                topn):
-  pw, diff = _pair_structure(
-      lab_ref[:], log_ref[:], msk_ref[:], w_ref[:], g_ref[:], r_ref[:],
-      scale_ref[:], lambda_mode, discount_kind, topn)
+                ct_ref, dlog_ref, *, loss_type, lambda_mode,
+                discount_kind, topn):
+  j = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _():
+    dlog_ref[:, :] = jnp.zeros_like(dlog_ref)
+
+  sel = _select_matrix(j * TILE_ROWS, lab_ref.shape[1])
+  pw, diff = _slab(
+      (lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref),
+      scale_ref, sel, lambda_mode, discount_kind, topn)
   _, grad = _loss_and_grad(loss_type, diff)
-  wg = pw * grad                                    # [TB, L, L]
-  # d loss_sum / d s_i = sum_j wg[i, j] - sum_j wg[j, i].
-  per_item = jnp.sum(wg, axis=2) - jnp.sum(wg, axis=1)   # [TB, L]
-  dlog_ref[:] = per_item * ct_ref[:, 0:1]
+  wg = pw * grad                                      # [TB, TR, L]
+  # d loss_sum / d s_i = sum_j wg[i, j] - sum_j wg[j, i]: the row sums
+  # scatter back to their lane positions via the transposed selector
+  # matmul; the column sums subtract in place.
+  row_part = jnp.sum(wg, axis=2)                      # [TB, TR]
+  col_part = jnp.sum(wg, axis=1)                      # [TB, L]
+  row_scattered = jax.lax.dot_general(
+      row_part, sel, (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)             # [TB, L]
+  ct = ct_ref[:, 0:1]
+  dlog_ref[:, :] = dlog_ref[:, :] + (row_scattered - col_part) * ct
 
 
-def _pad_batch(x: Array, tile: int = TILE_B) -> Array:
-  pad = (-x.shape[0]) % tile
-  if pad:
-    x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-  return x
+def _pad_axis(x: Array, axis: int, multiple: int, value: float) -> Array:
+  pad = (-x.shape[axis]) % multiple
+  if not pad:
+    return x
+  widths = [(0, 0)] * x.ndim
+  widths[axis] = (0, pad)
+  return jnp.pad(x, widths, constant_values=value)
 
 
-def _specs(l):
-  spec2 = pl.BlockSpec((TILE_B, l), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM)
-  spec1 = pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM)
-  return spec2, spec1
+def _pad_inputs(labels, logits, mask, norm_w, gain, ranks, scale):
+  """Pads batch to TILE_B and list to TILE_ROWS with inert rows (mask 0 /
+  weight 0 zero every pair they touch)."""
+  def prep(x, value):
+    x = _pad_axis(jnp.asarray(x, jnp.float32), 1, TILE_ROWS, value)
+    return _pad_axis(x, 0, TILE_B, 0.0)
+
+  return (prep(labels, -1.0), prep(logits, 0.0), prep(mask, 0.0),
+          prep(norm_w, 0.0), prep(gain, 0.0), prep(ranks, 1e9),
+          _pad_axis(jnp.asarray(scale, jnp.float32).reshape(-1, 1), 0,
+                    TILE_B, 0.0))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
@@ -162,28 +216,35 @@ def _pairwise_sums(labels, logits, mask, norm_w, gain, ranks, scale,
   return out
 
 
+def _grid_and_specs(bp: int, lp: int):
+  grid = (bp // TILE_B, lp // TILE_ROWS)
+  spec2 = pl.BlockSpec((TILE_B, lp), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM)
+  spec1 = pl.BlockSpec((TILE_B, 1), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM)
+  return grid, spec2, spec1
+
+
 def _pairwise_sums_fwd(labels, logits, mask, norm_w, gain, ranks, scale,
                        loss_type, lambda_mode, discount_kind, topn):
   b, l = labels.shape
-  args = [_pad_batch(jnp.asarray(a, jnp.float32))
-          for a in (labels, logits, mask, norm_w, gain, ranks)]
-  scale2 = _pad_batch(jnp.asarray(scale, jnp.float32).reshape(b, 1))
-  bp = args[0].shape[0]
-  spec2, spec1 = _specs(l)
+  args = _pad_inputs(labels, logits, mask, norm_w, gain, ranks, scale)
+  bp, lp = args[0].shape
+  grid, spec2, spec1 = _grid_and_specs(bp, lp)
   out = pl.pallas_call(
       functools.partial(_fwd_kernel, loss_type=loss_type,
                         lambda_mode=lambda_mode,
                         discount_kind=discount_kind, topn=topn),
-      grid=(bp // TILE_B,),
+      grid=grid,
       in_specs=[spec2] * 6 + [spec1],
-      out_specs=pl.BlockSpec((TILE_B, 128), lambda i: (i, 0),
+      out_specs=pl.BlockSpec((TILE_B, 128), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((bp, 128), jnp.float32),
       interpret=_INTERPRET,
       cost_estimate=pl.CostEstimate(
-          flops=10 * bp * l * l, bytes_accessed=7 * bp * l * 4,
-          transcendentals=2 * bp * l * l),
-  )(*args, scale2)
+          flops=10 * bp * lp * lp, bytes_accessed=7 * bp * lp * 4,
+          transcendentals=2 * bp * lp * lp),
+  )(*args)
   sums = out[:b, :3]  # [B, 3]: loss_sum, weight_sum, nonzero_count
   return sums, (labels, logits, mask, norm_w, gain, ranks, scale)
 
@@ -192,28 +253,26 @@ def _pairwise_sums_bwd(loss_type, lambda_mode, discount_kind, topn,
                        residuals, ct):
   labels, logits, mask, norm_w, gain, ranks, scale = residuals
   b, l = labels.shape
-  args = [_pad_batch(jnp.asarray(a, jnp.float32))
-          for a in (labels, logits, mask, norm_w, gain, ranks)]
-  scale2 = _pad_batch(jnp.asarray(scale, jnp.float32).reshape(b, 1))
-  ct_pad = _pad_batch(jnp.asarray(ct, jnp.float32))
-  bp = args[0].shape[0]
-  spec2, spec1 = _specs(l)
-  spec_ct = pl.BlockSpec((TILE_B, 3), lambda i: (i, 0),
+  args = _pad_inputs(labels, logits, mask, norm_w, gain, ranks, scale)
+  bp, lp = args[0].shape
+  ct_pad = _pad_axis(jnp.asarray(ct, jnp.float32), 0, TILE_B, 0.0)
+  grid, spec2, spec1 = _grid_and_specs(bp, lp)
+  spec_ct = pl.BlockSpec((TILE_B, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM)
   dlog = pl.pallas_call(
       functools.partial(_bwd_kernel, loss_type=loss_type,
                         lambda_mode=lambda_mode,
                         discount_kind=discount_kind, topn=topn),
-      grid=(bp // TILE_B,),
+      grid=grid,
       in_specs=[spec2] * 6 + [spec1, spec_ct],
       out_specs=spec2,
-      out_shape=jax.ShapeDtypeStruct((bp, l), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((bp, lp), jnp.float32),
       interpret=_INTERPRET,
       cost_estimate=pl.CostEstimate(
-          flops=12 * bp * l * l, bytes_accessed=8 * bp * l * 4,
-          transcendentals=2 * bp * l * l),
-  )(*args, scale2, ct_pad)
-  dlogits = dlog[:b]
+          flops=12 * bp * lp * lp, bytes_accessed=8 * bp * lp * 4,
+          transcendentals=2 * bp * lp * lp),
+  )(*args, ct_pad)
+  dlogits = dlog[:b, :l]
   z = lambda a: jnp.zeros_like(a)
   return (z(labels), dlogits, z(mask), z(norm_w), z(gain), z(ranks),
           z(scale))
