@@ -321,3 +321,70 @@ def test_softmax_with_ndcg_lambda_parity(ref):
   got = float(jl.SoftmaxLoss(name='sm', lambda_weight=our_lw)(
       labels, logits, weights=weights, reduction=SBNW))
   np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def _load_ref_losses_factory(ref):
+  import importlib.util
+  full = 'tensorflow_ranking.python.losses'
+  if full in sys.modules:
+    return sys.modules[full]
+  spec = importlib.util.spec_from_file_location(
+      full, os.path.join(_REF_ROOT, 'python', 'losses.py'))
+  mod = importlib.util.module_from_spec(spec)
+  sys.modules[full] = mod
+  spec.loader.exec_module(mod)
+  return mod
+
+
+def test_make_loss_fn_weighted_combo_parity(ref):
+  """The multi-loss factory closure (python/losses.py:265-311) end to end:
+  encoded 'key:weight,key:weight' string + weights feature."""
+  from ranking_tpu import ops
+  ref_losses = _load_ref_losses_factory(ref)
+  labels, logits, weights = _data(seed=21)
+  features = {'doc_w': weights}
+
+  spec = 'softmax_loss:0.7,sigmoid_cross_entropy_loss:0.3'
+  ref_fn = ref_losses.make_loss_fn(spec, weights_feature_name='doc_w')
+  expected = float(ref_fn(tf.constant(labels), tf.constant(logits),
+                          {'doc_w': tf.constant(weights)}))
+  our_fn = ops.make_loss_fn(spec, weights_feature_name='doc_w')
+  got = float(our_fn(labels, logits, features=features))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_make_loss_fn_single_key_parity(ref):
+  from ranking_tpu import ops
+  ref_losses = _load_ref_losses_factory(ref)
+  labels, logits, _ = _data(seed=22)
+  for key in ('pairwise_logistic_loss', 'approx_ndcg_loss',
+              'mean_squared_loss', 'unique_softmax_loss'):
+    ref_fn = ref_losses.make_loss_fn(key)
+    expected = float(ref_fn(tf.constant(labels), tf.constant(logits), None))
+    got = float(ops.make_loss_fn(key)(labels, logits))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5,
+                               err_msg=key)
+
+
+def test_per_list_losses_parity(ref):
+  """compute_per_list (losses_impl.py:817-835) drives loss-as-metric
+  streams; parity on values and weights."""
+  from ranking_tpu.ops import losses as jlo
+  labels, logits, weights = _data(seed=23)
+  for ref_cls, our_obj in [
+      (ref.losses_impl.SoftmaxLoss('sm'), jlo.SoftmaxLoss(name='sm')),
+      (ref.losses_impl.PairwiseLogisticLoss('pl'),
+       jlo.PairwiseLogisticLoss(name='pl')),
+      (ref.losses_impl.MeanSquaredLoss('mse'),
+       jlo.MeanSquaredLoss(name='mse')),
+  ]:
+    rv, rw = ref_cls.compute_per_list(tf.constant(labels),
+                                      tf.constant(logits),
+                                      tf.constant(weights))
+    ov, ow = our_obj.per_list(labels, logits, weights=weights)
+    np.testing.assert_allclose(np.asarray(ov), np.asarray(rv),
+                               rtol=2e-4, atol=1e-5,
+                               err_msg=ref_cls._name)
+    np.testing.assert_allclose(np.asarray(ow), np.asarray(rw),
+                               rtol=2e-4, atol=1e-5,
+                               err_msg=ref_cls._name)
