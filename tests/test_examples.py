@@ -93,6 +93,29 @@ def test_ranking_elwc_sharded_embeddings_ipw_gumbel(tmp_path, monkeypatch,
   assert 'final:' in out
 
 
+def test_serve_predict_example(tmp_path, monkeypatch, capsys):
+  # Train + export, then batch-score the eval file from the export.
+  common = ['--batch_size=4', '--list_size=5',
+            '--hash_buckets=100', '--embedding_dim=4',
+            '--hidden_layer_dims=8']
+  _run_example(monkeypatch, capsys, 'examples/ranking_elwc_pipeline.py', [
+      f'--train_pattern={REF_DATA}/train_elwc.tfrecord',
+      f'--valid_pattern={REF_DATA}/eval_elwc.tfrecord',
+      f'--model_dir={tmp_path}/model',
+      '--num_epochs=1', '--steps_per_epoch=2', '--validation_steps=1',
+  ] + common)
+  out = _run_example(monkeypatch, capsys, 'examples/serve_predict.py', [
+      f'--export_path={tmp_path}/model/export/latest',
+      f'--input={REF_DATA}/eval_elwc.tfrecord',
+      f'--output={tmp_path}/scores.csv',
+      '--query_tokens=10', '--document_tokens=60',
+  ] + common)
+  assert 'scored' in out
+  lines = open(f'{tmp_path}/scores.csv').read().strip().splitlines()
+  assert lines[0] == 'record,position,relevance,score'
+  assert len(lines) > 1
+
+
 def test_antique_din_example(tmp_path, monkeypatch, capsys):
   out = _run_example(monkeypatch, capsys, 'examples/antique_din.py', [
       f'--train_pattern={REF_DATA}/train_elwc.tfrecord',
