@@ -1,11 +1,13 @@
 """Device mesh, shardings, and explicit-collective sharded embeddings."""
 
 from ranking_tpu.parallel import embedding
+from ranking_tpu.parallel import list_sharding
 from ranking_tpu.parallel import mesh
 from ranking_tpu.parallel.embedding import (
     ShardedEmbeddingEncoder,
     sharded_pooled_lookup,
 )
+from ranking_tpu.parallel.list_sharding import sharded_pairwise_loss
 from ranking_tpu.parallel.mesh import (
     DATA_AXIS,
     DEFAULT_RULES,
@@ -26,6 +28,7 @@ __all__ = [
     'ShardedEmbeddingEncoder',
     'batch_sharding',
     'embedding',
+    'list_sharding',
     'local_batch_to_global',
     'make_mesh',
     'mesh',
@@ -33,5 +36,6 @@ __all__ = [
     'replicated',
     'shard_batch',
     'shard_params',
+    'sharded_pairwise_loss',
     'sharded_pooled_lookup',
 ]

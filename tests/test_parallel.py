@@ -79,3 +79,49 @@ def test_sharded_encoder_module_grad_flows():
   table_grad = g['params']['embedding']
   assert table_grad.shape == (16, 4)
   assert float(jnp.sum(jnp.abs(table_grad))) > 0
+
+
+def test_sharded_pairwise_loss_matches_single_device():
+  import jax.numpy as jnp
+  from ranking_tpu.ops import losses as jl
+  from ranking_tpu.ops.reductions import Reduction
+  from ranking_tpu.parallel import list_sharding
+
+  mesh = parallel.make_mesh(model=4)
+  rng = np.random.RandomState(0)
+  b, l = 4, 16
+  logits = jnp.asarray(rng.randn(b, l).astype(np.float32))
+  labels = rng.randint(0, 4, size=(b, l)).astype(np.float32)
+  labels[:, -3:] = -1.0
+  labels = jnp.asarray(labels)
+  weights = jnp.asarray(rng.rand(b, l).astype(np.float32) + 0.1)
+
+  for kind, cls in [('logistic', jl.PairwiseLogisticLoss),
+                    ('hinge', jl.PairwiseHingeLoss)]:
+    for reduction in (Reduction.SUM, Reduction.MEAN,
+                      Reduction.SUM_BY_NONZERO_WEIGHTS):
+      expected = float(cls()(labels, logits, weights=weights,
+                             reduction=reduction))
+      got = float(list_sharding.sharded_pairwise_loss(
+          labels, logits, mesh, axis='model', loss_kind=kind,
+          weights=weights, reduction=reduction))
+      np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6,
+                                 err_msg=f'{kind}/{reduction}')
+
+
+def test_sharded_pairwise_loss_grads_match():
+  import jax.numpy as jnp
+  from ranking_tpu.ops import losses as jl
+  from ranking_tpu.parallel import list_sharding
+
+  mesh = parallel.make_mesh(model=2)
+  rng = np.random.RandomState(1)
+  b, l = 3, 8
+  logits = jnp.asarray(rng.randn(b, l).astype(np.float32))
+  labels = jnp.asarray(rng.randint(0, 3, size=(b, l)).astype(np.float32))
+
+  g_ref = jax.grad(lambda s: jl.PairwiseLogisticLoss()(labels, s))(logits)
+  g_sh = jax.grad(lambda s: list_sharding.sharded_pairwise_loss(
+      labels, s, mesh, axis='model'))(logits)
+  np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                             rtol=1e-4, atol=1e-6)
