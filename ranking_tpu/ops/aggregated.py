@@ -14,7 +14,7 @@ Also provides the csv prediction dump (tfrbert_task.py:332-344).
 from __future__ import annotations
 
 import csv
-from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, List, Mapping, Optional, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ everything else keeps the same knobs so configs translate one-to-one.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Mapping, Optional, Sequence, Union
+from typing import Mapping, Optional, Union
 
 
 @dataclasses.dataclass

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from ranking_tpu import models, ops, pipeline
-from ranking_tpu.data import FixedLenFeature, VarLenFeature, proto, tfrecord
+from ranking_tpu.data import FixedLenFeature, VarLenFeature, proto
 
 REF_DATA = '/root/reference/tensorflow_ranking/examples/data'
 
