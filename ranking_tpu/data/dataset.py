@@ -229,6 +229,48 @@ def build_ranking_dataset(
       yield item.result()
 
 
+def native_ranking_dataset(
+    file_pattern: str,
+    batch_size: int,
+    context_feature_spec: Mapping[str, FeatureSpec],
+    example_feature_spec: Mapping[str, FeatureSpec],
+    label_feature_name: str = 'relevance',
+    list_size: Optional[int] = None,
+    convert_labels_to_binary: bool = False,
+    epochs: Optional[int] = 1,
+    shuffle: bool = True,
+    shuffle_buffer_size: int = 1000,
+    drop_remainder: bool = True,
+    mask_feature_name: Optional[str] = None,
+    size_feature_name: Optional[str] = None,
+    seed: Optional[int] = None,
+) -> Iterator[RankingBatch]:
+  """ELWC stream fully driven by the native loader (data/native/loader.cc):
+  C++ threads own file reading, shuffling, proto decode, and batch assembly;
+  Python only wraps finished arrays. Same batch contract as
+  ``build_ranking_dataset``."""
+  from ranking_tpu.data import native
+  paths = sorted(glob_lib.glob(file_pattern))
+  if not paths:
+    raise FileNotFoundError(f'No files match {file_pattern!r}')
+  if list_size is None:
+    raise ValueError('native loader requires a fixed list_size')
+  loader = native.NativeLoader(
+      paths, context_feature_spec, example_feature_spec,
+      batch_size=batch_size, list_size=list_size, shuffle=shuffle,
+      shuffle_buffer=shuffle_buffer_size, epochs=epochs,
+      drop_remainder=drop_remainder, seed=seed or 0)
+  try:
+    for parsed in loader:
+      yield parsed_to_batch(
+          parsed, label_feature_name,
+          convert_labels_to_binary=convert_labels_to_binary,
+          mask_feature_name=mask_feature_name,
+          size_feature_name=size_feature_name)
+  finally:
+    loader.close()
+
+
 def in_memory_batches(
     features: np.ndarray,
     labels: np.ndarray,

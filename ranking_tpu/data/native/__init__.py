@@ -15,7 +15,7 @@ import threading
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, 'decoder.cc')
+_SRCS = [os.path.join(_DIR, 'decoder.cc'), os.path.join(_DIR, 'loader.cc')]
 _LIB = os.path.join(_DIR, 'libranking_data.so')
 
 _lock = threading.Lock()
@@ -44,8 +44,9 @@ KIND_VARLEN_HASHED = 3
 def _build() -> bool:
   try:
     subprocess.run(
-        ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-o', _LIB, _SRC],
-        check=True, capture_output=True, timeout=120)
+        ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-pthread',
+         '-o', _LIB] + _SRCS,
+        check=True, capture_output=True, timeout=180)
     return True
   except (subprocess.SubprocessError, FileNotFoundError):
     return False
@@ -58,8 +59,8 @@ def _load() -> Optional[ctypes.CDLL]:
       return _lib
     if _build_failed:
       return None
-    if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
-                                    < os.path.getmtime(_SRC)):
+    if not os.path.exists(_LIB) or any(
+        os.path.getmtime(_LIB) < os.path.getmtime(src) for src in _SRCS):
       if not _build():
         _build_failed = True
         return None
@@ -243,3 +244,167 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec):
       context=finalize(ctx_out, n, False),
       examples=finalize(ex_out, n * list_size, True),
       sizes=sizes, mask=mask)
+
+
+def _register_loader_api(lib) -> None:
+  if hasattr(lib, '_loader_registered'):
+    return
+  lib.rt_loader_create.restype = ctypes.c_void_p
+  lib.rt_loader_create.argtypes = [
+      ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+      ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
+      ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
+      ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+      ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+  ]
+  lib.rt_loader_next.restype = ctypes.c_int
+  lib.rt_loader_next.argtypes = [
+      ctypes.c_void_p,
+      ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
+      ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
+      ctypes.POINTER(ctypes.c_int32),
+  ]
+  lib.rt_loader_destroy.restype = None
+  lib.rt_loader_destroy.argtypes = [ctypes.c_void_p]
+  lib._loader_registered = True
+
+
+class NativeLoader:
+  """Streaming native loader: C++ threads own read/shuffle/decode/batch.
+
+  Iterates ``parsers.ParsedLists`` (same contract as the Python parse
+  path); ``dataset.parsed_to_batch`` turns them into RankingBatches. The
+  ring keeps decode ahead of the consumer (loader.cc).
+  """
+
+  def __init__(self, paths, context_spec, example_spec, batch_size,
+               list_size, shuffle=True, shuffle_buffer=1000, epochs=1,
+               drop_remainder=True, seed=0, ring_capacity=4):
+    import numpy as np
+    from ranking_tpu.data import parsers
+    lib = _load()
+    if lib is None:
+      raise RuntimeError('native loader unavailable')
+    _register_loader_api(lib)
+    self._lib = lib
+    self._np = np
+    self._parsers = parsers
+    self.batch_size = batch_size
+    self.list_size = list_size
+    self.context_spec = dict(context_spec)
+    self.example_spec = dict(example_spec)
+
+    def specs_for(spec_map):
+      structs = []
+      for name in sorted(spec_map):
+        spec = spec_map[name]
+        st = FeatureSpecStruct()
+        st.name = name.encode()
+        if isinstance(spec, parsers.FixedLenFeature):
+          if spec.dtype == 'string':
+            raise ValueError('fixed-len string not supported natively')
+          st.kind = (KIND_FIXED_FLOAT if spec.dtype == 'float32'
+                     else KIND_FIXED_INT64)
+          st.size = int(np.prod(spec.shape)) if spec.shape else 1
+          st.default_value = float(spec.default_value or 0.0)
+        else:
+          if spec.max_len is None:
+            raise ValueError('native loader requires max_len')
+          st.size = spec.max_len
+          if spec.dtype == 'string':
+            if not spec.hash_buckets:
+              raise ValueError('native loader requires hash_buckets for '
+                               'string features')
+            st.kind = KIND_VARLEN_HASHED
+            st.buckets = spec.hash_buckets
+          elif spec.dtype == 'int64':
+            st.kind = KIND_VARLEN_INT64
+          else:
+            raise ValueError('native varlen float not supported')
+        structs.append(st)
+      arr_type = FeatureSpecStruct * max(1, len(structs))
+      return arr_type(*structs) if structs else arr_type()
+
+    self._ctx_structs = specs_for(self.context_spec)
+    self._ex_structs = specs_for(self.example_spec)
+    c_paths = (ctypes.c_char_p * len(paths))(
+        *[str(p).encode() for p in paths])
+    self._handle = lib.rt_loader_create(
+        ctypes.cast(c_paths, ctypes.POINTER(ctypes.c_char_p)), len(paths),
+        ctypes.cast(self._ctx_structs, ctypes.POINTER(FeatureSpecStruct)),
+        len(self.context_spec),
+        ctypes.cast(self._ex_structs, ctypes.POINTER(FeatureSpecStruct)),
+        len(self.example_spec),
+        batch_size, list_size, int(shuffle), shuffle_buffer,
+        0 if epochs is None else epochs, int(drop_remainder), seed,
+        ring_capacity)
+
+  def __iter__(self):
+    return self
+
+  def __next__(self):
+    np, parsers = self._np, self._parsers
+
+    def alloc(spec_map, structs, rows):
+      outputs = {}
+      for i, name in enumerate(sorted(spec_map)):
+        spec = spec_map[name]
+        st = structs[i]
+        if st.kind <= 1:
+          arr = np.zeros((rows, st.size), np.float32)
+          st.fout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        else:
+          arr = np.full((rows, st.size), -1, np.int32)
+          st.iout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        outputs[name] = (arr, spec)
+      return outputs
+
+    ctx_out = alloc(self.context_spec, self._ctx_structs, self.batch_size)
+    ex_out = alloc(self.example_spec, self._ex_structs,
+                   self.batch_size * self.list_size)
+    sizes = np.zeros(self.batch_size, np.int32)
+    n = self._lib.rt_loader_next(
+        self._handle,
+        ctypes.cast(self._ctx_structs, ctypes.POINTER(FeatureSpecStruct)),
+        len(self.context_spec),
+        ctypes.cast(self._ex_structs, ctypes.POINTER(FeatureSpecStruct)),
+        len(self.example_spec),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if n == 0:
+      raise StopIteration
+
+    def finalize(outputs, listwise):
+      out = {}
+      for name, (arr, spec) in outputs.items():
+        a = arr[:n * self.list_size] if listwise else arr[:n]
+        if isinstance(spec, parsers.FixedLenFeature):
+          if spec.dtype == 'int64':
+            a = a.astype(np.int64)
+          if spec.shape:
+            a = a.reshape((a.shape[0],) + tuple(spec.shape))
+          else:
+            a = a.reshape(a.shape[0])
+        else:
+          a = a.astype(np.int64)
+        if listwise:
+          a = a.reshape((n, self.list_size) + a.shape[1:])
+        out[name] = a
+      return out
+
+    sizes = sizes[:n]
+    mask = np.arange(self.list_size)[None, :] < sizes[:, None]
+    return parsers.ParsedLists(
+        context=finalize(ctx_out, False),
+        examples=finalize(ex_out, True),
+        sizes=sizes, mask=mask)
+
+  def close(self):
+    if getattr(self, '_handle', None):
+      self._lib.rt_loader_destroy(self._handle)
+      self._handle = None
+
+  def __del__(self):
+    try:
+      self.close()
+    except Exception:
+      pass
