@@ -153,6 +153,8 @@ def build_ranking_dataset(
     seed: Optional[int] = None,
     num_parser_threads: int = 4,
     prefetch_batches: int = 4,
+    shard_index: Optional[int] = None,
+    num_shards: Optional[int] = None,
 ) -> Iterator[RankingBatch]:
   """Streams RankingBatches from TFRecord files of ranking protos.
 
@@ -166,6 +168,17 @@ def build_ranking_dataset(
   paths = sorted(glob_lib.glob(file_pattern))
   if not paths:
     raise FileNotFoundError(f'No files match {file_pattern!r}')
+  if num_shards:
+    # Multi-host input sharding: each process reads a disjoint file subset
+    # (the auto-shard analog of tf.distribute's dataset distribution).
+    # Defaults to jax.process_index() when shard_index is unset.
+    if shard_index is None:
+      shard_index = jax.process_index()
+    paths = paths[shard_index::num_shards]
+    if not paths:
+      raise ValueError(
+          f'shard {shard_index}/{num_shards} got no files; need at least '
+          f'{num_shards} files matching {file_pattern!r}')
   if list_size is None and batch_size > 1:
     raise ValueError('list_size must be set for batched parsing (static '
                      'shapes are required on TPU)')

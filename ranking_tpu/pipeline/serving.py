@@ -74,10 +74,22 @@ class Predictor:
     return np.asarray(scores)
 
   def predict(self, serialized_elwcs: Sequence[bytes]) -> np.ndarray:
-    """[B, list_size] scores from serialized ELWC protos."""
+    """[B, list_size] scores from serialized ELWC protos.
+
+    With ``list_size=None`` the batch is padded to the next power of two of
+    its longest list, bucketing compile shapes (each distinct padded shape
+    jit-compiles once; without bucketing every request length would).
+    Padded positions score the log-epsilon sentinel.
+    """
+    list_size = self.list_size
+    if list_size is None:
+      parsed0 = parsers.parse_example_list(
+          serialized_elwcs, {}, {}, list_size=None)
+      longest = max(1, int(parsed0.sizes.max()))
+      list_size = 1 << (longest - 1).bit_length()
     parsed = parsers.parse_example_list(
         serialized_elwcs, self.context_feature_spec,
-        self.example_feature_spec, list_size=self.list_size)
+        self.example_feature_spec, list_size=list_size)
     return self._run(parsed)
 
   def regress(self, serialized_examples: Sequence[bytes]) -> np.ndarray:

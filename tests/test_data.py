@@ -182,3 +182,31 @@ def test_convert_labels_to_binary(tmp_path):
       label_feature_name='rel', list_size=3, epochs=1, shuffle=False,
       drop_remainder=False, convert_labels_to_binary=True)
   np.testing.assert_allclose(b.labels[0], [1.0, 0.0, -1.0])
+
+
+def test_file_sharding_disjoint(tmp_path):
+  from ranking_tpu.data import build_ranking_dataset
+  # 4 files x 2 records each, unique float ids.
+  for fi in range(4):
+    recs = [proto.make_elwc({}, [{'uid': [float(fi * 10 + ri)],
+                                  'rel': [1]}]).SerializeToString()
+            for ri in range(2)]
+    tfrecord.write_records(str(tmp_path / f'part-{fi}.tfrecord'), recs)
+  spec = {'uid': FixedLenFeature(shape=(1,), dtype='float32',
+                                 default_value=-1.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+
+  def ids_for(shard):
+    out = []
+    for b in build_ranking_dataset(
+        str(tmp_path / 'part-*.tfrecord'),
+        data_format='example_list_with_context', batch_size=2,
+        context_feature_spec={}, example_feature_spec=spec,
+        label_feature_name='rel', list_size=1, epochs=1, shuffle=False,
+        drop_remainder=False, shard_index=shard, num_shards=2):
+      out.extend(b.examples['uid'][:, 0, 0].tolist())
+    return set(out)
+
+  a, b = ids_for(0), ids_for(1)
+  assert a and b and not (a & b)
+  assert a | b == {0.0, 1.0, 10.0, 11.0, 20.0, 21.0, 30.0, 31.0}

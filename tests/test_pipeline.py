@@ -196,3 +196,23 @@ dataset:
   bad.write_text('pipeline: {model_dir: /tmp, bogus_key: 1}')
   with pytest.raises(ValueError):
     pipeline.from_yaml(str(bad))
+
+
+def test_predict_buckets_dynamic_list_sizes(tmp_path):
+  context_spec, example_spec = _specs()
+  pipe = pipeline.SimplePipeline(_model(), _builder(),
+                                 _hparams(tmp_path, num_epochs=1))
+  pipe.train_and_validate()
+  predictor = pipeline.Predictor(
+      _model(), pipe.final_state.variables, context_spec, example_spec,
+      list_size=None, label_feature_name='relevance')
+  docs3 = [{'document_tokens': ['a'], 'relevance': [0]}] * 3
+  docs5 = [{'document_tokens': ['b'], 'relevance': [1]}] * 5
+  out3 = predictor.predict([proto.make_elwc({'query_tokens': ['q']},
+                                            docs3).SerializeToString()])
+  out5 = predictor.predict([proto.make_elwc({'query_tokens': ['q']},
+                                            docs5).SerializeToString()])
+  # Both bucket to the next power of two (4 and 8).
+  assert out3.shape == (1, 4)
+  assert out5.shape == (1, 8)
+  assert np.isfinite(out3[:, :3]).all()
