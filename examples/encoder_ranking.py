@@ -1,0 +1,119 @@
+"""Transformer-encoder ranker on ELWC data (TFR-BERT counterpart).
+
+The analog of /root/reference/tensorflow_ranking/examples/keras/
+tfrbert_antique_train.py: each document's (query, document) token pair is
+fused into one ``[CLS] q [SEP] d [SEP]`` sequence, encoded by a
+TransformerEncoder, and scored univariately. Pretrained encoder weights can
+be overlaid with ``models.warm_start_from`` (pass --warm_start_dir with an
+Orbax export holding encoder params).
+"""
+
+import argparse
+
+
+def parse_args():
+  p = argparse.ArgumentParser()
+  p.add_argument('--train_pattern', required=True)
+  p.add_argument('--valid_pattern', required=True)
+  p.add_argument('--model_dir', default='/tmp/ranking_encoder')
+  p.add_argument('--warm_start_dir', default=None)
+  p.add_argument('--batch_size', type=int, default=4)
+  p.add_argument('--list_size', type=int, default=10)
+  p.add_argument('--seq_len', type=int, default=64)
+  p.add_argument('--vocab_buckets', type=int, default=30000)
+  p.add_argument('--hidden_dim', type=int, default=64)
+  p.add_argument('--num_layers', type=int, default=2)
+  p.add_argument('--num_heads', type=int, default=4)
+  p.add_argument('--loss', default='softmax_loss')
+  p.add_argument('--learning_rate', type=float, default=1e-3)
+  p.add_argument('--num_epochs', type=int, default=2)
+  p.add_argument('--steps_per_epoch', type=int, default=5)
+  p.add_argument('--validation_steps', type=int, default=2)
+  return p.parse_args()
+
+
+def main():
+  args = parse_args()
+  from ranking_tpu import models, pipeline
+  from ranking_tpu.data import FixedLenFeature, VarLenFeature, bert
+  from ranking_tpu.data.batch import RankingBatch
+
+  # Reserve ids: hashed tokens occupy [0, vocab_buckets); CLS/SEP above.
+  cls_id, sep_id = args.vocab_buckets, args.vocab_buckets + 1
+  vocab_size = args.vocab_buckets + 2
+
+  context_spec = {
+      'query_tokens': VarLenFeature(dtype='string', max_len=10,
+                                    hash_buckets=args.vocab_buckets)}
+  example_spec = {
+      'document_tokens': VarLenFeature(dtype='string', max_len=48,
+                                       hash_buckets=args.vocab_buckets),
+      'relevance': FixedLenFeature(shape=(), dtype='int64',
+                                   default_value=0)}
+
+  class BertInputBuilder(pipeline.SimpleDatasetBuilder):
+    """Fuses query+document ids into BERT inputs host-side."""
+
+    def _batches(self, *a, **kw):
+      for b in super()._batches(*a, **kw):
+        fused = bert.fuse_query_document_ids(
+            b.context['query_tokens'], b.examples['document_tokens'],
+            seq_len=args.seq_len, cls_id=cls_id, sep_id=sep_id)
+        yield RankingBatch(context={}, examples={'input_ids': fused},
+                           labels=b.labels, mask=b.mask)
+
+  builder = BertInputBuilder(
+      context_spec, example_spec,
+      pipeline.DatasetHparams(
+          train_input_pattern=args.train_pattern,
+          valid_input_pattern=args.valid_pattern,
+          train_batch_size=args.batch_size,
+          valid_batch_size=args.batch_size,
+          list_size=args.list_size))
+
+  model = models.RankingModel(scorer=models.EncoderScorer(
+      encoder=models.TransformerEncoder(
+          vocab_size=vocab_size, hidden_dim=args.hidden_dim,
+          num_layers=args.num_layers, num_heads=args.num_heads,
+          mlp_dim=args.hidden_dim * 4, max_len=args.seq_len),
+      dropout=0.1))
+
+  hparams = pipeline.PipelineHparams(
+      model_dir=args.model_dir,
+      num_epochs=args.num_epochs,
+      steps_per_epoch=args.steps_per_epoch,
+      validation_steps=args.validation_steps,
+      learning_rate=args.learning_rate,
+      loss=args.loss)
+
+  pipe = pipeline.SimplePipeline(model, builder, hparams)
+  if args.warm_start_dir:
+    from ranking_tpu.train import checkpoint
+    pretrained = checkpoint.load_params(args.warm_start_dir)
+    flat = {}
+
+    def _flatten(prefix, tree):
+      for k, v in tree.items():
+        path = f'{prefix}/{k}' if prefix else k
+        if isinstance(v, dict):
+          _flatten(path, v)
+        else:
+          flat[path] = v
+
+    _flatten('', pretrained.get('params', pretrained))
+    # Overlaid after state build: hook via a wrapped _build.
+    orig_build = pipe._build
+
+    def build_and_warm_start(sample):
+      state = orig_build(sample)
+      return state.replace(
+          params=models.warm_start_from(state.params, flat))
+
+    pipe._build = build_and_warm_start
+
+  history = pipe.train_and_validate(verbose=True)
+  print('final:', {k: round(v, 4) for k, v in history.items()})
+
+
+if __name__ == '__main__':
+  main()

@@ -1,6 +1,7 @@
 """Data ingestion: batch model, proto/LIBSVM parsing, dataset pipelines."""
 
 from ranking_tpu.data import batch as batch_lib
+from ranking_tpu.data import bert
 from ranking_tpu.data import dataset
 from ranking_tpu.data import libsvm
 from ranking_tpu.data import parsers
@@ -25,6 +26,7 @@ __all__ = [
     'Vocabulary',
     'batch_from_labels',
     'batch_lib',
+    'bert',
     'build_ranking_dataset',
     'dataset',
     'in_memory_batches',

@@ -121,3 +121,26 @@ def test_calibrated_softmax_registry_and_padding():
   v0 = ops.make_loss_fn(ops.RankingLossKey.CALIBRATED_SOFTMAX_LOSS,
                         params={'virtual_label': 0.0})(labels, logits)
   assert float(v) != float(v0)
+
+
+def test_fuse_query_document_ids():
+  from ranking_tpu.data import bert
+  q = np.array([[7, 8, -1]])
+  d = np.array([[[1, 2, 3, -1], [4, -1, -1, -1]]])
+  fused = bert.fuse_query_document_ids(q, d, seq_len=8, cls_id=100,
+                                       sep_id=101)
+  assert fused.shape == (1, 2, 8)
+  np.testing.assert_array_equal(fused[0, 0],
+                                [100, 7, 8, 101, 1, 2, 3, 101])
+  np.testing.assert_array_equal(fused[0, 1],
+                                [100, 7, 8, 101, 4, 101, -1, -1])
+
+
+def test_fuse_truncates_long_docs():
+  from ranking_tpu.data import bert
+  q = np.array([[1, 2]])
+  d = np.array([[[9] * 10]])
+  fused = bert.fuse_query_document_ids(q, d, seq_len=7, cls_id=100,
+                                       sep_id=101)
+  # [CLS] 1 2 [SEP] 9 9 [SEP]
+  np.testing.assert_array_equal(fused[0, 0], [100, 1, 2, 101, 9, 9, 101])

@@ -127,3 +127,16 @@ def test_antique_din_example(tmp_path, monkeypatch, capsys):
       '--hidden_layer_dims=8', '--head_size=4',
   ])
   assert 'final:' in out
+
+
+def test_encoder_ranking_example(tmp_path, monkeypatch, capsys):
+  out = _run_example(monkeypatch, capsys, 'examples/encoder_ranking.py', [
+      f'--train_pattern={REF_DATA}/train_elwc.tfrecord',
+      f'--valid_pattern={REF_DATA}/eval_elwc.tfrecord',
+      f'--model_dir={tmp_path}/model',
+      '--batch_size=4', '--list_size=5', '--seq_len=24',
+      '--vocab_buckets=200', '--hidden_dim=16', '--num_layers=1',
+      '--num_heads=2', '--num_epochs=1', '--steps_per_epoch=2',
+      '--validation_steps=1',
+  ])
+  assert 'final:' in out
