@@ -9,8 +9,9 @@ Design notes vs. the reference:
 * ``flatten_list`` circularly pads invalid slots with valid items before the
   ``[B, L, .] -> [B*L, .]`` reshape (keras/layers.py:81-182) so batch-norm
   statistics and other batch-coupled ops never see padding garbage.
-* Dense towers default to bfloat16 compute with float32 params — the MXU-
-  friendly configuration — controlled by ``dtype``.
+* Dense towers take a ``dtype`` compute precision (params stay float32;
+  pass ``jnp.bfloat16`` for the MXU-native configuration). The default is
+  float32 for bit-parity with the reference semantics.
 """
 
 from __future__ import annotations

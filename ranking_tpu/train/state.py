@@ -58,9 +58,8 @@ def create_train_state(
 ) -> TrainState:
   """Initializes model variables from an example batch and wraps them.
 
-  ``context``/``examples``/``mask`` may be abstract (``jax.ShapeDtypeStruct``)
-  or concrete; init runs under ``jax.eval_shape``-compatible tracing either
-  way since flax init is jittable.
+  ``model.init`` runs jitted, so parameter initialization compiles once and
+  never materializes activations for the sample batch.
   """
   init_rngs = {'params': rng,
                'dropout': jax.random.fold_in(rng, 1),
