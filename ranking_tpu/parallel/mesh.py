@@ -47,6 +47,7 @@ def make_mesh(
   table-sharding axis; adjacent device ids share a model group so the
   lookup collectives ride the fastest ICI links.
   """
+  explicit_devices = devices is not None
   if devices is None:
     devices = jax.devices()
   n = len(devices)
@@ -56,6 +57,15 @@ def make_mesh(
     data = n // model
   if data * model > n:
     raise ValueError(f'mesh {data}x{model} exceeds {n} devices')
+  if not explicit_devices and data * model == n and n > 1:
+    # Topology-aware layout: on real slices this places the model axis on
+    # the fastest ICI links (mesh_utils understands the physical torus).
+    try:
+      from jax.experimental import mesh_utils
+      grid = mesh_utils.create_device_mesh((data, model))
+      return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    except (ImportError, ValueError, AssertionError):
+      pass  # fall back to linear order (CPU meshes, odd topologies)
   grid = np.asarray(devices[:data * model]).reshape(data, model)
   return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

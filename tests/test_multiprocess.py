@@ -1,0 +1,114 @@
+"""True multi-process distributed test: 2 processes x 4 virtual devices.
+
+Exercises the real multi-host code path the reference never tested
+(SURVEY.md section 4): ``jax.distributed.initialize`` over localhost,
+per-process host batches assembled into global arrays
+(``parallel.local_batch_to_global``), a sharded train step whose gradient
+psum spans both processes, and cross-process ``MeanState.psum`` metric
+aggregation. Skipped gracefully if the local environment cannot form the
+cluster.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent('''
+    import os, sys
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+    coordinator, rank = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=2, process_id=rank)
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8  # 4 local x 2 processes
+
+    import numpy as np
+    import optax
+    sys.path.insert(0, os.getcwd())
+    from ranking_tpu import models, ops, parallel, train
+    from ranking_tpu.data.batch import batch_from_labels
+
+    mesh = parallel.make_mesh()
+    assert mesh.shape['data'] == 8
+
+    # Each process contributes its own half of the global batch.
+    rng = np.random.RandomState(100 + rank)
+    labels = rng.randint(0, 3, size=(8, 6)).astype(np.float32)
+    local = batch_from_labels(
+        labels=labels, examples={'x': rng.randn(8, 6, 4).astype(np.float32)})
+    batch = parallel.local_batch_to_global(local, mesh)
+    assert batch.labels.shape[0] == 16  # global batch
+
+    model = models.RankingModel(scorer=models.DNNScorer(
+        hidden_layer_dims=(8,), dropout=0.0, use_batch_norm=False))
+    state = train.create_train_state(
+        model, optax.sgd(0.1), jax.random.PRNGKey(0),
+        batch.context, batch.examples, batch.mask)
+    state = state.replace(params=parallel.shard_params(state.params, mesh),
+                          opt_state=parallel.shard_params(state.opt_state,
+                                                          mesh))
+    step = jax.jit(train.make_train_step(
+        ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)), donate_argnums=0)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    loss = float(metrics['loss'])
+    assert np.isfinite(loss)
+
+    # Params are replicated: every process must hold identical values.
+    checksum = float(sum(jax.numpy.sum(jax.numpy.abs(l))
+                         for l in jax.tree.leaves(state.params)))
+    print(f'RESULT rank={rank} loss={loss:.6f} checksum={checksum:.6f}',
+          flush=True)
+''')
+
+
+@pytest.mark.skipif(os.environ.get('RANKING_TPU_SKIP_MULTIPROC') == '1',
+                    reason='explicitly disabled')
+def test_two_process_data_parallel(tmp_path):
+  with socket.socket() as s:
+    s.bind(('localhost', 0))
+    port = s.getsockname()[1]
+  coordinator = f'localhost:{port}'
+  worker = tmp_path / 'worker.py'
+  worker.write_text(_WORKER)
+
+  env = dict(os.environ)
+  env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+  env.pop('JAX_PLATFORMS', None)
+  procs = [
+      subprocess.Popen(
+          [sys.executable, str(worker), coordinator, str(rank)],
+          stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+          cwd='/root/repo', env=env)
+      for rank in range(2)
+  ]
+  outs = []
+  for p in procs:
+    try:
+      out, _ = p.communicate(timeout=300)
+    except subprocess.TimeoutExpired:
+      p.kill()
+      for q in procs:
+        if q.poll() is None:
+          q.kill()
+      pytest.skip('multi-process cluster did not form in time')
+    outs.append(out)
+  for p, out in zip(procs, outs):
+    if p.returncode != 0 and 'DEADLINE_EXCEEDED' in out:
+      pytest.skip('coordination service unavailable in this sandbox')
+    assert p.returncode == 0, out[-2000:]
+
+  results = {}
+  for out in outs:
+    for line in out.splitlines():
+      if line.startswith('RESULT'):
+        parts = dict(kv.split('=') for kv in line.split()[1:])
+        results[parts['rank']] = (parts['loss'], parts['checksum'])
+  assert set(results) == {'0', '1'}
+  # Same global computation on both processes: loss and params agree.
+  assert results['0'] == results['1']
