@@ -10,6 +10,7 @@ from ranking_tpu.pipeline.hparams import (
 )
 from ranking_tpu.pipeline.pipeline import (
     MultiTaskPipeline,
+    RankingPipeline,
     SimpleDatasetBuilder,
     SimplePipeline,
 )
@@ -20,6 +21,7 @@ __all__ = [
     'MultiTaskPipeline',
     'PipelineHparams',
     'Predictor',
+    'RankingPipeline',
     'SimpleDatasetBuilder',
     'SimplePipeline',
     'from_yaml',

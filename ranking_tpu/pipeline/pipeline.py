@@ -253,6 +253,14 @@ class SimplePipeline:
     return history
 
 
+class RankingPipeline(SimplePipeline):
+  """Estimator-era API alias (extension/pipeline.py:32): same object,
+  ``train_and_eval`` naming."""
+
+  def train_and_eval(self, verbose: bool = False):
+    return self.train_and_validate(verbose=verbose)
+
+
 class MultiTaskPipeline(SimplePipeline):
   """Dict-loss pipeline (keras/pipeline.py:733-830): pass
   ``hparams.loss = {task: loss_key}`` and optionally per-task
