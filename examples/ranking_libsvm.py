@@ -34,6 +34,8 @@ def parse_args():
   p.add_argument('--learning_rate', type=float, default=0.01)
   p.add_argument('--loss', default='pairwise_logistic_loss')
   p.add_argument('--group_size', type=int, default=1)
+  p.add_argument('--scorer', default='dnn', choices=['dnn', 'gam'],
+                 help="'gam' = interpretable generalized additive scorer (canned GAM estimator counterpart).")
   p.add_argument('--hidden_layer_dims', default='256,128,64')
   p.add_argument('--dropout', type=float, default=0.5)
   p.add_argument('--lambda_ndcg', action='store_true',
@@ -43,8 +45,27 @@ def parse_args():
 
 
 def build_model(args):
+  import flax.linen as nn
+
   from ranking_tpu import models
   hidden = tuple(int(h) for h in args.hidden_layer_dims.split(','))
+  if args.scorer == 'gam':
+    # True GAM semantics: the packed [B, L, F] LIBSVM tensor splits into F
+    # scalar features, each with its own tower (make_gam_ranking_estimator
+    # counterpart). Sub-scores per feature are exposed via module sow.
+
+    class SplitGAM(nn.Module):
+
+      @nn.compact
+      def __call__(self, context, examples, mask, training=False):
+        x = examples['float_features']
+        feats = {f'col_{i:03d}': x[..., i:i + 1]
+                 for i in range(x.shape[-1])}
+        return models.GAMScorer(
+            example_hidden_layer_dims=hidden,
+            dropout=args.dropout)(context, feats, mask, training=training)
+
+    return models.RankingModel(scorer=SplitGAM(), transform_name='log1p')
   if args.group_size > 1:
     scorer = models.GroupwiseDNNScorer(
         group_size=args.group_size, hidden_layer_dims=hidden,

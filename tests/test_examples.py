@@ -140,3 +140,15 @@ def test_encoder_ranking_example(tmp_path, monkeypatch, capsys):
       '--validation_steps=1',
   ])
   assert 'final:' in out
+
+
+def test_ranking_libsvm_gam_scorer(tmp_path, monkeypatch, capsys):
+  out = _run_example(monkeypatch, capsys, 'examples/ranking_libsvm.py', [
+      f'--train_path={REF_DATA}/train.txt',
+      f'--vali_path={REF_DATA}/vali.txt',
+      f'--output_dir={tmp_path}/out',
+      '--num_features=10', '--list_size=10', '--batch_size=4',
+      '--num_train_steps=4', '--eval_every=4',
+      '--hidden_layer_dims=4', '--scorer=gam',
+  ])
+  assert 'ndcg@5=' in out
