@@ -193,15 +193,17 @@ def build_ranking_dataset(
   def _native_parse(records: List[bytes]):
     """C++ fast path for plain ELWC batches (data/native/decoder.cc);
     returns None when the config isn't natively decodable."""
-    if (data_format != 'example_list_with_context' or shuffle_examples
-        or list_size is None):
+    if (data_format not in ('example_list_with_context',
+                            'sequence_example')
+        or shuffle_examples or list_size is None):
       return None
     try:
       from ranking_tpu.data import native
       if not native.available():
         return None
       return native.decode_elwc_batch(
-          records, list_size, context_feature_spec, example_feature_spec)
+          records, list_size, context_feature_spec, example_feature_spec,
+          data_format=data_format)
     except (ValueError, RuntimeError):
       return None
 

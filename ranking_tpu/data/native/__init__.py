@@ -74,6 +74,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.rt_decode_seq_batch.restype = ctypes.c_int
+    lib.rt_decode_seq_batch.argtypes = lib.rt_decode_elwc_batch.argtypes
     lib.rt_scan_tfrecord.restype = ctypes.c_int64
     lib.rt_scan_tfrecord.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -149,8 +151,9 @@ def read_tfrecord_payloads(path: str):
   return [data[offsets[i]:offsets[i] + lengths[i]] for i in range(n)]
 
 
-def decode_elwc_batch(records, list_size, context_spec, example_spec):
-  """Decodes serialized ELWC records into padded arrays natively.
+def decode_elwc_batch(records, list_size, context_spec, example_spec,
+                      data_format='example_list_with_context'):
+  """Decodes serialized ELWC or SequenceExample records natively.
 
   Specs are mappings name -> parsers.FeatureSpec restricted to the
   kernelized kinds: FixedLenFeature float32/int64 and VarLenFeature
@@ -209,7 +212,10 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec):
   ex_structs, ex_out = make_specs(example_spec, n * list_size)
   sizes = np.zeros(n, np.int32)
 
-  rc = lib.rt_decode_elwc_batch(
+  decode = (lib.rt_decode_seq_batch
+            if data_format == 'sequence_example'
+            else lib.rt_decode_elwc_batch)
+  rc = decode(
       ctypes.cast(recs, ctypes.POINTER(ctypes.c_char_p)),
       ctypes.cast(lens, ctypes.POINTER(ctypes.c_int64)),
       n, list_size,

@@ -203,24 +203,11 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
   }
 }
 
-// Walks Example.features.feature map entries; dispatches matching specs.
-inline void decode_example(const Slice& example, FeatureSpec* specs,
-                           int n_specs, size_t out_index) {
-  const uint8_t* p = example.p;
-  const uint8_t* end = example.p + example.n;
-  Slice features{nullptr, 0};
-  while (p < end) {
-    uint64_t tag;
-    if (!read_varint(p, end, &tag)) return;
-    if ((tag >> 3) == 1 && (tag & 7) == 2) {
-      if (!read_len_delim(p, end, &features)) return;
-    } else if (!skip_field(p, end, tag & 7)) {
-      return;
-    }
-  }
-  if (!features.p) return;
-  p = features.p;
-  end = features.p + features.n;
+// Walks a Features message's map entries; dispatches matching specs.
+inline void decode_features(const Slice& features, FeatureSpec* specs,
+                            int n_specs, size_t out_index) {
+  const uint8_t* p = features.p;
+  const uint8_t* end = features.p + features.n;
   while (p < end) {
     uint64_t tag;
     if (!read_varint(p, end, &tag)) return;
@@ -255,6 +242,86 @@ inline void decode_example(const Slice& example, FeatureSpec* specs,
       }
     }
   }
+}
+
+// Unwraps Example.features (field 1) then walks the Features map.
+inline void decode_example(const Slice& example, FeatureSpec* specs,
+                           int n_specs, size_t out_index) {
+  const uint8_t* p = example.p;
+  const uint8_t* end = example.p + example.n;
+  Slice features{nullptr, 0};
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return;
+    if ((tag >> 3) == 1 && (tag & 7) == 2) {
+      if (!read_len_delim(p, end, &features)) return;
+    } else if (!skip_field(p, end, tag & 7)) {
+      return;
+    }
+  }
+  if (features.p) decode_features(features, specs, n_specs, out_index);
+}
+
+// Walks SequenceExample.feature_lists (FeatureLists.feature_list map):
+// each matching spec's FeatureList holds one Feature per document frame.
+// Returns the max frame count seen across matching lists.
+inline int decode_feature_lists(const Slice& flists, FeatureSpec* specs,
+                                int n_specs, size_t base_index,
+                                int list_size) {
+  const uint8_t* p = flists.p;
+  const uint8_t* end = flists.p + flists.n;
+  int max_frames = 0;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return max_frames;
+    if ((tag >> 3) != 1 || (tag & 7) != 2) {
+      if (!skip_field(p, end, tag & 7)) return max_frames;
+      continue;
+    }
+    Slice entry;
+    if (!read_len_delim(p, end, &entry)) return max_frames;
+    const uint8_t* q = entry.p;
+    const uint8_t* qend = entry.p + entry.n;
+    Slice key{nullptr, 0}, value{nullptr, 0};
+    while (q < qend) {
+      uint64_t etag;
+      if (!read_varint(q, qend, &etag)) return max_frames;
+      if ((etag >> 3) == 1 && (etag & 7) == 2) {
+        if (!read_len_delim(q, qend, &key)) return max_frames;
+      } else if ((etag >> 3) == 2 && (etag & 7) == 2) {
+        if (!read_len_delim(q, qend, &value)) return max_frames;
+      } else if (!skip_field(q, qend, etag & 7)) {
+        return max_frames;
+      }
+    }
+    if (!key.p || !value.p) continue;
+    for (int s = 0; s < n_specs; ++s) {
+      const FeatureSpec& spec = specs[s];
+      size_t name_len = std::strlen(spec.name);
+      if (name_len != key.n || std::memcmp(spec.name, key.p, key.n) != 0)
+        continue;
+      // value is a FeatureList: repeated Feature feature = 1.
+      const uint8_t* r = value.p;
+      const uint8_t* rend = value.p + value.n;
+      int frame = 0;
+      while (r < rend) {
+        uint64_t ftag;
+        if (!read_varint(r, rend, &ftag)) break;
+        if ((ftag >> 3) != 1 || (ftag & 7) != 2) {
+          if (!skip_field(r, rend, ftag & 7)) break;
+          continue;
+        }
+        Slice feat;
+        if (!read_len_delim(r, rend, &feat)) break;
+        if (frame < list_size)
+          decode_feature_values(feat, spec, base_index + frame);
+        ++frame;
+      }
+      if (frame > max_frames) max_frames = frame;
+      break;
+    }
+  }
+  return max_frames;
 }
 
 inline void prefill(FeatureSpec* specs, int n_specs, size_t rows) {
@@ -307,6 +374,43 @@ int rt_decode_elwc_batch(const uint8_t** recs, const int64_t* lens, int n,
       }
     }
     sizes_out[i] = doc < list_size ? doc : list_size;
+  }
+  return 0;
+}
+
+// Decodes n serialized SequenceExample records (context Features +
+// per-document FeatureLists). Same output contract as rt_decode_elwc_batch.
+int rt_decode_seq_batch(const uint8_t** recs, const int64_t* lens, int n,
+                        int list_size, FeatureSpec* ctx_specs, int n_ctx,
+                        FeatureSpec* ex_specs, int n_ex,
+                        int32_t* sizes_out) {
+  prefill(ctx_specs, n_ctx, static_cast<size_t>(n));
+  prefill(ex_specs, n_ex, static_cast<size_t>(n) * list_size);
+  for (int i = 0; i < n; ++i) {
+    const uint8_t* p = recs[i];
+    const uint8_t* end = recs[i] + lens[i];
+    int frames = 0;
+    while (p < end) {
+      uint64_t tag;
+      if (!read_varint(p, end, &tag)) return -1;
+      uint32_t field = static_cast<uint32_t>(tag >> 3);
+      uint32_t wt = tag & 7;
+      if (wt != 2) {
+        if (!skip_field(p, end, wt)) return -1;
+        continue;
+      }
+      Slice msg;
+      if (!read_len_delim(p, end, &msg)) return -1;
+      if (field == 1) {  // context Features
+        decode_features(msg, ctx_specs, n_ctx, static_cast<size_t>(i));
+      } else if (field == 2) {  // FeatureLists
+        int f = decode_feature_lists(
+            msg, ex_specs, n_ex, static_cast<size_t>(i) * list_size,
+            list_size);
+        if (f > frames) frames = f;
+      }
+    }
+    sizes_out[i] = frames < list_size ? frames : list_size;
   }
   return 0;
 }

@@ -174,3 +174,32 @@ def test_native_loader_shuffles_and_repeats(tmp_path):
   assert sorted(ids_a.tolist()) == sorted(list(range(20)) * 3)
   assert not np.array_equal(ids_a, ids_b)
   assert not np.array_equal(ids_a, np.sort(ids_a))
+
+
+def test_native_sequence_example_matches_python():
+  rng = np.random.RandomState(4)
+  recs = []
+  for _ in range(6):
+    seq = proto.SequenceExample()
+    seq.context.feature['q'].float_list.value.append(float(rng.randn()))
+    fl = seq.feature_lists.feature_list['f']
+    flr = seq.feature_lists.feature_list['rel']
+    for _ in range(rng.randint(1, 5)):
+      fl.feature.add().float_list.value.extend(
+          [float(v) for v in rng.randn(2)])
+      flr.feature.add().int64_list.value.append(int(rng.randint(0, 4)))
+    recs.append(seq.SerializeToString())
+  context_spec = {'q': FixedLenFeature(shape=(1,), dtype='float32',
+                                       default_value=0.0)}
+  example_spec = {
+      'f': FixedLenFeature(shape=(2,), dtype='float32', default_value=0.0),
+      'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  py = parsers.parse_sequence_example(recs, context_spec, example_spec,
+                                      list_size=3)
+  nat = native.decode_elwc_batch(recs, 3, context_spec, example_spec,
+                                 data_format='sequence_example')
+  np.testing.assert_array_equal(nat.sizes, py.sizes)
+  np.testing.assert_array_equal(nat.mask, py.mask)
+  np.testing.assert_allclose(nat.context['q'], py.context['q'], rtol=1e-6)
+  np.testing.assert_allclose(nat.examples['f'], py.examples['f'], rtol=1e-6)
+  np.testing.assert_array_equal(nat.examples['rel'], py.examples['rel'])
