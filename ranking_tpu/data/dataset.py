@@ -247,6 +247,8 @@ def build_ranking_dataset(
 def native_ranking_dataset(
     file_pattern: str,
     batch_size: int,
+    *,
+    data_format: str = 'example_list_with_context',
     context_feature_spec: Mapping[str, FeatureSpec],
     example_feature_spec: Mapping[str, FeatureSpec],
     label_feature_name: str = 'relevance',
@@ -274,7 +276,8 @@ def native_ranking_dataset(
       paths, context_feature_spec, example_feature_spec,
       batch_size=batch_size, list_size=list_size, shuffle=shuffle,
       shuffle_buffer=shuffle_buffer_size, epochs=epochs,
-      drop_remainder=drop_remainder, seed=seed or 0)
+      drop_remainder=drop_remainder, seed=seed or 0,
+      data_format=data_format)
   try:
     for parsed in loader:
       yield parsed_to_batch(

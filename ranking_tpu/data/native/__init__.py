@@ -262,6 +262,7 @@ def _register_loader_api(lib) -> None:
       ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
       ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
       ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+      ctypes.c_int,
   ]
   lib.rt_loader_next.restype = ctypes.c_int
   lib.rt_loader_next.argtypes = [
@@ -285,7 +286,8 @@ class NativeLoader:
 
   def __init__(self, paths, context_spec, example_spec, batch_size,
                list_size, shuffle=True, shuffle_buffer=1000, epochs=1,
-               drop_remainder=True, seed=0, ring_capacity=4):
+               drop_remainder=True, seed=0, ring_capacity=4,
+               data_format='example_list_with_context'):
     import numpy as np
     from ranking_tpu.data import parsers
     lib = _load()
@@ -343,7 +345,7 @@ class NativeLoader:
         len(self.example_spec),
         batch_size, list_size, int(shuffle), shuffle_buffer,
         0 if epochs is None else epochs, int(drop_remainder), seed,
-        ring_capacity)
+        ring_capacity, 1 if data_format == 'sequence_example' else 0)
 
   def __iter__(self):
     return self

@@ -40,6 +40,11 @@ extern "C" int rt_decode_elwc_batch(const uint8_t** recs, const int64_t* lens,
                                     FeatureSpec* ctx_specs, int n_ctx,
                                     FeatureSpec* ex_specs, int n_ex,
                                     int32_t* sizes_out);
+extern "C" int rt_decode_seq_batch(const uint8_t** recs, const int64_t* lens,
+                                   int n, int list_size,
+                                   FeatureSpec* ctx_specs, int n_ctx,
+                                   FeatureSpec* ex_specs, int n_ex,
+                                   int32_t* sizes_out);
 extern "C" int64_t rt_scan_tfrecord(const uint8_t* data, int64_t size,
                                     int64_t* offsets, int64_t* lengths,
                                     int64_t max_records);
@@ -66,6 +71,7 @@ struct Loader {
   std::vector<std::string> paths;
   std::vector<OwnedSpec> ctx_specs, ex_specs;
   int batch_size, list_size, shuffle_buffer, epochs, ring_capacity;
+  int format;  // 0 = ELWC, 1 = SequenceExample
   bool shuffle, drop_remainder;
   uint64_t seed;
 
@@ -126,10 +132,11 @@ bool decode_batch(Loader* L, std::vector<std::string>& records, Batch* out) {
     recs[i] = reinterpret_cast<const uint8_t*>(records[i].data());
     lens[i] = static_cast<int64_t>(records[i].size());
   }
-  return rt_decode_elwc_batch(recs.data(), lens.data(), n, L->list_size,
-                              ctx.data(), static_cast<int>(ctx.size()),
-                              ex.data(), static_cast<int>(ex.size()),
-                              out->sizes.data()) == 0;
+  auto decode = L->format == 1 ? rt_decode_seq_batch : rt_decode_elwc_batch;
+  return decode(recs.data(), lens.data(), n, L->list_size,
+                ctx.data(), static_cast<int>(ctx.size()),
+                ex.data(), static_cast<int>(ex.size()),
+                out->sizes.data()) == 0;
 }
 
 void push_batch(Loader* L, Batch&& b) {
@@ -225,7 +232,7 @@ void* rt_loader_create(const char** paths, int n_paths,
                        FeatureSpec* ex_specs, int n_ex, int batch_size,
                        int list_size, int shuffle, int shuffle_buffer,
                        int epochs, int drop_remainder, uint64_t seed,
-                       int ring_capacity) {
+                       int ring_capacity, int format) {
   auto* L = new Loader();
   for (int i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
   auto copy = [](FeatureSpec* specs, int n, std::vector<OwnedSpec>* out) {
@@ -243,6 +250,7 @@ void* rt_loader_create(const char** paths, int n_paths,
   L->drop_remainder = drop_remainder != 0;
   L->seed = seed;
   L->ring_capacity = ring_capacity > 0 ? ring_capacity : 4;
+  L->format = format;
   L->producer = std::thread(produce, L);
   return L;
 }

@@ -35,6 +35,10 @@ class PipelineHparams:
   mesh_data: Optional[int] = None   # None = all devices
   mesh_model: int = 1
   seed: Optional[int] = 1
+  # jax.profiler device trace of one epoch (TensorBoard/XProf viewable) —
+  # a strict superset of the reference's TensorBoard callback.
+  profile_dir: Optional[str] = None
+  profile_epoch: int = 1
 
 
 @dataclasses.dataclass

@@ -195,8 +195,12 @@ class SimplePipeline:
         self.mesh, jax.sharding.PartitionSpec(None, parallel.DATA_AXIS))
 
     while step < total_steps:
-      epoch_end = min(total_steps,
-                      (step // hp.steps_per_epoch + 1) * hp.steps_per_epoch)
+      epoch_index = step // hp.steps_per_epoch + 1
+      epoch_end = min(total_steps, epoch_index * hp.steps_per_epoch)
+      profiling = (hp.profile_dir is not None
+                   and epoch_index == hp.profile_epoch)
+      if profiling:
+        jax.profiler.start_trace(hp.profile_dir)
       losses = []
       while step < epoch_end:
         chunk = min(spe, epoch_end - step)
@@ -220,6 +224,9 @@ class SimplePipeline:
         pending = None
         losses.append(metrics['loss'])
         step += 1
+      if profiling:
+        jax.block_until_ready(metrics['loss'])
+        jax.profiler.stop_trace()
       epoch_metrics = self._run_eval(state)
       epoch_metrics['loss'] = float(np.mean([float(l) for l in losses]))
       dt = time.perf_counter() - t0

@@ -216,3 +216,14 @@ def test_predict_buckets_dynamic_list_sizes(tmp_path):
   assert out3.shape == (1, 4)
   assert out5.shape == (1, 8)
   assert np.isfinite(out3[:, :3]).all()
+
+
+def test_profile_epoch_writes_trace(tmp_path):
+  pipe = pipeline.SimplePipeline(
+      _model(), _builder(),
+      _hparams(tmp_path, num_epochs=1,
+               profile_dir=str(tmp_path / 'trace')))
+  pipe.train_and_validate()
+  import glob
+  assert glob.glob(str(tmp_path / 'trace' / '**' / '*.xplane.pb'),
+                   recursive=True)
