@@ -62,8 +62,22 @@ _WORKER = textwrap.dedent('''
     # Params are replicated: every process must hold identical values.
     checksum = float(sum(jax.numpy.sum(jax.numpy.abs(l))
                          for l in jax.tree.leaves(state.params)))
-    print(f'RESULT rank={rank} loss={loss:.6f} checksum={checksum:.6f}',
-          flush=True)
+
+    # Phase 2: embedding table sharded over a model axis that spans both
+    # processes -> the lookup psum crosses the process boundary.
+    import jax.numpy as jnp
+    from ranking_tpu.models import embeddings
+    mesh2 = parallel.make_mesh(model=2)
+    table = jnp.asarray(np.random.RandomState(5).randn(32, 4)
+                        .astype(np.float32))
+    ids = jnp.asarray(np.random.RandomState(6).randint(-1, 32, (16, 3)))
+    sharded = parallel.sharded_pooled_lookup(table, ids, mesh2, 'mean')
+    expected = embeddings.pooled_lookup(table, ids, 'mean')
+    emb_diff = float(jnp.max(jnp.abs(sharded - expected)))
+    assert emb_diff < 1e-5, emb_diff
+
+    print(f'RESULT rank={rank} loss={loss:.6f} checksum={checksum:.6f} '
+          f'embdiff={emb_diff:.8f}', flush=True)
 ''')
 
 
@@ -108,7 +122,8 @@ def test_two_process_data_parallel(tmp_path):
     for line in out.splitlines():
       if line.startswith('RESULT'):
         parts = dict(kv.split('=') for kv in line.split()[1:])
-        results[parts['rank']] = (parts['loss'], parts['checksum'])
+        results[parts['rank']] = (parts['loss'], parts['checksum'],
+                                  parts['embdiff'])
   assert set(results) == {'0', '1'}
   # Same global computation on both processes: loss and params agree.
   assert results['0'] == results['1']

@@ -388,3 +388,17 @@ def test_per_list_losses_parity(ref):
     np.testing.assert_allclose(np.asarray(ow), np.asarray(rw),
                                rtol=2e-4, atol=1e-5,
                                err_msg=ref_cls._name)
+
+
+def test_mixture_em_loss_parity(ref):
+  rng = np.random.RandomState(14)
+  b, l, m = 4, 7, 3  # m scoring heads in the mixture
+  labels = rng.randint(0, 3, size=(b, l)).astype(np.float32)
+  labels[:, -2:] = np.where(rng.rand(b, 2) < 0.5, -1.0, labels[:, -2:])
+  logits3 = rng.randn(b, l, m).astype(np.float32)
+  ref_loss = ref.losses_impl.MixtureEMLoss('mix')
+  expected = float(ref_loss.compute(
+      tf.constant(labels), tf.constant(logits3), None,
+      reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+  got = float(jl.MixtureEMLoss(name='mix')(labels, logits3, reduction=SBNW))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
