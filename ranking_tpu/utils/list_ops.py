@@ -140,12 +140,23 @@ def organize_valid_indices(
   shape = is_valid.shape
   if key is not None:
     values = jax.random.uniform(key, shape, dtype=jnp.float32)
-  else:
-    # Descending positional value keeps the original order among valid items.
-    values = jnp.broadcast_to(
-        jnp.arange(shape[1] - 1, -1, -1, dtype=jnp.float32)[None, :], shape)
-  rand = jnp.where(is_valid, values, -1e-6)
-  return jnp.argsort(-rand, axis=1, stable=True).astype(jnp.int32)
+    rand = jnp.where(is_valid, values, -1e-6)
+    return jnp.argsort(-rand, axis=1, stable=True).astype(jnp.int32)
+  # Deterministic case: no sort needed. Scatter each valid index to its
+  # compacted position (cumsum) and each invalid index after the valid run
+  # — O(B L) scatter vs O(B L log L) sort; this sits on the hot path of
+  # list flattening (the device profile showed the sort fusion at ~12% of
+  # a flagship train step).
+  batch, list_size = shape
+  positions = jnp.cumsum(is_valid.astype(jnp.int32), axis=1) - 1
+  num_valid = positions[:, -1:] + 1
+  inv_positions = (num_valid - 1
+                   + jnp.cumsum((~is_valid).astype(jnp.int32), axis=1))
+  dest = jnp.where(is_valid, positions, inv_positions)
+  src = jnp.broadcast_to(jnp.arange(list_size, dtype=jnp.int32)[None, :],
+                         shape)
+  out = jnp.zeros(shape, jnp.int32)
+  return jax.vmap(lambda o, d, s: o.at[d].set(s))(out, dest, src)
 
 
 def padded_gather_indices(
