@@ -402,3 +402,67 @@ def test_mixture_em_loss_parity(ref):
       reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
   got = float(jl.MixtureEMLoss(name='mix')(labels, logits3, reduction=SBNW))
   np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_precision_ia_parity(ref):
+  rng = np.random.RandomState(15)
+  b, l, s = 4, 8, 3
+  labels = (rng.rand(b, l, s) > 0.6).astype(np.float32)
+  logits = rng.randn(b, l).astype(np.float32)
+  logits += np.arange(l)[None, :] * 1e-3
+  ref_metric = ref.metrics_impl.PrecisionIAMetric('pia', topn=5)
+  rv, rw = ref_metric.compute(tf.constant(labels), tf.constant(logits), None)
+  denom = float(tf.reduce_sum(rw))
+  expected = float(tf.reduce_sum(rv * rw)) / denom
+  got = float(metric_registry.compute_mean(
+      metric_registry.RankingMetricKey.PRECISION_IA, labels, logits,
+      topn=5))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_groupwise_rolling_indices_parity(ref):
+  """Our rolling_group_indices == the reference's _form_group_indices_nd
+  (python/model.py:164-244) without shuffling."""
+  import importlib.util
+  import types as types_mod
+
+  # model.py only needs tf.estimator.ModeKeys; stub it.
+  if not hasattr(tf, 'estimator'):
+    est = types_mod.ModuleType('tf_estimator_stub')
+
+    class ModeKeys:
+      TRAIN, EVAL, PREDICT = 'train', 'eval', 'infer'
+
+    est.ModeKeys = ModeKeys
+    tf.estimator = est
+  full = 'tensorflow_ranking.python.model'
+  if full in sys.modules:
+    ref_model = sys.modules[full]
+  else:
+    spec = importlib.util.spec_from_file_location(
+        full, os.path.join(_REF_ROOT, 'python', 'model.py'))
+    ref_model = importlib.util.module_from_spec(spec)
+    sys.modules[full] = ref_model
+    spec.loader.exec_module(ref_model)
+
+  from ranking_tpu.models import groupwise
+
+  rng = np.random.RandomState(17)
+  mask = rng.rand(5, 9) > 0.3
+  mask[:, 0] = True
+  for group_size in (1, 2, 3):
+    nd_indices, ref_mask = ref_model._form_group_indices_nd(
+        tf.constant(mask), group_size,
+        shuffle=False)
+    ref_idx = np.asarray(nd_indices)[..., 1]        # [B, G, g] positions
+    got_idx, got_mask = groupwise.rolling_group_indices(
+        jnp.asarray(mask), group_size)
+    np.testing.assert_array_equal(np.asarray(got_mask),
+                                  np.asarray(ref_mask))
+    # Compare only real (unmasked) groups; padding groups are free to
+    # point anywhere (both implementations mask them out of the scatter).
+    gm = np.asarray(ref_mask)
+    np.testing.assert_array_equal(np.asarray(got_idx)[gm], ref_idx[gm])
+
+
+import jax.numpy as jnp  # noqa: E402  (used by the groupwise test)
