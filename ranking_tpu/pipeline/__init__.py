@@ -14,7 +14,7 @@ from ranking_tpu.pipeline.pipeline import (
     SimpleDatasetBuilder,
     SimplePipeline,
 )
-from ranking_tpu.pipeline.serving import Predictor
+from ranking_tpu.pipeline.serving import Predictor, evaluate_dataset
 
 __all__ = [
     'DatasetHparams',
@@ -24,6 +24,7 @@ __all__ = [
     'RankingPipeline',
     'SimpleDatasetBuilder',
     'SimplePipeline',
+    'evaluate_dataset',
     'from_yaml',
     'hparams_lib',
     'pipeline_lib',

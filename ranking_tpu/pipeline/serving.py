@@ -103,3 +103,79 @@ class Predictor:
     """Scores a pre-assembled RankingBatch."""
     return np.asarray(self._apply(self.variables, batch.context,
                                   batch.examples, batch.mask))
+
+
+def evaluate_dataset(
+    model: Any,
+    variables: Mapping[str, Any],
+    batches,
+    metric_fns: Optional[Mapping[str, Any]] = None,
+    query_id_feature: Optional[str] = None,
+    aggregated_metrics: Optional[Mapping[str, tuple]] = None,
+    predictions_csv: Optional[str] = None,
+):
+  """Standalone evaluation over a RankingBatch stream.
+
+  Computes streaming weighted-mean metrics (the pipeline's eval loop,
+  usable without a pipeline), and — when ``query_id_feature`` names a
+  context feature — cross-batch aggregated metrics grouped by query id
+  plus an optional predictions CSV (the TFR-BERT aggregated evaluation,
+  tfrbert_task.py:238-344).
+
+  Returns a dict of metric values (aggregated metrics prefixed 'agg/').
+  """
+  import jax.numpy as jnp
+
+  from ranking_tpu import train
+  from ranking_tpu.ops import aggregated as agg_lib
+  from ranking_tpu.ops import metric_registry
+
+  if metric_fns is None:
+    metric_fns = {
+        'ndcg@5': metric_registry.make_ranking_metric_fn(
+            metric_registry.RankingMetricKey.NDCG, topn=5),
+        'mrr': metric_registry.make_ranking_metric_fn(
+            metric_registry.RankingMetricKey.MRR),
+    }
+  import optax
+
+  eval_step = jax.jit(train.make_eval_step(metric_fns))
+  states = train.init_metric_states(metric_fns)
+
+  # Inference-only TrainState shell (tx/apply_fn are static fields).
+  state = train.TrainState(
+      step=jnp.zeros((), jnp.int32),
+      params=variables['params'],
+      batch_stats=variables.get('batch_stats', {}),
+      opt_state=(),
+      tx=optax.identity(),
+      apply_fn=model.apply)
+
+  from ranking_tpu.data.batch import RankingBatch
+
+  acc = agg_lib.PredictionAccumulator() if query_id_feature else None
+  for batch in batches:
+    model_batch = batch
+    if query_id_feature and query_id_feature in batch.context:
+      # The query id keys aggregation; it is never a model input.
+      ctx = {k: v for k, v in batch.context.items()
+             if k != query_id_feature}
+      model_batch = RankingBatch(context=ctx, examples=batch.examples,
+                                 labels=batch.labels, mask=batch.mask)
+    states, logits = eval_step(state, model_batch, states)
+    if acc is not None:
+      qids = np.asarray(batch.context[query_id_feature]).reshape(-1)
+      acc.add_batch(qids, np.asarray(batch.labels), np.asarray(logits),
+                    np.asarray(batch.mask))
+  out = {k: float(np.asarray(v))
+         for k, v in train.metric_results(states).items()}
+  if acc is not None:
+    specs = aggregated_metrics or {
+        'mrr': (metric_registry.RankingMetricKey.MRR, None),
+        'ndcg@5': (metric_registry.RankingMetricKey.NDCG, 5),
+    }
+    for name, value in acc.compute(specs).items():
+      out[f'agg/{name}'] = value
+    if predictions_csv:
+      acc.dump_csv(predictions_csv)
+  return out

@@ -227,3 +227,29 @@ def test_profile_epoch_writes_trace(tmp_path):
   import glob
   assert glob.glob(str(tmp_path / 'trace' / '**' / '*.xplane.pb'),
                    recursive=True)
+
+
+def test_evaluate_dataset_with_aggregation(tmp_path):
+  context_spec, example_spec = _specs()
+  pipe = pipeline.SimplePipeline(_model(), _builder(),
+                                 _hparams(tmp_path, num_epochs=1))
+  pipe.train_and_validate()
+
+  # Attach synthetic query ids to the context so aggregation has a key.
+  from ranking_tpu.data.batch import RankingBatch
+
+  def batches_with_qids():
+    for i, b in enumerate(_builder().valid_batches()):
+      qids = np.arange(i * b.batch_size, (i + 1) * b.batch_size)
+      ctx = dict(b.context)
+      ctx['query_id'] = qids
+      yield RankingBatch(context=ctx, examples=b.examples,
+                         labels=b.labels, mask=b.mask)
+
+  out = pipeline.evaluate_dataset(
+      _model(), pipe.final_state.variables, batches_with_qids(),
+      query_id_feature='query_id',
+      predictions_csv=str(tmp_path / 'preds.csv'))
+  assert 0.0 <= out['ndcg@5'] <= 1.0
+  assert 'agg/mrr' in out and 'agg/ndcg@5' in out
+  assert (tmp_path / 'preds.csv').exists()
