@@ -47,7 +47,13 @@ class DNNScorer(nn.Module):
   def __call__(self, context: FeatureDict, examples: FeatureDict,
                mask: Array, training: bool = False) -> Array:
     batch, list_size = mask.shape
-    concat = layers_lib.concat_features(context, examples, mask)
+    # Circular padding protects batch-coupled statistics (batch norm) from
+    # padding rows; without batch norm every row is scored independently
+    # and masked at restore, so the index build + gather can be skipped
+    # (it showed up at ~10% of a flagship train step in device profiles).
+    needs_padding = self.use_batch_norm or self.input_batch_norm
+    concat = layers_lib.concat_features(context, examples, mask,
+                                        circular_padding=needs_padding)
     flat = concat.reshape(batch * list_size, -1)
     scores = layers_lib.Tower(
         hidden_layer_dims=self.hidden_layer_dims,
