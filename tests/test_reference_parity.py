@@ -466,3 +466,20 @@ def test_groupwise_rolling_indices_parity(ref):
 
 
 import jax.numpy as jnp  # noqa: E402  (used by the groupwise test)
+
+
+def test_ordinal_fraction_label_parity(ref):
+  rng = np.random.RandomState(19)
+  b, l, k = 4, 6, 3
+  labels = (rng.rand(b, l) * k).astype(np.float32)  # fractional grades
+  labels[:, -1] = -1.0
+  logits3 = rng.randn(b, l, k).astype(np.float32)
+  ref_loss = ref.losses_impl.OrdinalLoss('ord', ordinal_size=k,
+                                         use_fraction_label=True)
+  expected = float(ref_loss.compute(
+      tf.constant(labels), tf.constant(logits3), None,
+      reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+  got = float(jl.OrdinalLoss(name='ord', ordinal_size=k,
+                             use_fraction_label=True)(
+      labels, logits3, reduction=SBNW))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
