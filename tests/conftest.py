@@ -23,3 +23,11 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_test_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+
+
+# Make the repo importable regardless of pytest's invocation directory.
+import sys as _sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+  _sys.path.insert(0, _REPO)

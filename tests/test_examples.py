@@ -6,12 +6,15 @@ the CPU test backend configured by conftest.py.
 """
 
 import importlib.util
+import os
 import sys
 
 REF_DATA = '/root/reference/tensorflow_ranking/examples/data'
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_example(monkeypatch, capsys, path, args):
+  path = os.path.join(REPO, path)
   spec = importlib.util.spec_from_file_location('example_under_test', path)
   mod = importlib.util.module_from_spec(spec)
   spec.loader.exec_module(mod)
