@@ -194,7 +194,7 @@ def build_ranking_dataset(
     """C++ fast path for plain ELWC batches (data/native/decoder.cc);
     returns None when the config isn't natively decodable."""
     if (data_format not in ('example_list_with_context',
-                            'sequence_example')
+                            'sequence_example', 'example_in_example')
         or shuffle_examples or list_size is None):
       return None
     try:

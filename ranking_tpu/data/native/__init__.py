@@ -76,6 +76,8 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.rt_decode_seq_batch.restype = ctypes.c_int
     lib.rt_decode_seq_batch.argtypes = lib.rt_decode_elwc_batch.argtypes
+    lib.rt_decode_eie_batch.restype = ctypes.c_int
+    lib.rt_decode_eie_batch.argtypes = lib.rt_decode_elwc_batch.argtypes
     lib.rt_scan_tfrecord.restype = ctypes.c_int64
     lib.rt_scan_tfrecord.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -212,9 +214,9 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec,
   ex_structs, ex_out = make_specs(example_spec, n * list_size)
   sizes = np.zeros(n, np.int32)
 
-  decode = (lib.rt_decode_seq_batch
-            if data_format == 'sequence_example'
-            else lib.rt_decode_elwc_batch)
+  decode = {'sequence_example': lib.rt_decode_seq_batch,
+            'example_in_example': lib.rt_decode_eie_batch}.get(
+                data_format, lib.rt_decode_elwc_batch)
   rc = decode(
       ctypes.cast(recs, ctypes.POINTER(ctypes.c_char_p)),
       ctypes.cast(lens, ctypes.POINTER(ctypes.c_int64)),

@@ -378,6 +378,105 @@ int rt_decode_elwc_batch(const uint8_t** recs, const int64_t* lens, int n,
   return 0;
 }
 
+// Decodes n serialized ExampleInExample records: an outer tf.Example
+// holding 'serialized_context' (bytes) and 'serialized_examples'
+// (repeated bytes) (tensorflow_ranking/python/data.py:133-208). Same
+// output contract as rt_decode_elwc_batch.
+int rt_decode_eie_batch(const uint8_t** recs, const int64_t* lens, int n,
+                        int list_size, FeatureSpec* ctx_specs, int n_ctx,
+                        FeatureSpec* ex_specs, int n_ex,
+                        int32_t* sizes_out) {
+  prefill(ctx_specs, n_ctx, static_cast<size_t>(n));
+  prefill(ex_specs, n_ex, static_cast<size_t>(n) * list_size);
+  static const char kCtx[] = "serialized_context";
+  static const char kExs[] = "serialized_examples";
+  for (int i = 0; i < n; ++i) {
+    // Outer Example -> Features map; find the two carrier features.
+    const uint8_t* p = recs[i];
+    const uint8_t* end = recs[i] + lens[i];
+    Slice features{nullptr, 0};
+    while (p < end) {
+      uint64_t tag;
+      if (!read_varint(p, end, &tag)) return -1;
+      if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        if (!read_len_delim(p, end, &features)) return -1;
+      } else if (!skip_field(p, end, tag & 7)) {
+        return -1;
+      }
+    }
+    int doc = 0;
+    if (features.p) {
+      p = features.p;
+      end = features.p + features.n;
+      while (p < end) {
+        uint64_t tag;
+        if (!read_varint(p, end, &tag)) return -1;
+        if ((tag >> 3) != 1 || (tag & 7) != 2) {
+          if (!skip_field(p, end, tag & 7)) return -1;
+          continue;
+        }
+        Slice entry;
+        if (!read_len_delim(p, end, &entry)) return -1;
+        const uint8_t* q = entry.p;
+        const uint8_t* qend = entry.p + entry.n;
+        Slice key{nullptr, 0}, value{nullptr, 0};
+        while (q < qend) {
+          uint64_t etag;
+          if (!read_varint(q, qend, &etag)) return -1;
+          if ((etag >> 3) == 1 && (etag & 7) == 2) {
+            if (!read_len_delim(q, qend, &key)) return -1;
+          } else if ((etag >> 3) == 2 && (etag & 7) == 2) {
+            if (!read_len_delim(q, qend, &value)) return -1;
+          } else if (!skip_field(q, qend, etag & 7)) {
+            return -1;
+          }
+        }
+        if (!key.p || !value.p) continue;
+        const bool is_ctx = key.n == sizeof(kCtx) - 1 &&
+                            std::memcmp(key.p, kCtx, key.n) == 0;
+        const bool is_exs = key.n == sizeof(kExs) - 1 &&
+                            std::memcmp(key.p, kExs, key.n) == 0;
+        if (!is_ctx && !is_exs) continue;
+        // value is a Feature -> bytes_list (field 1) -> value (field 1).
+        const uint8_t* r = value.p;
+        const uint8_t* rend = value.p + value.n;
+        while (r < rend) {
+          uint64_t ftag;
+          if (!read_varint(r, rend, &ftag)) break;
+          if ((ftag >> 3) != 1 || (ftag & 7) != 2) {
+            if (!skip_field(r, rend, ftag & 7)) break;
+            continue;
+          }
+          Slice blist;
+          if (!read_len_delim(r, rend, &blist)) break;
+          const uint8_t* u = blist.p;
+          const uint8_t* uend = blist.p + blist.n;
+          while (u < uend) {
+            uint64_t btag;
+            if (!read_varint(u, uend, &btag)) break;
+            if ((btag >> 3) != 1 || (btag & 7) != 2) {
+              if (!skip_field(u, uend, btag & 7)) break;
+              continue;
+            }
+            Slice ser;
+            if (!read_len_delim(u, uend, &ser)) break;
+            if (is_ctx) {
+              decode_example(ser, ctx_specs, n_ctx, static_cast<size_t>(i));
+            } else {
+              if (doc < list_size)
+                decode_example(ser, ex_specs, n_ex,
+                               static_cast<size_t>(i) * list_size + doc);
+              ++doc;
+            }
+          }
+        }
+      }
+    }
+    sizes_out[i] = doc < list_size ? doc : list_size;
+  }
+  return 0;
+}
+
 // Decodes n serialized SequenceExample records (context Features +
 // per-document FeatureLists). Same output contract as rt_decode_elwc_batch.
 int rt_decode_seq_batch(const uint8_t** recs, const int64_t* lens, int n,

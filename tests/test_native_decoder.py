@@ -203,3 +203,33 @@ def test_native_sequence_example_matches_python():
   np.testing.assert_allclose(nat.context['q'], py.context['q'], rtol=1e-6)
   np.testing.assert_allclose(nat.examples['f'], py.examples['f'], rtol=1e-6)
   np.testing.assert_array_equal(nat.examples['rel'], py.examples['rel'])
+
+
+def test_native_eie_matches_python():
+  rng = np.random.RandomState(8)
+  recs = []
+  for i in range(6):
+    ctx = proto.make_example({'q': [float(i)]}).SerializeToString()
+    inner = [proto.make_example({'f': [float(v) for v in rng.randn(2)],
+                                 'rel': [int(rng.randint(0, 4))]}
+                                ).SerializeToString()
+             for _ in range(rng.randint(1, 5))]
+    outer = proto.Example()
+    outer.features.feature['serialized_context'].bytes_list.value.append(ctx)
+    outer.features.feature['serialized_examples'].bytes_list.value.extend(
+        inner)
+    recs.append(outer.SerializeToString())
+  context_spec = {'q': FixedLenFeature(shape=(1,), dtype='float32',
+                                       default_value=0.0)}
+  example_spec = {
+      'f': FixedLenFeature(shape=(2,), dtype='float32', default_value=0.0),
+      'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  py = parsers.parse_example_in_example(recs, context_spec, example_spec,
+                                        list_size=3)
+  nat = native.decode_elwc_batch(recs, 3, context_spec, example_spec,
+                                 data_format='example_in_example')
+  np.testing.assert_array_equal(nat.sizes, py.sizes)
+  np.testing.assert_array_equal(nat.mask, py.mask)
+  np.testing.assert_allclose(nat.context['q'], py.context['q'], rtol=1e-6)
+  np.testing.assert_allclose(nat.examples['f'], py.examples['f'], rtol=1e-6)
+  np.testing.assert_array_equal(nat.examples['rel'], py.examples['rel'])
