@@ -137,6 +137,8 @@ class SimplePipeline:
                      else None),
         best_mode=('max' if hp.best_exporter_metric_higher_better else 'min'))
     state = _place(self.ckpt.restore(state))  # preemption-safe resume
+    from ranking_tpu.utils import tensorboard as tb
+    self._tb = tb.SummaryWriter(os.path.join(hp.model_dir, 'tensorboard'))
     weights = hp.loss_weights
     multi_weights = weights if isinstance(weights, Mapping) else None
     step_fn = train.make_train_step(self.loss_fn,
@@ -232,6 +234,8 @@ class SimplePipeline:
       dt = time.perf_counter() - t0
       epoch_metrics['examples_per_sec'] = examples_seen / dt if dt else 0.0
       train.checkpoint.write_metrics_log(hp.model_dir, step, epoch_metrics)
+      self._tb.scalars(step, epoch_metrics)
+      self._tb.flush()
       self.ckpt.save(state, metrics=epoch_metrics)
       history = epoch_metrics
       if verbose:

@@ -253,3 +253,23 @@ def test_evaluate_dataset_with_aggregation(tmp_path):
   assert 0.0 <= out['ndcg@5'] <= 1.0
   assert 'agg/mrr' in out and 'agg/ndcg@5' in out
   assert (tmp_path / 'preds.csv').exists()
+
+
+def test_tensorboard_events_written_and_readable(tmp_path):
+  pipe = pipeline.SimplePipeline(_model(), _builder(),
+                                 _hparams(tmp_path, num_epochs=1))
+  pipe.train_and_validate()
+  import glob
+  events = glob.glob(str(tmp_path / 'model' / 'tensorboard' /
+                         'events.out.tfevents.*'))
+  assert events
+  # Round-trip through TensorFlow's own event reader when available.
+  try:
+    import tensorflow as tf
+  except ImportError:
+    return
+  tags = set()
+  for rec in tf.compat.v1.train.summary_iterator(events[0]):
+    for v in rec.summary.value:
+      tags.add(v.tag)
+  assert 'loss' in tags and 'ndcg@5' in tags
