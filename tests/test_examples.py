@@ -155,3 +155,16 @@ def test_ranking_libsvm_gam_scorer(tmp_path, monkeypatch, capsys):
       '--hidden_layer_dims=4', '--scorer=gam',
   ])
   assert 'ndcg@5=' in out
+
+
+def test_multitask_ranking_example(tmp_path, monkeypatch, capsys):
+  out = _run_example(monkeypatch, capsys, 'examples/multitask_ranking.py', [
+      f'--train_pattern={REF_DATA}/train_elwc.tfrecord',
+      f'--valid_pattern={REF_DATA}/eval_elwc.tfrecord',
+      f'--model_dir={tmp_path}/model',
+      '--batch_size=4', '--list_size=5', '--num_epochs=1',
+      '--steps_per_epoch=2', '--validation_steps=1',
+      '--hash_buckets=100', '--hidden_layer_dims=8',
+  ])
+  assert 'final:' in out
+  assert 'relevance/ndcg@5' in out

@@ -571,3 +571,30 @@ class TestLossRegistry:
       fn = make_loss_fn(loss_key)
       grad = jax.grad(lambda s: fn(labels, s, key=key))(logits)
       assert np.isfinite(np.asarray(grad)).all(), loss_key
+
+
+class TestLossMetricFn:
+  """make_loss_metric_fn turns a loss into a (values, weights) eval metric
+  (python/losses.py:424 parity)."""
+
+  def test_loss_metric_matches_per_list(self):
+    from ranking_tpu.ops.loss_registry import make_loss_metric_fn
+    fn = make_loss_metric_fn(RankingLossKey.SOFTMAX_LOSS)
+    labels = jnp.array(PADDED_LABELS)
+    logits = jnp.array(LOGITS)
+    values, weights = fn(labels, logits)
+    assert values.shape == weights.shape == (labels.shape[0],)
+    # Weighted mean of per-list losses equals the scalar MEAN-style value.
+    denom = float(jnp.sum(weights))
+    assert denom > 0
+    assert np.isfinite(float(jnp.sum(values * weights) / denom))
+
+  def test_loss_metric_weights_feature(self):
+    from ranking_tpu.ops.loss_registry import make_loss_metric_fn
+    fn = make_loss_metric_fn(RankingLossKey.SIGMOID_CROSS_ENTROPY_LOSS,
+                             weights_feature_name='w')
+    labels = jnp.array(PADDED_LABELS)
+    logits = jnp.array(LOGITS)
+    values, weights = fn(labels, logits,
+                         features={'w': jnp.array(WEIGHTS_2D)})
+    assert np.isfinite(np.asarray(values)).all()
