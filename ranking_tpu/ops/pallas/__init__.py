@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 
+from ranking_tpu.ops.pallas import approx
 from ranking_tpu.ops.pallas import pairwise
 from ranking_tpu.ops.pallas.pairwise import (
     DISCOUNT_INVERSE,
@@ -140,6 +141,7 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
 
 
 __all__ = [
+    'approx',
     'DISCOUNT_INVERSE',
     'DISCOUNT_LOG2_INVERSE',
     'LAMBDA_DCG_V2',
