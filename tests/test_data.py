@@ -210,3 +210,25 @@ def test_file_sharding_disjoint(tmp_path):
   a, b = ids_for(0), ids_for(1)
   assert a and b and not (a & b)
   assert a | b == {0.0, 1.0, 10.0, 11.0, 20.0, 21.0, 30.0, 31.0}
+
+
+def test_pad_final_batch(tmp_path):
+  recs = [_elwc_bytes({}, [{'f': [float(i)], 'rel': [1]}])
+          for i in range(3)]
+  path = str(tmp_path / 'p.tfrecord')
+  tfrecord.write_records(path, recs)
+  batches = list(build_ranking_dataset(
+      path, data_format='example_list_with_context', batch_size=2,
+      context_feature_spec={},
+      example_feature_spec={
+          'f': FixedLenFeature(shape=(1,), dtype='float32',
+                               default_value=0.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)},
+      label_feature_name='rel', list_size=2, epochs=1, shuffle=False,
+      drop_remainder=False, pad_final_batch=True))
+  assert len(batches) == 2
+  last = batches[-1]
+  # Final batch padded to full batch size with fully-masked rows.
+  assert last.labels.shape == (2, 2)
+  assert not last.mask[1].any()
+  assert (last.labels[1] == -1.0).all()
