@@ -83,12 +83,13 @@ def optimizer_from_hparams(hparams: PipelineHparams):
   import optax
   name = hparams.optimizer.lower()
   lr = hparams.learning_rate
-  if name == 'adam':
-    return optax.adam(lr)
-  if name == 'adagrad':
-    return optax.adagrad(lr)
-  if name == 'sgd':
-    return optax.sgd(lr)
-  if name == 'adamw':
-    return optax.adamw(lr)
-  raise ValueError(f'Unknown optimizer {hparams.optimizer!r}')
+  factories = {'adam': optax.adam, 'adagrad': optax.adagrad,
+               'sgd': optax.sgd, 'adamw': optax.adamw}
+  if name not in factories:
+    raise ValueError(f'Unknown optimizer {hparams.optimizer!r}')
+  if hparams.automatic_reduce_lr:
+    # Hyperparam-injected form: the pipeline's plateau logic rewrites
+    # opt_state.hyperparams['learning_rate'] between epochs
+    # (ReduceLROnPlateau analog, keras/pipeline.py:512-517).
+    return optax.inject_hyperparams(factories[name])(learning_rate=lr)
+  return factories[name](lr)

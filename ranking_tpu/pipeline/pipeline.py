@@ -185,6 +185,12 @@ class SimplePipeline:
 
     best = -math.inf if hp.best_exporter_metric_higher_better else math.inf
     patience_left = hp.early_stopping_patience
+    # ReduceLROnPlateau analog (keras defaults: factor 0.1, patience 10,
+    # min_delta 0.01 * lr; reference keras/pipeline.py:512-517). Monitors
+    # the epoch train loss (the pipeline's eval loop computes ranking
+    # metrics, not loss).
+    plateau_best = math.inf
+    plateau_wait = 0
     history: Dict[str, float] = {}
     start_step = int(state.step)
     step = start_step
@@ -241,6 +247,19 @@ class SimplePipeline:
       if verbose:
         print(f'step {step}: ' + ', '.join(
             f'{k}={v:.4f}' for k, v in epoch_metrics.items()))
+
+      if hp.automatic_reduce_lr:
+        if epoch_metrics['loss'] < plateau_best - 0.01 * hp.learning_rate:
+          plateau_best = epoch_metrics['loss']
+          plateau_wait = 0
+        else:
+          plateau_wait += 1
+          if plateau_wait >= 10:
+            plateau_wait = 0
+            hyper = dict(state.opt_state.hyperparams)
+            hyper['learning_rate'] = hyper['learning_rate'] * 0.1
+            state = state.replace(
+                opt_state=state.opt_state._replace(hyperparams=hyper))
 
       # EarlyStopping / best tracking (keras/pipeline.py:512-532 analog).
       metric_name = hp.best_exporter_metric

@@ -273,3 +273,16 @@ def test_tensorboard_events_written_and_readable(tmp_path):
     for v in rec.summary.value:
       tags.add(v.tag)
   assert 'loss' in tags and 'ndcg@5' in tags
+
+
+def test_reduce_lr_on_plateau(tmp_path):
+  # Near-zero learning rate -> the loss plateaus immediately -> the lr
+  # must decay 0.1x after the 10-epoch plateau patience.
+  hp = _hparams(tmp_path, num_epochs=12, steps_per_epoch=1,
+                validation_steps=1, learning_rate=1e-9,
+                automatic_reduce_lr=True)
+  pipe = pipeline.SimplePipeline(_model(), _builder(), hp)
+  pipe.train_and_validate()
+  lr = float(np.asarray(
+      pipe.final_state.opt_state.hyperparams['learning_rate']))
+  assert lr < 1e-9 * 0.2  # at least one 0.1x reduction applied
