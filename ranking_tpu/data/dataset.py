@@ -12,7 +12,6 @@ delegated to ``tf.distribute``'s dataset iterators).
 from __future__ import annotations
 
 import concurrent.futures
-import dataclasses
 import glob as glob_lib
 import queue
 import threading
@@ -31,20 +30,6 @@ PARSER_FNS = {
     'sequence_example': parsers.parse_sequence_example,
     'tf_example': parsers.parse_tf_example,
 }
-
-
-@dataclasses.dataclass
-class DatasetHparams:
-  """Mirrors keras/pipeline.py:337-366 DatasetHparams, host-side."""
-  train_input_pattern: str = ''
-  valid_input_pattern: str = ''
-  train_batch_size: int = 32
-  valid_batch_size: int = 32
-  list_size: Optional[int] = None
-  dataset_reader: str = 'example_list_with_context'
-  convert_labels_to_binary: bool = False
-  shuffle_buffer_size: int = 1000
-  seed: Optional[int] = None
 
 
 def _records_stream(paths: List[str], epochs: Optional[int],

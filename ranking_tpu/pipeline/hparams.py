@@ -31,6 +31,9 @@ class PipelineHparams:
   early_stopping_patience: int = 0
   early_stopping_min_delta: float = 0.0
   use_weighted_metrics: bool = False
+  # Optional per-example weight feature (IPW / unbiased LTR): feeds the
+  # loss and, with use_weighted_metrics, the metric suite.
+  weights_feature_name: Optional[str] = None
   # Mesh: replaces the reference's strategy string (strategy_utils.py:45).
   mesh_data: Optional[int] = None   # None = all devices
   mesh_model: int = 1

@@ -86,20 +86,31 @@ class SimplePipeline:
     self._given_mesh = mesh  # e.g. shared with a ShardedEmbeddingEncoder
     self.metric_fns = dict(metric_fns) if metric_fns else (
         self._default_metrics())
+    loss_kwargs = dict(
+        reduction=ops.Reduction(hparams.loss_reduction),
+        weights_feature_name=hparams.weights_feature_name)
     if loss_fn is not None:
       self.loss_fn = loss_fn
     elif isinstance(hparams.loss, Mapping):
       self.loss_fn = {
-          task: ops.make_loss_fn(key) for task, key in hparams.loss.items()}
+          task: ops.make_loss_fn(key, **loss_kwargs)
+          for task, key in hparams.loss.items()}
     else:
-      self.loss_fn = ops.make_loss_fn(hparams.loss)
+      self.loss_fn = ops.make_loss_fn(hparams.loss, **loss_kwargs)
 
   def _default_metrics(self):
+    hp = self.hparams
+    weighted = (hp.weights_feature_name
+                if hp.use_weighted_metrics else None)
     fns = {}
     for topn in (1, 5, 10, None):
       name = f'ndcg@{topn}' if topn else 'ndcg'
       fns[name] = ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG,
                                              topn=topn)
+      if weighted:
+        fns[f'weighted_{name}'] = ops.make_ranking_metric_fn(
+            ops.RankingMetricKey.NDCG, topn=topn,
+            weights_feature_name=weighted)
     return fns
 
   # -- build ---------------------------------------------------------------

@@ -286,3 +286,32 @@ def test_reduce_lr_on_plateau(tmp_path):
   lr = float(np.asarray(
       pipe.final_state.opt_state.hyperparams['learning_rate']))
   assert lr < 1e-9 * 0.2  # at least one 0.1x reduction applied
+
+
+def test_weighted_metrics_and_reduction_knobs(tmp_path):
+  from ranking_tpu.data.batch import RankingBatch
+
+  class WeightedBuilder(pipeline.SimpleDatasetBuilder):
+    def _batches(self, *a, **kw):
+      rng = np.random.RandomState(5)
+      for b in super()._batches(*a, **kw):
+        ex = dict(b.examples)
+        ex['doc_w'] = (rng.rand(*b.labels.shape) + 0.5).astype(np.float32)
+        yield RankingBatch(context=b.context, examples=ex,
+                           labels=b.labels, mask=b.mask)
+
+  context_spec, example_spec = _specs()
+  builder = WeightedBuilder(
+      context_spec, example_spec,
+      pipeline.DatasetHparams(
+          train_input_pattern=f'{REF_DATA}/train_elwc.tfrecord',
+          valid_input_pattern=f'{REF_DATA}/eval_elwc.tfrecord',
+          train_batch_size=4, valid_batch_size=4, list_size=5), seed=0)
+  hp = _hparams(tmp_path, num_epochs=1,
+                loss_reduction='mean',
+                use_weighted_metrics=True,
+                weights_feature_name='doc_w')
+  pipe = pipeline.SimplePipeline(_model(), builder, hp)
+  history = pipe.train_and_validate()
+  assert 'weighted_ndcg@5' in history
+  assert np.isfinite(history['weighted_ndcg@5'])
