@@ -315,3 +315,14 @@ def test_weighted_metrics_and_reduction_knobs(tmp_path):
   history = pipe.train_and_validate()
   assert 'weighted_ndcg@5' in history
   assert np.isfinite(history['weighted_ndcg@5'])
+
+
+def test_best_checkpoint_tracked(tmp_path):
+  hp = _hparams(tmp_path, num_epochs=3, export_best_model=True,
+                best_exporter_metric='ndcg@5')
+  pipe = pipeline.SimplePipeline(_model(), _builder(), hp)
+  pipe.train_and_validate()
+  best = pipe.ckpt.best_step()
+  latest = pipe.ckpt.latest_step()
+  assert best is not None and latest == 9
+  assert 1 <= best <= 9
