@@ -57,6 +57,10 @@ class DatasetHparams:
   shuffle_buffer_size: int = 1000
   mask_feature_name: Optional[str] = None
   label_feature_name: str = 'relevance'
+  # 'python' = threaded python stream with native per-batch decode;
+  # 'native_loader' = the C++ loader runtime owns read/shuffle/decode/batch
+  # end to end (data/native/loader.cc).
+  dataset_engine: str = 'python'
 
 
 def from_yaml(path: str):

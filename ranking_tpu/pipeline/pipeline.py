@@ -40,6 +40,21 @@ class SimpleDatasetBuilder:
 
   def _batches(self, pattern, batch_size, list_size, shuffle, epochs):
     from ranking_tpu.data import dataset as ds
+    if getattr(self.hparams, 'dataset_engine', 'python') == 'native_loader':
+      return ds.native_ranking_dataset(
+          pattern,
+          data_format=self.hparams.dataset_reader,
+          batch_size=batch_size,
+          context_feature_spec=self.context_feature_spec,
+          example_feature_spec=self.example_feature_spec,
+          label_feature_name=self.hparams.label_feature_name,
+          list_size=list_size,
+          convert_labels_to_binary=self.hparams.convert_labels_to_binary,
+          epochs=epochs,
+          shuffle=shuffle,
+          shuffle_buffer_size=self.hparams.shuffle_buffer_size,
+          mask_feature_name=self.hparams.mask_feature_name,
+          seed=self.seed)
     return ds.build_ranking_dataset(
         pattern,
         data_format=self.hparams.dataset_reader,

@@ -326,3 +326,21 @@ def test_best_checkpoint_tracked(tmp_path):
   latest = pipe.ckpt.latest_step()
   assert best is not None and latest == 9
   assert 1 <= best <= 9
+
+
+def test_pipeline_native_loader_engine(tmp_path):
+  from ranking_tpu.data import native
+  if not native.available():
+    pytest.skip('no native toolchain')
+  context_spec, example_spec = _specs()
+  builder = pipeline.SimpleDatasetBuilder(
+      context_spec, example_spec,
+      pipeline.DatasetHparams(
+          train_input_pattern=f'{REF_DATA}/train_elwc.tfrecord',
+          valid_input_pattern=f'{REF_DATA}/eval_elwc.tfrecord',
+          train_batch_size=4, valid_batch_size=4, list_size=5,
+          dataset_engine='native_loader'), seed=3)
+  pipe = pipeline.SimplePipeline(_model(), builder,
+                                 _hparams(tmp_path, num_epochs=1))
+  history = pipe.train_and_validate()
+  assert np.isfinite(history['loss'])
