@@ -110,9 +110,17 @@ class RankingLoss:
 
   def __call__(self, labels, logits, weights=None, mask=None,
                reduction: Reduction = Reduction.SUM_BY_NONZERO_WEIGHTS,
-               key=None) -> Array:
+               key=None, ragged: bool = False) -> Array:
     """Reduced scalar loss (estimator-`compute` parity,
-    losses_impl.py:787-814)."""
+    losses_impl.py:787-814).
+
+    With ``ragged=True``, ``labels``/``logits``/``weights`` are host-side
+    variable-length lists (lists of lists) densified with the reference's
+    padding sentinels before computing (losses_impl.py:692-694 parity).
+    """
+    if ragged:
+      labels, logits, weights, mask = list_ops.ragged_to_dense(
+          labels, logits, weights)
     logits = self.get_logits(jnp.asarray(logits, jnp.float32))
     labels = jnp.asarray(labels, jnp.float32)
     losses, loss_weights = self.unreduced(labels, logits, mask=mask, key=key)
@@ -133,7 +141,10 @@ class _PairwiseLoss(RankingLoss):
 
   def __call__(self, labels, logits, weights=None, mask=None,
                reduction: Reduction = Reduction.SUM_BY_NONZERO_WEIGHTS,
-               key=None) -> Array:
+               key=None, ragged: bool = False) -> Array:
+    if ragged:
+      labels, logits, weights, mask = list_ops.ragged_to_dense(
+          labels, logits, weights)
     # Fused Pallas fast path (VMEM-resident pair matrices); falls back to
     # the canonical jnp path for non-kernelized configs.
     from ranking_tpu.ops import pallas as pallas_ops
@@ -347,7 +358,10 @@ class SoftmaxLoss(_ListwiseLoss):
 
   def __call__(self, labels, logits, weights=None, mask=None,
                reduction: Reduction = Reduction.SUM_BY_NONZERO_WEIGHTS,
-               key=None) -> Array:
+               key=None, ragged: bool = False) -> Array:
+    if ragged:
+      labels, logits, weights, mask = list_ops.ragged_to_dense(
+          labels, logits, weights)
     labels = jnp.asarray(labels, jnp.float32)
     logits = self.get_logits(jnp.asarray(logits, jnp.float32))
     if mask is None:
@@ -403,7 +417,10 @@ class CalibratedSoftmaxLoss(SoftmaxLoss):
 
   def __call__(self, labels, logits, weights=None, mask=None,
                reduction: Reduction = Reduction.SUM_BY_NONZERO_WEIGHTS,
-               key=None) -> Array:
+               key=None, ragged: bool = False) -> Array:
+    if ragged:
+      labels, logits, weights, mask = list_ops.ragged_to_dense(
+          labels, logits, weights)
     labels = jnp.asarray(labels, jnp.float32)
     logits = jnp.asarray(logits, jnp.float32)
     if mask is None:

@@ -598,3 +598,22 @@ class TestLossMetricFn:
     values, weights = fn(labels, logits,
                          features={'w': jnp.array(WEIGHTS_2D)})
     assert np.isfinite(np.asarray(values)).all()
+
+
+class TestRaggedCalling:
+  """ragged=True densifies variable-length host lists with the reference's
+  sentinels before computing (losses_impl.py:692-694 parity)."""
+
+  def test_ragged_equals_padded(self):
+    from ranking_tpu.ops import losses as jlo
+    ragged_labels = [[1.0, 0.0], [2.0, 1.0, 0.0]]
+    ragged_logits = [[0.5, -0.2], [1.0, 0.3, -0.4]]
+    for loss in (jlo.SoftmaxLoss(name='s'),
+                 jlo.PairwiseLogisticLoss(name='p'),
+                 jlo.MeanSquaredLoss(name='m')):
+      via_ragged = float(loss(ragged_labels, ragged_logits, ragged=True))
+      dense_labels = jnp.array([[1.0, 0.0, -1.0], [2.0, 1.0, 0.0]])
+      dense_logits = jnp.array([[0.5, -0.2, -1e6], [1.0, 0.3, -0.4]])
+      via_dense = float(loss(dense_labels, dense_logits))
+      np.testing.assert_allclose(via_ragged, via_dense, rtol=1e-5,
+                                 err_msg=loss.name)
