@@ -90,10 +90,15 @@ def make_ranking_metric_fn(
     gain_fn: Callable[[Array], Array] = metrics_impl.DEFAULT_GAIN_FN,
     rank_discount_fn: Callable[[Array], Array] = (
         metrics_impl.DEFAULT_RANK_DISCOUNT_FN),
+    ragged: bool = False,
     **kwargs: Any,
 ) -> Callable[..., Tuple[Array, Array]]:
   """Factory: ``metric_fn(labels, predictions, features=None) ->
-  (per_list_values, per_list_weights)`` (python/metrics.py:124-301)."""
+  (per_list_values, per_list_weights)`` (python/metrics.py:124-301).
+
+  With ``ragged=True`` the metric fn accepts host-side variable-length
+  lists (lists of lists), densified with the reference's sentinels
+  (python/metrics.py ragged parity via utils.ragged_to_dense)."""
   metric = build_metric(metric_key, topn=topn, name=name or '',
                         gain_fn=gain_fn, rank_discount_fn=rank_discount_fn,
                         **kwargs)
@@ -103,7 +108,12 @@ def make_ranking_metric_fn(
     if weights_feature_name:
       if features is None or weights_feature_name not in features:
         raise ValueError(f'features must contain {weights_feature_name!r}')
-      weights = jnp.asarray(features[weights_feature_name], jnp.float32)
+      weights = features[weights_feature_name]
+    if ragged:
+      labels, predictions, weights, _ = list_ops.ragged_to_dense(
+          labels, predictions, weights)
+    if weights is not None:
+      weights = jnp.asarray(weights, jnp.float32)
       if metric_key != RankingMetricKey.PWA:
         weights = list_ops.reshape_to_2d(weights)
     return metric(labels, predictions, weights=weights)

@@ -302,3 +302,22 @@ class TestMeanState:
     a = MeanState(jnp.asarray(2.0), jnp.asarray(1.0))
     b = MeanState(jnp.asarray(4.0), jnp.asarray(3.0))
     np.testing.assert_allclose(float(a.merge(b).result()), 1.5)
+
+
+class TestRaggedMetricFn:
+
+  def test_ragged_equals_padded(self):
+    import jax.numpy as jnp
+
+    from ranking_tpu.ops.metric_registry import (RankingMetricKey,
+                                                 make_ranking_metric_fn)
+    ragged_labels = [[1.0, 0.0], [2.0, 1.0, 0.0]]
+    ragged_preds = [[0.5, -0.2], [1.0, 0.3, -0.4]]
+    fn = make_ranking_metric_fn(RankingMetricKey.NDCG, topn=5, ragged=True)
+    rv, rw = fn(ragged_labels, ragged_preds)
+    dense_labels = jnp.array([[1.0, 0.0, -1.0], [2.0, 1.0, 0.0]])
+    dense_preds = jnp.array([[0.5, -0.2, -1e6], [1.0, 0.3, -0.4]])
+    dfn = make_ranking_metric_fn(RankingMetricKey.NDCG, topn=5)
+    dv, dw = dfn(dense_labels, dense_preds)
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(dv), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rw), np.asarray(dw), rtol=1e-6)
