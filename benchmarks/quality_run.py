@@ -41,6 +41,7 @@ def main():
   p.add_argument('--batch_size', type=int, default=64)
   p.add_argument('--steps', type=int, default=300)
   p.add_argument('--loss', default='approx_ndcg_loss')
+  p.add_argument('--scorer', default='dnn', choices=['dnn', 'din'])
   p.add_argument('--learning_rate', type=float, default=0.003)
   args = p.parse_args()
 
@@ -57,10 +58,15 @@ def main():
   train_x, train_y = x[:split], labels[:split]
   test_x, test_y = x[split:], labels[split:]
 
-  model = models.RankingModel(
-      scorer=models.DNNScorer(hidden_layer_dims=(256, 128, 64),
-                              dropout=0.0, use_batch_norm=False),
-      transform_name='none')
+  if args.scorer == 'din':
+    scorer = models.DINScorer(num_heads=2, head_size=32,
+                              num_attention_layers=2,
+                              hidden_layer_dims=(128, 64), dropout=0.0,
+                              use_batch_norm=False)
+  else:
+    scorer = models.DNNScorer(hidden_layer_dims=(256, 128, 64),
+                              dropout=0.0, use_batch_norm=False)
+  model = models.RankingModel(scorer=scorer, transform_name='none')
   sample = next(in_memory_batches(train_x, train_y, args.batch_size))
   state = train.create_train_state(
       model, optax.adam(args.learning_rate), jax.random.PRNGKey(0),
@@ -97,6 +103,7 @@ def main():
   after = evaluate(state)
 
   print(json.dumps({
+      'scorer': args.scorer,
       'loss': args.loss,
       'steps': args.steps,
       'before': before,
