@@ -63,7 +63,8 @@ def create_train_state(
   """
   init_rngs = {'params': rng,
                'dropout': jax.random.fold_in(rng, 1),
-               'noise': jax.random.fold_in(rng, 2)}
+               'noise': jax.random.fold_in(rng, 2),
+               'shuffle': jax.random.fold_in(rng, 3)}
   variables = jax.jit(model.init, static_argnames=('training',))(
       init_rngs, context, examples, mask, training=False)
   params = variables['params']

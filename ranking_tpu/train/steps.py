@@ -80,13 +80,14 @@ def make_train_step(
     return loss_fn(labels, logits, features=features, key=key)
 
   def train_step(state, batch: RankingBatch, key: Array):
-    dropout_key, noise_key, loss_key = jax.random.split(
-        jax.random.fold_in(key, state.step), 3)
+    dropout_key, noise_key, shuffle_key, loss_key = jax.random.split(
+        jax.random.fold_in(key, state.step), 4)
 
     def _loss(params):
       logits, new_stats = _forward(
           state, batch, training=True,
-          rngs={'dropout': dropout_key, 'noise': noise_key}, params=params)
+          rngs={'dropout': dropout_key, 'noise': noise_key,
+                'shuffle': shuffle_key}, params=params)
       loss = _total_loss(batch.labels, logits, batch.features, loss_key)
       return loss, (logits, new_stats)
 

@@ -128,3 +128,21 @@ def test_multi_task_train_and_eval():
   assert set(logits) == {'click', 'purchase'}
   results = train.metric_results(states)
   assert all(np.isfinite(float(v)) for v in results.values())
+
+
+def test_groupwise_multi_shuffle_trains():
+  # num_shuffles > 1 draws per-shuffle rngs from the 'shuffle' stream
+  # (model.py:313-339 multi-shuffle parity); the train step must supply it.
+  rng = np.random.RandomState(9)
+  batch = _synthetic_batch(rng)
+  model = models.RankingModel(
+      scorer=models.GroupwiseDNNScorer(group_size=2, num_shuffles=3,
+                                       hidden_layer_dims=(8,), dropout=0.0,
+                                       use_batch_norm=False))
+  state = train.create_train_state(
+      model, optax.adam(0.01), jax.random.PRNGKey(0),
+      batch.context, batch.examples, batch.mask)
+  step = jax.jit(train.make_train_step(
+      ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)), donate_argnums=0)
+  state, metrics = step(state, batch, jax.random.PRNGKey(1))
+  assert np.isfinite(float(metrics['loss']))
