@@ -50,8 +50,11 @@ def child():
       examples={'float_features': rng.randn(
           BATCH, LIST_SIZE, NUM_FEATURES).astype(np.float32)})
 
+  # No batch norm: matches the measured TF baseline tower exactly
+  # (benchmarks/tf_baseline.py builds Dense/relu only).
   model = models.RankingModel(
-      scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0),
+      scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
+                              use_batch_norm=False),
       transform_name='log1p')
   state = train.create_train_state(
       model, optax.adam(1e-3), jax.random.PRNGKey(0),
