@@ -483,3 +483,36 @@ def test_ordinal_fraction_label_parity(ref):
                              use_fraction_label=True)(
       labels, logits3, reduction=SBNW))
   np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_ndcg_custom_gain_discount_parity(ref):
+  labels, logits, weights = _data(seed=25)
+  ref_metric = ref.metrics_impl.NDCGMetric(
+      'ndcg', topn=None,
+      gain_fn=lambda l: l,                      # identity gain
+      rank_discount_fn=lambda r: 1.0 / r)       # inverse discount
+  rv, rw = ref_metric.compute(tf.constant(labels), tf.constant(logits),
+                              tf.constant(weights))
+  denom = float(tf.reduce_sum(rw))
+  expected = float(tf.reduce_sum(rv * rw)) / denom
+
+  from ranking_tpu.utils import fns
+  got = float(metric_registry.compute_mean(
+      metric_registry.RankingMetricKey.NDCG, labels, logits,
+      weights=weights, gain_fn=fns.identity, rank_discount_fn=fns.inverse))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_dcg_custom_gain_parity(ref):
+  labels, logits, _ = _data(seed=26)
+  ref_metric = ref.metrics_impl.DCGMetric(
+      'dcg', topn=3, gain_fn=lambda l: l * 2.0,
+      rank_discount_fn=lambda r: tf.math.log(2.0) / tf.math.log1p(r))
+  rv, rw = ref_metric.compute(tf.constant(labels), tf.constant(logits),
+                              None)
+  denom = float(tf.reduce_sum(rw))
+  expected = float(tf.reduce_sum(rv * rw)) / denom
+  got = float(metric_registry.compute_mean(
+      metric_registry.RankingMetricKey.DCG, labels, logits, topn=3,
+      gain_fn=lambda l: l * 2.0))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
