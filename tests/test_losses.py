@@ -617,3 +617,21 @@ class TestRaggedCalling:
       via_dense = float(loss(dense_labels, dense_logits))
       np.testing.assert_allclose(via_ragged, via_dense, rtol=1e-5,
                                  err_msg=loss.name)
+
+
+class TestDistillationSanity:
+  """CoupledRankDistil: a student matching the teacher's order must score
+  a lower distillation loss than a reversed student."""
+
+  def test_agreement_beats_reversal(self):
+    from ranking_tpu.ops import losses as jlo
+    rng = np.random.RandomState(0)
+    teacher = np.sort(rng.randn(8, 10).astype(np.float32), axis=1)[:, ::-1]
+    aligned = teacher * 0.7 + 0.1  # same order
+    reversed_ = -teacher           # opposite order
+    loss = jlo.CoupledRankDistilLoss(name='d', sample_size=8, topk=4)
+    key = jax.random.PRNGKey(3)
+    # Teacher scores act as soft labels.
+    good = float(loss(teacher.copy(), jnp.asarray(aligned), key=key))
+    bad = float(loss(teacher.copy(), jnp.asarray(reversed_), key=key))
+    assert good < bad
