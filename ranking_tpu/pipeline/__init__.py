@@ -9,6 +9,7 @@ from ranking_tpu.pipeline.hparams import (
     from_yaml,
 )
 from ranking_tpu.pipeline.pipeline import (
+    LibSVMDatasetBuilder,
     MultiTaskPipeline,
     RankingPipeline,
     SimpleDatasetBuilder,
@@ -18,6 +19,7 @@ from ranking_tpu.pipeline.serving import Predictor, evaluate_dataset
 
 __all__ = [
     'DatasetHparams',
+    'LibSVMDatasetBuilder',
     'MultiTaskPipeline',
     'PipelineHparams',
     'Predictor',

@@ -82,6 +82,36 @@ class SimpleDatasetBuilder:
                          or self.hparams.list_size, shuffle=False, epochs=1)
 
 
+class LibSVMDatasetBuilder:
+  """In-memory LIBSVM dataset builder for the pipelines (the
+  tf_ranking_libsvm.py ingestion path behind the modern pipeline API)."""
+
+  def __init__(self, train_path: str, valid_path: str, list_size: int,
+               num_features: int, train_batch_size: int,
+               valid_batch_size: Optional[int] = None,
+               seed: Optional[int] = 17):
+    from ranking_tpu.data import libsvm
+    self.train_x, self.train_y, _ = libsvm.load_libsvm_lists(
+        train_path, list_size, num_features)
+    self.valid_x, self.valid_y, _ = libsvm.load_libsvm_lists(
+        valid_path, list_size, num_features)
+    self.train_batch_size = train_batch_size
+    self.valid_batch_size = valid_batch_size or train_batch_size
+    self.seed = seed
+
+  def train_batches(self):
+    from ranking_tpu.data.dataset import in_memory_batches
+    return in_memory_batches(self.train_x, self.train_y,
+                             self.train_batch_size, epochs=None,
+                             shuffle=True, seed=self.seed)
+
+  def valid_batches(self):
+    from ranking_tpu.data.dataset import in_memory_batches
+    return in_memory_batches(self.valid_x, self.valid_y,
+                             self.valid_batch_size, epochs=1, shuffle=False,
+                             drop_remainder=False)
+
+
 class SimplePipeline:
   """Single-task pipeline with the reference's default metric suite:
   NDCG@1/5/10 and full-list NDCG (keras/pipeline.py:659-730)."""
@@ -182,9 +212,19 @@ class SimplePipeline:
   def _run_eval(self, state) -> Dict[str, float]:
     states = train.init_metric_states(self.metric_fns)
     n = 0
-    from ranking_tpu.data.dataset import prefetch_to_device
-    for batch in prefetch_to_device(self.dataset_builder.valid_batches(),
-                                    parallel.batch_sharding(self.mesh)):
+    n_data = self.mesh.shape[parallel.DATA_AXIS]
+    sharding = parallel.batch_sharding(self.mesh)
+
+    def _feed():
+      # Ragged final eval batches (drop_remainder=False) may not divide
+      # the data axis; feed those unsharded (jit recompiles per shape).
+      for batch in self.dataset_builder.valid_batches():
+        if batch.batch_size % n_data == 0:
+          yield jax.device_put(batch, sharding)
+        else:
+          yield jax.device_put(batch)
+
+    for batch in _feed():
       states, _ = self._eval_step(state, batch, states)
       n += 1
       if n >= self.hparams.validation_steps:

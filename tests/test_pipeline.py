@@ -344,3 +344,23 @@ def test_pipeline_native_loader_engine(tmp_path):
                                  _hparams(tmp_path, num_epochs=1))
   history = pipe.train_and_validate()
   assert np.isfinite(history['loss'])
+
+
+def test_libsvm_pipeline_end_to_end(tmp_path):
+  import flax.linen as nn
+
+  builder = pipeline.LibSVMDatasetBuilder(
+      train_path=f'{REF_DATA}/train.txt',
+      valid_path=f'{REF_DATA}/vali.txt',
+      list_size=10, num_features=136, train_batch_size=4)
+  from ranking_tpu import models
+  model = models.RankingModel(
+      scorer=models.DNNScorer(hidden_layer_dims=(16,), dropout=0.0,
+                              use_batch_norm=False),
+      transform_name='log1p')
+  hp = _hparams(tmp_path, num_epochs=1, steps_per_epoch=4,
+                validation_steps=3,
+                loss=ops.RankingLossKey.PAIRWISE_LOGISTIC_LOSS)
+  history = pipeline.SimplePipeline(model, builder, hp).train_and_validate()
+  assert np.isfinite(history['loss'])
+  assert 0.0 <= history['ndcg@5'] <= 1.0
