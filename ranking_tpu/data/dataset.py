@@ -34,14 +34,35 @@ PARSER_FNS = {
 
 def _records_stream(paths: List[str], epochs: Optional[int],
                     shuffle_files: bool,
-                    rng: np.random.RandomState) -> Iterator[bytes]:
+                    rng: np.random.RandomState,
+                    interleave_files: int = 1) -> Iterator[bytes]:
+  """File walk with optional cycle interleave: up to
+  ``interleave_files`` readers are open at once and records round-robin
+  across them (the tf.data list_files -> interleave analog,
+  python/data.py:941-960)."""
   epoch = 0
   while epochs is None or epoch < epochs:
     order = list(paths)
     if shuffle_files:
       rng.shuffle(order)
-    for p in order:
-      yield from tfrecord.read_records(p)
+    if interleave_files <= 1:
+      for p in order:
+        yield from tfrecord.read_records(p)
+    else:
+      pending = list(order)
+      readers: List[Iterator[bytes]] = []
+      while pending or readers:
+        while pending and len(readers) < interleave_files:
+          readers.append(tfrecord.read_records(pending.pop(0)))
+        i = 0
+        while i < len(readers):
+          try:
+            yield next(readers[i])
+            i += 1
+          except StopIteration:
+            readers.pop(i)
+            if pending:
+              readers.append(tfrecord.read_records(pending.pop(0)))
     epoch += 1
 
 
@@ -140,6 +161,7 @@ def build_ranking_dataset(
     prefetch_batches: int = 4,
     shard_index: Optional[int] = None,
     num_shards: Optional[int] = None,
+    interleave_files: int = 1,
 ) -> Iterator[RankingBatch]:
   """Streams RankingBatches from TFRecord files of ranking protos.
 
@@ -170,7 +192,8 @@ def build_ranking_dataset(
   rng = np.random.RandomState(seed)
   parse_fn = PARSER_FNS[data_format]
 
-  stream = _records_stream(paths, epochs, shuffle, rng)
+  stream = _records_stream(paths, epochs, shuffle, rng,
+                           interleave_files=interleave_files)
   if shuffle:
     stream = _shuffled(stream, shuffle_buffer_size, rng)
   batches = _batched(stream, batch_size, drop_remainder)

@@ -232,3 +232,27 @@ def test_pad_final_batch(tmp_path):
   assert last.labels.shape == (2, 2)
   assert not last.mask[1].any()
   assert (last.labels[1] == -1.0).all()
+
+
+def test_interleave_files_round_robins(tmp_path):
+  from ranking_tpu.data import build_ranking_dataset
+  for fi in range(3):
+    recs = [proto.make_elwc({}, [{'uid': [float(fi * 10 + ri)],
+                                  'rel': [1]}]).SerializeToString()
+            for ri in range(3)]
+    tfrecord.write_records(str(tmp_path / f'il-{fi}.tfrecord'), recs)
+  spec = {'uid': FixedLenFeature(shape=(1,), dtype='float32',
+                                 default_value=-1.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  out = []
+  for b in build_ranking_dataset(
+      str(tmp_path / 'il-*.tfrecord'),
+      data_format='example_list_with_context', batch_size=3,
+      context_feature_spec={}, example_feature_spec=spec,
+      label_feature_name='rel', list_size=1, epochs=1, shuffle=False,
+      drop_remainder=False, interleave_files=3):
+    out.extend(b.examples['uid'][:, 0, 0].tolist())
+  # Round-robin across the 3 files: first three records come one per file.
+  assert sorted(out[:3]) == [0.0, 10.0, 20.0]
+  assert sorted(out) == sorted([f * 10 + r for f in range(3)
+                                for r in range(3)])
