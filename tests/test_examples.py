@@ -168,3 +168,17 @@ def test_multitask_ranking_example(tmp_path, monkeypatch, capsys):
   ])
   assert 'final:' in out
   assert 'relevance/ndcg@5' in out
+
+
+def test_unbiased_two_tower_debiases(tmp_path, monkeypatch, capsys):
+  import importlib.util
+  path = os.path.join(REPO, 'examples/unbiased_two_tower.py')
+  spec = importlib.util.spec_from_file_location('u2t', path)
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  monkeypatch.setattr(sys, 'argv', [path, '--queries=1500', '--steps=400',
+                                    '--list_size=15', '--eta=1.5'])
+  naive, debiased = mod.main()
+  # The position-aware model must recover a meaningfully better true
+  # ranking than the naive click model.
+  assert debiased > naive + 0.03, (naive, debiased)
