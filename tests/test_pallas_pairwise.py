@@ -130,3 +130,14 @@ def test_fallback_for_unkernelized_config():
   labels, logits, weights = _data(seed=11)
   out = loss(labels, logits, weights=weights)
   assert np.isfinite(float(out))
+
+
+@pytest.mark.parametrize('tile_rows', [8, 64])
+def test_tile_rows_variants_match(tile_rows, monkeypatch):
+  monkeypatch.setattr(pk, 'TILE_ROWS', tile_rows)
+  loss = losses_lib.PairwiseLogisticLoss()
+  labels, logits, weights = _data(b=4, l=40, seed=21)
+  got = loss(labels, logits, weights=weights)
+  expected = _jnp_loss(loss, labels, logits, weights,
+                       Reduction.SUM_BY_NONZERO_WEIGHTS)
+  np.testing.assert_allclose(float(got), float(expected), rtol=1e-5)
