@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 TILE_B = 8     # lists per program (sublane-aligned)
-TILE_ROWS = 32  # pair-matrix rows per program
+TILE_ROWS = 64  # pair-matrix rows per program (device-profiled: ~3% over 32)
 
 LOSS_LOGISTIC = 0
 LOSS_HINGE = 1
