@@ -8,6 +8,11 @@ configured with the DASALC hyperparameters (4 attention layers x 2 heads x
 reproduces the DASALC architecture — pass --dasalc.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 

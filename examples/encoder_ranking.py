@@ -8,6 +8,11 @@ be overlaid with ``models.warm_start_from`` (pass --warm_start_dir with an
 Orbax export holding encoder params).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 

@@ -8,6 +8,11 @@ primary relevance (a click simulation) so the example runs on the bundled
 reference data.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 

@@ -12,6 +12,11 @@ Usage (runs on the reference's bundled ANTIQUE-style sample data):
     --valid_pattern=/root/reference/tensorflow_ranking/examples/data/eval_elwc.tfrecord
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 

@@ -13,6 +13,11 @@ Usage:
     --loss=pairwise_logistic_loss --num_train_steps=1000
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 

@@ -13,6 +13,11 @@ Usage (after examples/ranking_elwc_pipeline.py has exported a model):
     --output=/tmp/scores.csv
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import csv
 

@@ -16,6 +16,11 @@ each relevance scorer against the *true* (hidden) labels: the two-tower
 model debiases, the naive model does not.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 
