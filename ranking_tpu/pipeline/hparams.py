@@ -57,6 +57,9 @@ class DatasetHparams:
   shuffle_buffer_size: int = 1000
   mask_feature_name: Optional[str] = None
   label_feature_name: str = 'relevance'
+  size_feature_name: Optional[str] = None
+  # Cycle-interleave width across input files (tf.data interleave analog).
+  interleave_files: int = 1
   # 'python' = threaded python stream with native per-batch decode;
   # 'native_loader' = the C++ loader runtime owns read/shuffle/decode/batch
   # end to end (data/native/loader.cc).

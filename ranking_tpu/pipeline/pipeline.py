@@ -54,6 +54,7 @@ class SimpleDatasetBuilder:
           shuffle=shuffle,
           shuffle_buffer_size=self.hparams.shuffle_buffer_size,
           mask_feature_name=self.hparams.mask_feature_name,
+          size_feature_name=self.hparams.size_feature_name,
           seed=self.seed)
     return ds.build_ranking_dataset(
         pattern,
@@ -68,6 +69,8 @@ class SimpleDatasetBuilder:
         shuffle=shuffle,
         shuffle_buffer_size=self.hparams.shuffle_buffer_size,
         mask_feature_name=self.hparams.mask_feature_name,
+        size_feature_name=self.hparams.size_feature_name,
+        interleave_files=self.hparams.interleave_files,
         seed=self.seed)
 
   def train_batches(self) -> Iterator[RankingBatch]:
