@@ -87,9 +87,21 @@ class Predictor:
           serialized_elwcs, {}, {}, list_size=None)
       longest = max(1, int(parsed0.sizes.max()))
       list_size = 1 << (longest - 1).bit_length()
-    parsed = parsers.parse_example_list(
-        serialized_elwcs, self.context_feature_spec,
-        self.example_feature_spec, list_size=list_size)
+    parsed = None
+    try:
+      # C++ decode fast path (data/native/decoder.cc) when the specs are
+      # natively decodable; python parse otherwise.
+      from ranking_tpu.data import native
+      if native.available():
+        parsed = native.decode_elwc_batch(
+            list(serialized_elwcs), list_size, self.context_feature_spec,
+            self.example_feature_spec)
+    except (ValueError, RuntimeError):
+      parsed = None
+    if parsed is None:
+      parsed = parsers.parse_example_list(
+          serialized_elwcs, self.context_feature_spec,
+          self.example_feature_spec, list_size=list_size)
     return self._run(parsed)
 
   def regress(self, serialized_examples: Sequence[bytes]) -> np.ndarray:
