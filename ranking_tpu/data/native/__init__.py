@@ -78,6 +78,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rt_decode_seq_batch.argtypes = lib.rt_decode_elwc_batch.argtypes
     lib.rt_decode_eie_batch.restype = ctypes.c_int
     lib.rt_decode_eie_batch.argtypes = lib.rt_decode_elwc_batch.argtypes
+    lib.rt_decode_example_batch.restype = ctypes.c_int
+    lib.rt_decode_example_batch.argtypes = lib.rt_decode_elwc_batch.argtypes
     lib.rt_scan_tfrecord.restype = ctypes.c_int64
     lib.rt_scan_tfrecord.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -215,7 +217,8 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec,
   sizes = np.zeros(n, np.int32)
 
   decode = {'sequence_example': lib.rt_decode_seq_batch,
-            'example_in_example': lib.rt_decode_eie_batch}.get(
+            'example_in_example': lib.rt_decode_eie_batch,
+            'tf_example': lib.rt_decode_example_batch}.get(
                 data_format, lib.rt_decode_elwc_batch)
   rc = decode(
       ctypes.cast(recs, ctypes.POINTER(ctypes.c_char_p)),

@@ -378,6 +378,25 @@ int rt_decode_elwc_batch(const uint8_t** recs, const int64_t* lens, int n,
   return 0;
 }
 
+// Decodes n serialized plain tf.Example records pointwise: each record is
+// one document (list_size rows padded), context features read from the
+// same record (python/data.py:1348-1395 serving parity).
+int rt_decode_example_batch(const uint8_t** recs, const int64_t* lens,
+                            int n, int list_size, FeatureSpec* ctx_specs,
+                            int n_ctx, FeatureSpec* ex_specs, int n_ex,
+                            int32_t* sizes_out) {
+  prefill(ctx_specs, n_ctx, static_cast<size_t>(n));
+  prefill(ex_specs, n_ex, static_cast<size_t>(n) * list_size);
+  for (int i = 0; i < n; ++i) {
+    Slice rec{recs[i], static_cast<size_t>(lens[i])};
+    decode_example(rec, ctx_specs, n_ctx, static_cast<size_t>(i));
+    decode_example(rec, ex_specs, n_ex,
+                   static_cast<size_t>(i) * list_size);
+    sizes_out[i] = 1;
+  }
+  return 0;
+}
+
 // Decodes n serialized ExampleInExample records: an outer tf.Example
 // holding 'serialized_context' (bytes) and 'serialized_examples'
 // (repeated bytes) (tensorflow_ranking/python/data.py:133-208). Same

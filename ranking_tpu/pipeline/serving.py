@@ -106,9 +106,19 @@ class Predictor:
 
   def regress(self, serialized_examples: Sequence[bytes]) -> np.ndarray:
     """[B] scores from serialized pointwise tf.Example protos."""
-    parsed = parsers.parse_tf_example(
-        serialized_examples, self.context_feature_spec,
-        self.example_feature_spec, list_size=1)
+    parsed = None
+    try:
+      from ranking_tpu.data import native
+      if native.available():
+        parsed = native.decode_elwc_batch(
+            list(serialized_examples), 1, self.context_feature_spec,
+            self.example_feature_spec, data_format='tf_example')
+    except (ValueError, RuntimeError):
+      parsed = None
+    if parsed is None:
+      parsed = parsers.parse_tf_example(
+          serialized_examples, self.context_feature_spec,
+          self.example_feature_spec, list_size=1)
     return self._run(parsed)[:, 0]
 
   def score_batch(self, batch) -> np.ndarray:

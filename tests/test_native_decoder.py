@@ -233,3 +233,24 @@ def test_native_eie_matches_python():
   np.testing.assert_allclose(nat.context['q'], py.context['q'], rtol=1e-6)
   np.testing.assert_allclose(nat.examples['f'], py.examples['f'], rtol=1e-6)
   np.testing.assert_array_equal(nat.examples['rel'], py.examples['rel'])
+
+
+def test_native_tf_example_matches_python():
+  rng = np.random.RandomState(9)
+  recs = [proto.make_example({'q': [float(i)],
+                              'f': [float(v) for v in rng.randn(2)],
+                              'rel': [int(rng.randint(0, 4))]}
+                             ).SerializeToString() for i in range(5)]
+  context_spec = {'q': FixedLenFeature(shape=(1,), dtype='float32',
+                                       default_value=0.0)}
+  example_spec = {
+      'f': FixedLenFeature(shape=(2,), dtype='float32', default_value=0.0),
+      'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  py = parsers.parse_tf_example(recs, context_spec, example_spec,
+                                list_size=1)
+  nat = native.decode_elwc_batch(recs, 1, context_spec, example_spec,
+                                 data_format='tf_example')
+  np.testing.assert_array_equal(nat.sizes, py.sizes)
+  np.testing.assert_allclose(nat.context['q'], py.context['q'], rtol=1e-6)
+  np.testing.assert_allclose(nat.examples['f'], py.examples['f'], rtol=1e-6)
+  np.testing.assert_array_equal(nat.examples['rel'], py.examples['rel'])
