@@ -16,6 +16,7 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 10
+USE_BN = '--no_bn' not in sys.argv  # --no_bn reproduces the 1.06 ms figure
 
 
 def main():
@@ -33,7 +34,7 @@ def main():
       labels=labels, examples={'x': rng.randn(B, L, F).astype(np.float32)})
   model = models.RankingModel(
       scorer=models.DNNScorer(hidden_layer_dims=(1024, 512, 256),
-                              dropout=0.0))
+                              dropout=0.0, use_batch_norm=USE_BN))
   state = train.create_train_state(
       model, optax.adam(1e-3), jax.random.PRNGKey(0),
       batch.context, batch.examples, batch.mask)
@@ -78,6 +79,7 @@ def main():
 
   out = {
       'steps': STEPS,
+      'batch_norm': USE_BN,
       'wall_ms_per_step': round(wall / STEPS * 1e3, 3),
       'device_ms_per_step': (round(device_ms / STEPS, 3)
                              if device_ms else None),
