@@ -103,7 +103,8 @@ def main():
       learning_rate=args.learning_rate,
       loss=args.loss,
       export_best_model=True,
-      best_exporter_metric='ndcg@5')
+      best_exporter_metric='ndcg@5',
+      best_exporter_metric_higher_better=True)
 
   loss_fn = None
   if args.weights_feature:

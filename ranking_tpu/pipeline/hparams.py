@@ -25,7 +25,9 @@ class PipelineHparams:
   loss_reduction: str = 'sum_by_nonzero_weights'
   steps_per_execution: int = 10
   export_best_model: bool = False
-  best_exporter_metric_higher_better: bool = True
+  # Matches the reference default (keras/pipeline.py:327): the default
+  # monitored metric is 'loss', for which lower is better.
+  best_exporter_metric_higher_better: bool = False
   best_exporter_metric: str = 'loss'
   automatic_reduce_lr: bool = False
   early_stopping_patience: int = 0

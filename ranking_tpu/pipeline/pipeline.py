@@ -190,10 +190,18 @@ class SimplePipeline:
               s.batch_stats))
 
     state = _place(state)
+    # The reference monitors the *validation* stream: 'val_' + metric, with
+    # metric 'loss' meaning the validation loss (keras/pipeline.py:497-532).
+    self._monitor = ('val_loss' if hp.best_exporter_metric == 'loss'
+                     else hp.best_exporter_metric)
+    if self._monitor != 'val_loss' and self._monitor not in self.metric_fns:
+      raise ValueError(
+          f'best_exporter_metric {hp.best_exporter_metric!r} is not among '
+          f'the computed validation metrics: '
+          f'{sorted(self.metric_fns) + ["loss"]}')
     self.ckpt = train.CheckpointManager(
         os.path.join(hp.model_dir, 'checkpoints'),
-        best_metric=(hp.best_exporter_metric if hp.export_best_model
-                     else None),
+        best_metric=(self._monitor if hp.export_best_model else None),
         best_mode=('max' if hp.best_exporter_metric_higher_better else 'min'))
     state = _place(self.ckpt.restore(state))  # preemption-safe resume
     from ranking_tpu.utils import tensorboard as tb
@@ -207,13 +215,15 @@ class SimplePipeline:
     # dispatch via lax.scan over a [K, B, ...] stacked batch.
     self._multi_step = jax.jit(train.make_multi_step(step_fn),
                                donate_argnums=0)
-    self._eval_step = jax.jit(train.make_eval_step(self.metric_fns))
+    self._eval_step = jax.jit(train.make_eval_step(
+        self.metric_fns, loss_fn=self.loss_fn,
+        multi_task_weights=multi_weights))
     return state
 
   # -- loops ---------------------------------------------------------------
 
   def _run_eval(self, state) -> Dict[str, float]:
-    states = train.init_metric_states(self.metric_fns)
+    states = train.init_metric_states(self.metric_fns, with_loss=True)
     n = 0
     n_data = self.mesh.shape[parallel.DATA_AXIS]
     sharding = parallel.batch_sharding(self.mesh)
@@ -233,7 +243,10 @@ class SimplePipeline:
       if n >= self.hparams.validation_steps:
         break
     results = train.metric_results(states)
-    return {k: float(np.asarray(v)) for k, v in results.items()}
+    out = {k: float(np.asarray(v)) for k, v in results.items()}
+    # The eval loop's streamed loss is the reference's 'val_loss'.
+    out['val_loss'] = out.pop('loss')
+    return out
 
   def train_and_validate(self, verbose: bool = False) -> Dict[str, float]:
     hp = self.hparams
@@ -256,8 +269,7 @@ class SimplePipeline:
     patience_left = hp.early_stopping_patience
     # ReduceLROnPlateau analog (keras defaults: factor 0.1, patience 10,
     # min_delta 0.01 * lr; reference keras/pipeline.py:512-517). Monitors
-    # the epoch train loss (the pipeline's eval loop computes ranking
-    # metrics, not loss).
+    # the validation loss, exactly as the reference callback does.
     plateau_best = math.inf
     plateau_wait = 0
     history: Dict[str, float] = {}
@@ -318,8 +330,8 @@ class SimplePipeline:
             f'{k}={v:.4f}' for k, v in epoch_metrics.items()))
 
       if hp.automatic_reduce_lr:
-        if epoch_metrics['loss'] < plateau_best - 0.01 * hp.learning_rate:
-          plateau_best = epoch_metrics['loss']
+        if epoch_metrics['val_loss'] < plateau_best - 0.01 * hp.learning_rate:
+          plateau_best = epoch_metrics['val_loss']
           plateau_wait = 0
         else:
           plateau_wait += 1
@@ -330,9 +342,14 @@ class SimplePipeline:
             state = state.replace(
                 opt_state=state.opt_state._replace(hyperparams=hyper))
 
-      # EarlyStopping / best tracking (keras/pipeline.py:512-532 analog).
-      metric_name = hp.best_exporter_metric
-      current = epoch_metrics.get(metric_name, epoch_metrics['loss'])
+      # EarlyStopping / best tracking (keras/pipeline.py:512-532 analog):
+      # monitors the validation stream; a missing metric name is an error,
+      # never a silent fallback.
+      if self._monitor not in epoch_metrics:
+        raise ValueError(
+            f'best_exporter_metric {hp.best_exporter_metric!r} is not among '
+            f'the computed validation metrics: {sorted(epoch_metrics)}')
+      current = epoch_metrics[self._monitor]
       improved = (current > best + hp.early_stopping_min_delta
                   if hp.best_exporter_metric_higher_better
                   else current < best - hp.early_stopping_min_delta)

@@ -133,15 +133,27 @@ def make_multi_step(
 
 def make_eval_step(
     metric_fns: Mapping[str, MetricFn],
+    loss_fn: Optional[Any] = None,
+    multi_task_weights: Optional[Mapping[str, float]] = None,
 ) -> Callable[..., Tuple[Dict[str, MeanState], Any]]:
   """Builds ``eval_step(state, batch, metric_states) -> (states, logits)``.
 
   ``metric_fns`` maps display name -> fn from ``ops.make_ranking_metric_fn``.
   For multi-task models, names of the form ``task/metric`` route to that
-  task's logits/labels. Metric states are ``MeanState`` pytrees — pure
-  functional analogs of ``tf.keras.metrics.Mean`` variables
-  (keras/metrics.py:156-200) that also ``psum`` across hosts.
+  task's logits/labels; an unknown ``task/`` prefix raises (a typo must not
+  silently score the wrong head). Names without a ``/`` separator use the
+  first task. Metric states are ``MeanState`` pytrees — pure functional
+  analogs of ``tf.keras.metrics.Mean`` variables (keras/metrics.py:156-200)
+  that also ``psum`` across hosts.
+
+  If ``loss_fn`` is given (same shape as make_train_step's: a single fn or a
+  ``{task: fn}`` dict), a reserved ``'loss'`` state streams the validation
+  loss — the ``val_loss`` quantity the reference's ReduceLROnPlateau and
+  best-export callbacks monitor (keras/pipeline.py:497-517).
   """
+  if loss_fn is not None and 'loss' in metric_fns:
+    raise ValueError("'loss' is reserved for the validation loss state; "
+                     'rename the metric.')
 
   def eval_step(state, batch: RankingBatch,
                 metric_states: Dict[str, MeanState]):
@@ -149,23 +161,47 @@ def make_eval_step(
     out = {}
     for name, fn in metric_fns.items():
       if isinstance(logits, dict):
-        task, _, _rest = name.partition('/')
+        task, sep, _rest = name.partition('/')
+        if sep and task not in logits:
+          raise ValueError(
+              f'Metric {name!r} routes to unknown task {task!r}; '
+              f'model tasks: {sorted(logits)}')
         default_logits = next(iter(sorted(logits.items())))[1]
-        task_logits = logits.get(task, default_logits)
+        task_logits = logits[task] if sep else default_logits
         task_labels = (batch.labels[task]
-                       if isinstance(batch.labels, dict) else batch.labels)
+                       if sep and isinstance(batch.labels, dict)
+                       else (next(iter(sorted(batch.labels.items())))[1]
+                             if isinstance(batch.labels, dict)
+                             else batch.labels))
       else:
         task_logits, task_labels = logits, batch.labels
       values, weights = fn(task_labels, task_logits, features=batch.features)
       out[name] = metric_states[name].update(values, weights)
+    if loss_fn is not None:
+      if isinstance(loss_fn, Mapping):
+        loss = jnp.zeros((), jnp.float32)
+        for task, fn in sorted(loss_fn.items()):
+          w = (1.0 if not multi_task_weights
+               else multi_task_weights.get(task, 1.0))
+          loss = loss + w * fn(batch.labels[task], logits[task],
+                               features=batch.features, key=None)
+      else:
+        loss = loss_fn(batch.labels, logits, features=batch.features,
+                       key=None)
+      out['loss'] = metric_states['loss'].update(
+          loss[None], jnp.ones((1,), jnp.float32))
     return out, logits
 
   return eval_step
 
 
 def init_metric_states(
-    metric_fns: Mapping[str, MetricFn]) -> Dict[str, MeanState]:
-  return {name: MeanState.zero() for name in metric_fns}
+    metric_fns: Mapping[str, MetricFn],
+    with_loss: bool = False) -> Dict[str, MeanState]:
+  states = {name: MeanState.zero() for name in metric_fns}
+  if with_loss:
+    states['loss'] = MeanState.zero()
+  return states
 
 
 def metric_results(metric_states: Mapping[str, MeanState]) -> Dict[str, Array]:

@@ -319,13 +319,42 @@ def test_weighted_metrics_and_reduction_knobs(tmp_path):
 
 def test_best_checkpoint_tracked(tmp_path):
   hp = _hparams(tmp_path, num_epochs=3, export_best_model=True,
-                best_exporter_metric='ndcg@5')
+                best_exporter_metric='ndcg@5',
+                best_exporter_metric_higher_better=True)
   pipe = pipeline.SimplePipeline(_model(), _builder(), hp)
   pipe.train_and_validate()
   best = pipe.ckpt.best_step()
   latest = pipe.ckpt.latest_step()
   assert best is not None and latest == 9
   assert 1 <= best <= 9
+
+
+def test_best_export_defaults_track_min_val_loss(tmp_path):
+  # Footgun fixed in round 2: with defaults (metric='loss'), "best" must be
+  # the *lowest* validation loss (reference keras/pipeline.py:327,497-510),
+  # not the highest.
+  hp = _hparams(tmp_path, num_epochs=3, export_best_model=True)
+  assert hp.best_exporter_metric_higher_better is False
+  pipe = pipeline.SimplePipeline(_model(), _builder(), hp)
+  history = pipe.train_and_validate()
+  assert 'val_loss' in history and np.isfinite(history['val_loss'])
+  assert pipe.ckpt.best_step() is not None
+  # The tracked best value equals the min val_loss seen across epochs.
+  import json, os
+  log = os.path.join(str(tmp_path / 'model'), 'metrics.jsonl')
+  vals = [json.loads(l)['val_loss'] for l in open(log)]
+  best_logged = min(vals)
+  best_state = pipe.ckpt.best_step()
+  steps = [json.loads(l)['step'] for l in open(log)]
+  assert steps[vals.index(best_logged)] == best_state
+
+
+def test_monitoring_unknown_metric_raises(tmp_path):
+  hp = _hparams(tmp_path, num_epochs=1, export_best_model=True,
+                best_exporter_metric='ndgc@5')  # typo
+  pipe = pipeline.SimplePipeline(_model(), _builder(), hp)
+  with pytest.raises(ValueError, match='ndgc@5'):
+    pipe.train_and_validate()
 
 
 def test_pipeline_native_loader_engine(tmp_path):

