@@ -32,6 +32,11 @@ class FeatureSpecStruct(ctypes.Structure):
       ('fout', ctypes.POINTER(ctypes.c_float)),
       ('iout', ctypes.POINTER(ctypes.c_int32)),
       ('default_value', ctypes.c_float),
+      # int64 values decode at full width (no float/int32 narrowing).
+      ('lout', ctypes.POINTER(ctypes.c_int64)),
+      # Per-row decoded-value counts; lets the binding enforce the Python
+      # parser's required-feature / wrong-count errors on the fast path.
+      ('present', ctypes.POINTER(ctypes.c_int32)),
   ]
 
 
@@ -136,6 +141,32 @@ def available() -> bool:
   return _load() is not None
 
 
+def check_presence(outputs, valid_rows) -> None:
+  """Enforces the strict Python-parser semantics on the native fast path.
+
+  ``outputs`` maps name -> (arr, spec, presence) where presence is a [rows]
+  int32 decoded-value-count array (None for varlen specs); ``valid_rows`` is
+  a bool [rows] mask of rows backed by real records/documents (None = all).
+  Mirrors parsers._extract: a required FixedLenFeature (default_value None)
+  absent from a real record raises, and a present feature with the wrong
+  value count raises — exactly like the pure-Python parse path.
+  """
+  import numpy as np
+  from ranking_tpu.data import parsers
+  for name, (_arr, spec, presence) in outputs.items():
+    if presence is None or not isinstance(spec, parsers.FixedLenFeature):
+      continue
+    size = int(np.prod(spec.shape)) if spec.shape else 1
+    counts = presence if valid_rows is None else presence[valid_rows]
+    if spec.default_value is None and (counts == 0).any():
+      raise ValueError(f'Missing required feature {name!r}')
+    bad = (counts != 0) & (counts != size)
+    if bad.any():
+      got = int(counts[bad][0])
+      raise ValueError(
+          f'Feature {name!r}: got {got} values, expected {size}')
+
+
 def read_tfrecord_payloads(path: str):
   """Fast TFRecord payload scan; returns a list of bytes."""
   lib = _load()
@@ -179,16 +210,26 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec,
       spec = spec_map[name]
       st = FeatureSpecStruct()
       st.name = name.encode()
+      presence = None
       if isinstance(spec, parsers.FixedLenFeature):
         size = int(np.prod(spec.shape)) if spec.shape else 1
-        st.kind = (KIND_FIXED_FLOAT if spec.dtype == 'float32'
-                   else KIND_FIXED_INT64)
+        st.size = size
         if spec.dtype == 'string':
           raise ValueError('fixed-len string not supported natively')
-        st.size = size
-        st.default_value = float(spec.default_value or 0.0)
-        arr = np.empty((rows, size), np.float32)
-        st.fout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        st.default_value = float(
+            0.0 if spec.default_value is None else spec.default_value)
+        if spec.dtype == 'float32':
+          st.kind = KIND_FIXED_FLOAT
+          arr = np.empty((rows, size), np.float32)
+          st.fout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        else:
+          st.kind = KIND_FIXED_INT64
+          arr = np.empty((rows, size), np.int64)
+          st.lout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        # Presence counts enforce the strict-parser semantics
+        # (missing required / wrong value count raise, parsers._extract).
+        presence = np.zeros(rows, np.int32)
+        st.present = presence.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
       else:
         if spec.max_len is None:
           raise ValueError('native varlen decode requires max_len')
@@ -198,14 +239,16 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec,
             raise ValueError('native string decode requires hash_buckets')
           st.kind = KIND_VARLEN_HASHED
           st.buckets = spec.hash_buckets
+          arr = np.empty((rows, spec.max_len), np.int32)
+          st.iout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         elif spec.dtype == 'int64':
           st.kind = KIND_VARLEN_INT64
+          arr = np.empty((rows, spec.max_len), np.int64)
+          st.lout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         else:
           raise ValueError('native varlen float not supported')
-        arr = np.empty((rows, spec.max_len), np.int32)
-        st.iout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
       structs.append(st)
-      outputs[name] = (arr, spec)
+      outputs[name] = (arr, spec, presence)
     arr_type = FeatureSpecStruct * max(1, len(structs))
     c_arr = arr_type(*structs) if structs else arr_type()
     return c_arr, outputs
@@ -232,25 +275,26 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec,
   if rc != 0:
     raise ValueError('malformed ELWC record in native decode')
 
+  mask = np.arange(list_size)[None, :] < sizes[:, None]
+  check_presence(ctx_out, valid_rows=None)
+  check_presence(ex_out, valid_rows=mask.reshape(-1))
+
   def finalize(outputs, rows, listwise):
     out = {}
-    for name, (arr, spec) in outputs.items():
+    for name, (arr, spec, _presence) in outputs.items():
       if isinstance(spec, parsers.FixedLenFeature):
         a = arr
-        if spec.dtype == 'int64':
-          a = a.astype(np.int64)
         if spec.shape:
           a = a.reshape((rows,) + tuple(spec.shape))
         else:
           a = a.reshape(rows)
       else:
-        a = arr.astype(np.int64)
+        a = arr if arr.dtype == np.int64 else arr.astype(np.int64)
       if listwise:
         a = a.reshape((n, list_size) + a.shape[1:])
       out[name] = a
     return out
 
-  mask = np.arange(list_size)[None, :] < sizes[:, None]
   return parsers.ParsedLists(
       context=finalize(ctx_out, n, False),
       examples=finalize(ex_out, n * list_size, True),
@@ -319,7 +363,8 @@ class NativeLoader:
           st.kind = (KIND_FIXED_FLOAT if spec.dtype == 'float32'
                      else KIND_FIXED_INT64)
           st.size = int(np.prod(spec.shape)) if spec.shape else 1
-          st.default_value = float(spec.default_value or 0.0)
+          st.default_value = float(
+              0.0 if spec.default_value is None else spec.default_value)
         else:
           if spec.max_len is None:
             raise ValueError('native loader requires max_len')
@@ -363,13 +408,22 @@ class NativeLoader:
       for i, name in enumerate(sorted(spec_map)):
         spec = spec_map[name]
         st = structs[i]
-        if st.kind <= 1:
+        presence = None
+        if st.kind == KIND_FIXED_FLOAT:
           arr = np.zeros((rows, st.size), np.float32)
           st.fout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        elif st.kind in (KIND_FIXED_INT64, KIND_VARLEN_INT64):
+          arr = np.full((rows, st.size),
+                        0 if st.kind == KIND_FIXED_INT64 else -1, np.int64)
+          st.lout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         else:
           arr = np.full((rows, st.size), -1, np.int32)
           st.iout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        outputs[name] = (arr, spec)
+        if st.kind in (KIND_FIXED_FLOAT, KIND_FIXED_INT64):
+          presence = np.zeros(rows, np.int32)
+          st.present = presence.ctypes.data_as(
+              ctypes.POINTER(ctypes.c_int32))
+        outputs[name] = (arr, spec, presence)
       return outputs
 
     ctx_out = alloc(self.context_spec, self._ctx_structs, self.batch_size)
@@ -386,26 +440,30 @@ class NativeLoader:
     if n == 0:
       raise StopIteration
 
+    sizes = sizes[:n]
+    mask = np.arange(self.list_size)[None, :] < sizes[:, None]
+    full_mask = np.zeros(self.batch_size * self.list_size, bool)
+    full_mask[:n * self.list_size] = mask.reshape(-1)
+    ctx_valid = np.zeros(self.batch_size, bool)
+    ctx_valid[:n] = True
+    check_presence(ctx_out, valid_rows=ctx_valid)
+    check_presence(ex_out, valid_rows=full_mask)
+
     def finalize(outputs, listwise):
       out = {}
-      for name, (arr, spec) in outputs.items():
+      for name, (arr, spec, _presence) in outputs.items():
         a = arr[:n * self.list_size] if listwise else arr[:n]
         if isinstance(spec, parsers.FixedLenFeature):
-          if spec.dtype == 'int64':
-            a = a.astype(np.int64)
           if spec.shape:
             a = a.reshape((a.shape[0],) + tuple(spec.shape))
           else:
             a = a.reshape(a.shape[0])
         else:
-          a = a.astype(np.int64)
+          a = a if a.dtype == np.int64 else a.astype(np.int64)
         if listwise:
           a = a.reshape((n, self.list_size) + a.shape[1:])
         out[name] = a
       return out
-
-    sizes = sizes[:n]
-    mask = np.arange(self.list_size)[None, :] < sizes[:, None]
     return parsers.ParsedLists(
         context=finalize(ctx_out, False),
         examples=finalize(ex_out, True),

@@ -96,24 +96,31 @@ inline uint64_t fnv1a(const uint8_t* p, size_t n) {
 
 // --- feature spec ----------------------------------------------------------
 
-// kind: 0 = fixed-len float, 1 = fixed-len int64 (as float out),
+// kind: 0 = fixed-len float, 1 = fixed-len int64,
 //       2 = varlen int64 tokens, 3 = varlen hashed-string tokens
 struct FeatureSpec {
   const char* name;
   int32_t kind;
   int32_t size;      // fixed: values per example; varlen: max_len
   int64_t buckets;   // kind 3: hash bucket count
-  float* fout;       // kind 0/1 output base
-  int32_t* iout;     // kind 2/3 output base (int32 ids, -1 pad)
+  float* fout;       // kind 0 output base
+  int32_t* iout;     // kind 3 output base (int32 ids, -1 pad)
   float default_value;
+  int64_t* lout;     // kind 1/2 output base (full-width int64, no narrowing)
+  int32_t* present;  // optional per-row value count (required-feature and
+                     // wrong-count checks happen in the Python binding)
 };
 
 // Decodes one Feature message into the output row for (spec, row_offset).
+// `seen` counts every value of the matching list type (even past the write
+// cap) so the binding can detect wrong-count required features the same way
+// the Python parser does.
 inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
                                   size_t out_index) {
   const uint8_t* p = feat.p;
   const uint8_t* end = feat.p + feat.n;
   int wrote = 0;
+  int seen = 0;
   while (p < end) {
     uint64_t tag;
     if (!read_varint(p, end, &tag)) return;
@@ -142,11 +149,13 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
           float v;
           std::memcpy(&v, q, 4);
           q += 4;
+          ++seen;
           if (wrote < spec.size) spec.fout[out_index * spec.size + wrote++] = v;
         } else if (vwt == 2) {  // packed floats
           Slice packed;
           if (!read_len_delim(q, qend, &packed)) return;
           size_t count = packed.n / 4;
+          seen += static_cast<int>(count);
           for (size_t i = 0; i < count && wrote < spec.size; ++i) {
             float v;
             std::memcpy(&v, packed.p + 4 * i, 4);
@@ -160,14 +169,10 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
         if (vwt == 0) {
           uint64_t v;
           if (!read_varint(q, qend, &v)) return;
-          if (wrote < spec.size) {
-            if (spec.kind == 1)
-              spec.fout[out_index * spec.size + wrote++] =
-                  static_cast<float>(static_cast<int64_t>(v));
-            else
-              spec.iout[out_index * spec.size + wrote++] =
-                  static_cast<int32_t>(static_cast<int64_t>(v));
-          }
+          ++seen;
+          if (wrote < spec.size)
+            spec.lout[out_index * spec.size + wrote++] =
+                static_cast<int64_t>(v);
         } else if (vwt == 2) {
           Slice packed;
           if (!read_len_delim(q, qend, &packed)) return;
@@ -175,13 +180,10 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
           const uint8_t* rend = packed.p + packed.n;
           uint64_t v;
           while (r < rend && read_varint(r, rend, &v)) {
-            if (wrote >= spec.size) break;
-            if (spec.kind == 1)
-              spec.fout[out_index * spec.size + wrote++] =
-                  static_cast<float>(static_cast<int64_t>(v));
-            else
-              spec.iout[out_index * spec.size + wrote++] =
-                  static_cast<int32_t>(static_cast<int64_t>(v));
+            ++seen;
+            if (wrote < spec.size)
+              spec.lout[out_index * spec.size + wrote++] =
+                  static_cast<int64_t>(v);
           }
         } else if (!skip_field(q, qend, vwt)) {
           return;
@@ -193,6 +195,7 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
         }
         Slice s;
         if (!read_len_delim(q, qend, &s)) return;
+        ++seen;
         if (wrote < spec.size)
           spec.iout[out_index * spec.size + wrote++] = static_cast<int32_t>(
               fnv1a(s.p, s.n) % static_cast<uint64_t>(spec.buckets));
@@ -201,6 +204,7 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
       }
     }
   }
+  if (spec.present) spec.present[out_index] = seen;
 }
 
 // Walks a Features message's map entries; dispatches matching specs.
@@ -327,12 +331,19 @@ inline int decode_feature_lists(const Slice& flists, FeatureSpec* specs,
 inline void prefill(FeatureSpec* specs, int n_specs, size_t rows) {
   for (int s = 0; s < n_specs; ++s) {
     FeatureSpec& sp = specs[s];
-    if (sp.kind == 0 || sp.kind == 1) {
+    if (sp.kind == 0) {
       for (size_t i = 0; i < rows * sp.size; ++i) sp.fout[i] =
           sp.default_value;
+    } else if (sp.kind == 1) {
+      const int64_t d = static_cast<int64_t>(sp.default_value);
+      for (size_t i = 0; i < rows * sp.size; ++i) sp.lout[i] = d;
+    } else if (sp.kind == 2) {
+      for (size_t i = 0; i < rows * sp.size; ++i) sp.lout[i] = -1;
     } else {
       for (size_t i = 0; i < rows * sp.size; ++i) sp.iout[i] = -1;
     }
+    if (sp.present)
+      for (size_t i = 0; i < rows; ++i) sp.present[i] = 0;
   }
 }
 
@@ -542,7 +553,11 @@ int64_t rt_scan_tfrecord(const uint8_t* data, int64_t size, int64_t* offsets,
     uint64_t len;
     std::memcpy(&len, data + pos, 8);
     pos += 12;  // length + length crc
-    if (pos + static_cast<int64_t>(len) + 4 > size) break;
+    // Unsigned bound check first: a corrupt high-bit length must stop the
+    // scan, not wrap negative through the signed arithmetic below.
+    if (size - pos < 4 ||
+        len > static_cast<uint64_t>(size - pos - 4))
+      break;
     offsets[count] = pos;
     lengths[count] = static_cast<int64_t>(len);
     ++count;

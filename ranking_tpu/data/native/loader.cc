@@ -33,6 +33,8 @@ struct FeatureSpec {
   float* fout;
   int32_t* iout;
   float default_value;
+  int64_t* lout;
+  int32_t* present;
 };
 
 extern "C" int rt_decode_elwc_batch(const uint8_t** recs, const int64_t* lens,
@@ -63,6 +65,8 @@ struct Batch {
   // Parallel to the loader's ctx/ex spec lists: one buffer per feature.
   std::vector<std::vector<float>> ctx_f, ex_f;
   std::vector<std::vector<int32_t>> ctx_i, ex_i;
+  std::vector<std::vector<int64_t>> ctx_l, ex_l;
+  std::vector<std::vector<int32_t>> ctx_p, ex_p;  // presence counts
   std::vector<int32_t> sizes;
   int n_rows = 0;
 };
@@ -98,13 +102,19 @@ bool decode_batch(Loader* L, std::vector<std::string>& records, Batch* out) {
   std::vector<FeatureSpec> ex(L->ex_specs.size());
   out->ctx_f.resize(L->ctx_specs.size());
   out->ctx_i.resize(L->ctx_specs.size());
+  out->ctx_l.resize(L->ctx_specs.size());
+  out->ctx_p.resize(L->ctx_specs.size());
   out->ex_f.resize(L->ex_specs.size());
   out->ex_i.resize(L->ex_specs.size());
+  out->ex_l.resize(L->ex_specs.size());
+  out->ex_p.resize(L->ex_specs.size());
 
   auto fill = [&](const std::vector<OwnedSpec>& specs,
                   std::vector<FeatureSpec>& c_specs,
                   std::vector<std::vector<float>>& fbufs,
-                  std::vector<std::vector<int32_t>>& ibufs, size_t rows) {
+                  std::vector<std::vector<int32_t>>& ibufs,
+                  std::vector<std::vector<int64_t>>& lbufs,
+                  std::vector<std::vector<int32_t>>& pbufs, size_t rows) {
     for (size_t s = 0; s < specs.size(); ++s) {
       c_specs[s].name = specs[s].name.c_str();
       c_specs[s].kind = specs[s].kind;
@@ -113,17 +123,23 @@ bool decode_batch(Loader* L, std::vector<std::string>& records, Batch* out) {
       c_specs[s].default_value = specs[s].default_value;
       c_specs[s].fout = nullptr;
       c_specs[s].iout = nullptr;
-      if (specs[s].kind <= 1) {
+      c_specs[s].lout = nullptr;
+      if (specs[s].kind == 0) {
         fbufs[s].assign(rows * specs[s].size, 0.0f);
         c_specs[s].fout = fbufs[s].data();
+      } else if (specs[s].kind <= 2) {
+        lbufs[s].assign(rows * specs[s].size, 0);
+        c_specs[s].lout = lbufs[s].data();
       } else {
         ibufs[s].assign(rows * specs[s].size, -1);
         c_specs[s].iout = ibufs[s].data();
       }
+      pbufs[s].assign(rows, 0);
+      c_specs[s].present = pbufs[s].data();
     }
   };
-  fill(L->ctx_specs, ctx, out->ctx_f, out->ctx_i, n);
-  fill(L->ex_specs, ex, out->ex_f, out->ex_i,
+  fill(L->ctx_specs, ctx, out->ctx_f, out->ctx_i, out->ctx_l, out->ctx_p, n);
+  fill(L->ex_specs, ex, out->ex_f, out->ex_i, out->ex_l, out->ex_p,
        static_cast<size_t>(n) * L->list_size);
 
   std::vector<const uint8_t*> recs(n);
@@ -275,18 +291,30 @@ int rt_loader_next(void* handle, FeatureSpec* ctx_specs, int n_ctx,
 
   auto emitout = [&](FeatureSpec* specs, int n,
                      std::vector<std::vector<float>>& fbufs,
-                     std::vector<std::vector<int32_t>>& ibufs) {
+                     std::vector<std::vector<int32_t>>& ibufs,
+                     std::vector<std::vector<int64_t>>& lbufs,
+                     std::vector<std::vector<int32_t>>& pbufs) {
     for (int s = 0; s < n; ++s) {
-      if (specs[s].fout && s < static_cast<int>(fbufs.size()))
+      if (specs[s].fout && s < static_cast<int>(fbufs.size()) &&
+          !fbufs[s].empty())
         std::memcpy(specs[s].fout, fbufs[s].data(),
                     fbufs[s].size() * sizeof(float));
-      if (specs[s].iout && s < static_cast<int>(ibufs.size()))
+      if (specs[s].iout && s < static_cast<int>(ibufs.size()) &&
+          !ibufs[s].empty())
         std::memcpy(specs[s].iout, ibufs[s].data(),
                     ibufs[s].size() * sizeof(int32_t));
+      if (specs[s].lout && s < static_cast<int>(lbufs.size()) &&
+          !lbufs[s].empty())
+        std::memcpy(specs[s].lout, lbufs[s].data(),
+                    lbufs[s].size() * sizeof(int64_t));
+      if (specs[s].present && s < static_cast<int>(pbufs.size()) &&
+          !pbufs[s].empty())
+        std::memcpy(specs[s].present, pbufs[s].data(),
+                    pbufs[s].size() * sizeof(int32_t));
     }
   };
-  emitout(ctx_specs, n_ctx, b.ctx_f, b.ctx_i);
-  emitout(ex_specs, n_ex, b.ex_f, b.ex_i);
+  emitout(ctx_specs, n_ctx, b.ctx_f, b.ctx_i, b.ctx_l, b.ctx_p);
+  emitout(ex_specs, n_ex, b.ex_f, b.ex_i, b.ex_l, b.ex_p);
   std::memcpy(sizes_out, b.sizes.data(), b.sizes.size() * sizeof(int32_t));
   return b.n_rows;
 }

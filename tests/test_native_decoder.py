@@ -254,3 +254,82 @@ def test_native_tf_example_matches_python():
   np.testing.assert_allclose(nat.context['q'], py.context['q'], rtol=1e-6)
   np.testing.assert_allclose(nat.examples['f'], py.examples['f'], rtol=1e-6)
   np.testing.assert_array_equal(nat.examples['rel'], py.examples['rel'])
+
+
+def test_native_int64_full_width_no_narrowing():
+  # Round-2 ADVICE fix: int64 ids/timestamps above 2^24 (old float path) and
+  # 2^31 (old int32 path) must decode exactly on the native fast path.
+  big = [2**62 + 12345, -(2**40) - 7, 2**33, 17]
+  recs = []
+  for i in range(3):
+    docs = [{'id64': [big[(i + d) % 4]], 'toks': big}
+            for d in range(2)]
+    recs.append(proto.make_elwc({'cid': [big[i]]}, docs).SerializeToString())
+  context_spec = {'cid': FixedLenFeature(shape=(), dtype='int64',
+                                         default_value=0)}
+  example_spec = {
+      'id64': FixedLenFeature(shape=(), dtype='int64', default_value=0),
+      'toks': VarLenFeature(dtype='int64', max_len=6)}
+  py = parsers.parse_example_list(recs, context_spec, example_spec,
+                                  list_size=2)
+  nat = native.decode_elwc_batch(recs, 2, context_spec, example_spec)
+  assert nat.context['cid'].dtype == np.int64
+  assert nat.examples['toks'].dtype == np.int64
+  np.testing.assert_array_equal(nat.context['cid'], py.context['cid'])
+  np.testing.assert_array_equal(nat.examples['id64'], py.examples['id64'])
+  np.testing.assert_array_equal(nat.examples['toks'], py.examples['toks'])
+
+
+def test_native_missing_required_feature_raises_like_python():
+  # A record missing a required feature (default_value=None) must raise on
+  # the native path exactly like the strict Python parser — never silently
+  # train on a zero-filled label (round-2 ADVICE fix).
+  docs_ok = [{'rel': [1], 'f': [0.5, 0.25]}]
+  docs_missing = [{'f': [0.5, 0.25]}]  # no 'rel'
+  recs = [proto.make_elwc({}, docs_ok).SerializeToString(),
+          proto.make_elwc({}, docs_missing).SerializeToString()]
+  example_spec = {
+      'rel': FixedLenFeature(shape=(), dtype='int64', default_value=None),
+      'f': FixedLenFeature(shape=(2,), dtype='float32', default_value=0.0)}
+  with pytest.raises(ValueError, match="Missing required feature 'rel'"):
+    parsers.parse_example_list(recs, {}, example_spec, list_size=2)
+  with pytest.raises(ValueError, match="Missing required feature 'rel'"):
+    native.decode_elwc_batch(recs, 2, {}, example_spec)
+  # With a default the same data decodes fine on both paths.
+  spec_def = dict(example_spec)
+  spec_def['rel'] = FixedLenFeature(shape=(), dtype='int64', default_value=0)
+  py = parsers.parse_example_list(recs, {}, spec_def, list_size=2)
+  nat = native.decode_elwc_batch(recs, 2, {}, spec_def)
+  np.testing.assert_array_equal(nat.examples['rel'], py.examples['rel'])
+
+
+def test_native_wrong_count_raises_like_python():
+  docs = [{'f': [1.0, 2.0, 3.0]}]  # 3 values for a shape-(2,) feature
+  recs = [proto.make_elwc({}, docs).SerializeToString()]
+  example_spec = {
+      'f': FixedLenFeature(shape=(2,), dtype='float32', default_value=0.0)}
+  with pytest.raises(ValueError, match="got 3 values, expected 2"):
+    parsers.parse_example_list(recs, {}, example_spec, list_size=1)
+  with pytest.raises(ValueError, match="got 3 values, expected 2"):
+    native.decode_elwc_batch(recs, 1, {}, example_spec)
+
+
+def test_scan_tfrecord_rejects_corrupt_length(tmp_path):
+  # A corrupt record length with the high bit set used to wrap negative
+  # through signed arithmetic and desync the scan; it must stop cleanly.
+  path = str(tmp_path / 'corrupt.tfrecord')
+  tfrecord.write_records(
+      path, [proto.make_elwc({}, [{'r': [1]}]).SerializeToString()])
+  good = open(path, 'rb').read()
+  corrupt = bytearray(good)
+  corrupt[0:8] = (2**63 + 5).to_bytes(8, 'little')
+  import ctypes
+  lib = native._load()
+  data = bytes(corrupt)
+  offs = np.zeros(8, np.int64)
+  lens = np.zeros(8, np.int64)
+  n = lib.rt_scan_tfrecord(
+      data, len(data),
+      offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+      lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 8)
+  assert n == 0  # stops at the corruption point, no garbage records
