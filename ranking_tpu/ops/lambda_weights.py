@@ -230,11 +230,16 @@ def create_ndcg_lambda_weight_v2(
 
 def create_yeti_dcg_lambda_weight(
     topn: Optional[int] = None) -> YetiDCGLambdaWeight:
-  """Neighbor-pair NDCG LambdaWeight used by yeti_* losses."""
+  """Neighbor-pair DCG LambdaWeight used by yeti_* losses.
+
+  Un-normalized, so the discount must be the keras default log(2)/log1p
+  (tensorflow_ranking/python/keras/losses.py:184-187) — the log(2) factor
+  does not cancel here as it does in the normalized NDCG weights.
+  """
   return YetiDCGLambdaWeight(
       topn=topn,
       gain_fn=lambda labels: jnp.exp2(labels) - 1.0,
-      rank_discount_fn=lambda rank: 1.0 / jnp.log1p(rank),
+      rank_discount_fn=lambda rank: jnp.log(2.0) / jnp.log1p(rank),
       normalized=False)
 
 

@@ -97,6 +97,10 @@ def build_loss(
   in the reference factory.
   """
   kw: Dict[str, Any] = dict(name=name or loss_key, **params)
+  if loss_key == RankingLossKey.YETI_LOGISTIC_LOSS and lambda_weight is None:
+    # Keras YetiLogisticLoss defaults to the neighbor-pair DCG weight
+    # (tensorflow_ranking/python/keras/losses.py:672).
+    lambda_weight = lw.create_yeti_dcg_lambda_weight()
   if loss_key in _LAMBDA_KEYS and lambda_weight is not None:
     kw['lambda_weight'] = lambda_weight
 

@@ -704,10 +704,16 @@ class CoupledRankDistilLoss(_ListwiseLoss):
         key=sort_key)[0]
 
     topk = self.topk or list_size
-    # logprob[i] = s_(i) - logsumexp_{j >= i} s_(j), for i < topk.
-    shifted = sorted_student - jnp.max(sorted_student, axis=1, keepdims=True)
-    rev_lse = jnp.log(
-        jnp.cumsum(jnp.exp(shifted)[:, ::-1], axis=1)[:, ::-1])
+    # logprob[i] = s_(i) - log(sum_{j >= i} exp(s_(j)) + i * eps): the
+    # reference builds the denominator by REPLACING the i entries before
+    # position i with log(eps) rather than excluding them, so each
+    # contributes eps to the sum — material for rows deep in the masked
+    # tail where exp(s_(j)) is itself ~eps (losses_impl.py:2088-2108).
+    raw_max = jnp.max(sorted_student, axis=1, keepdims=True)
+    shifted = sorted_student - raw_max
+    rev_sum = jnp.cumsum(jnp.exp(shifted)[:, ::-1], axis=1)[:, ::-1]
+    replaced = jnp.arange(list_size, dtype=jnp.float32)[None, :]
+    rev_lse = jnp.log(rev_sum + replaced * EPSILON * jnp.exp(-raw_max))
     logprob = (shifted - rev_lse)[:, :topk]
     logprob = jnp.sum(logprob, axis=1).reshape(batch, self.sample_size)
     nll = jnp.mean(-logprob, axis=1, keepdims=True)

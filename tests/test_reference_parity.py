@@ -155,7 +155,15 @@ LAMBDA_CASES = [
     ('dcg_v1', 'DCGLambdaWeight', lw.DCGLambdaWeight, {}),
     ('dcg_v1_topn', 'DCGLambdaWeight', lw.DCGLambdaWeight,
      {'topn': 4, 'smooth_fraction': 0.3}),
+    ('dcg_v1_smooth', 'DCGLambdaWeight', lw.DCGLambdaWeight,
+     {'topn': 4, 'smooth_fraction': 0.7}),
     ('dcg_v2', 'DCGLambdaWeightV2', lw.DCGLambdaWeightV2, {}),
+    ('dcg_v2_topn', 'DCGLambdaWeightV2', lw.DCGLambdaWeightV2, {'topn': 4}),
+    ('yeti_dcg', 'YetiDCGLambdaWeight', lw.YetiDCGLambdaWeight, {}),
+    ('yeti_dcg_topn', 'YetiDCGLambdaWeight', lw.YetiDCGLambdaWeight,
+     {'topn': 4}),
+    ('precision', 'PrecisionLambdaWeight', lw.PrecisionLambdaWeight,
+     {'topn': 5}),
     ('labeldiff', 'LabelDiffLambdaWeight', lw.LabelDiffLambdaWeight, {}),
 ]
 
@@ -166,7 +174,7 @@ def test_pairwise_loss_with_lambda_parity(ref, case):
   labels, logits, weights = _data(seed=3)
   ref_extra = {}
   our_extra = {}
-  if 'LambdaWeight' in ref_cls_name and ref_cls_name.startswith('DCG'):
+  if 'DCGLambdaWeight' in ref_cls_name:
     ref_extra = dict(
         gain_fn=lambda l: tf.pow(2.0, l) - 1.0,
         rank_discount_fn=lambda r: tf.math.log(2.0) / tf.math.log1p(r))
@@ -515,4 +523,265 @@ def test_dcg_custom_gain_parity(ref):
   got = float(metric_registry.compute_mean(
       metric_registry.RankingMetricKey.DCG, labels, logits, topn=3,
       gain_fn=lambda l: l * 2.0))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Stochastic losses: noise-injected oracle parity.
+#
+# Both frameworks draw Gumbel noise as -log(-log U) from a module-level
+# sampler (reference: losses_impl._sample_gumbel; ours:
+# ops.sorting.sample_gumbel). We patch BOTH to return the same fixed noise
+# tensor, which makes every gumbel_* / yeti / CoupledRankDistil loss fully
+# deterministic and comparable at the standard 2e-4 tolerance.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+
+from ranking_tpu.ops import loss_registry
+from ranking_tpu.ops import sorting
+
+
+def _gumbel_noise(shape, seed=11):
+  rng = np.random.RandomState(seed)
+  u = rng.rand(*shape)
+  return (-np.log(-np.log(u + 1e-20) + 1e-20)).astype(np.float32)
+
+
+@contextlib.contextmanager
+def _inject_gumbel(ref, noise):
+  """Patches both frameworks' Gumbel samplers to return ``noise``."""
+  orig_ref = ref.losses_impl._sample_gumbel
+  orig_ours = sorting.sample_gumbel
+
+  def fake_ref(shape, eps=1e-20, seed=None):
+    del shape, eps, seed  # reference passes dynamic tf.shape scalars
+    return tf.constant(noise)
+
+  def fake_ours(key, shape, eps=1e-20):
+    del key, eps
+    assert tuple(shape) == noise.shape, (shape, noise.shape)
+    return jnp.asarray(noise)
+
+  ref.losses_impl._sample_gumbel = fake_ref
+  sorting.sample_gumbel = fake_ours
+  try:
+    yield
+  finally:
+    ref.losses_impl._sample_gumbel = orig_ref
+    sorting.sample_gumbel = orig_ours
+
+
+@pytest.mark.parametrize('wmode', ['none', 'item', 'list'])
+def test_gumbel_sampler_parity(ref, wmode):
+  """GumbelSampler.sample (losses_impl.py:540-644) vs gumbel_sample_lists:
+  expanded labels, Concrete-sampled logits and tiled weights elementwise."""
+  labels, logits, weights = _data(seed=5)
+  s = 5
+  noise = _gumbel_noise((labels.shape[0], s, labels.shape[1]))
+  w = {'none': None, 'item': weights, 'list': weights[:, :1]}[wmode]
+
+  with _inject_gumbel(ref, noise):
+    sampler = ref.losses_impl.GumbelSampler(sample_size=s, temperature=0.7)
+    rl, rs, rw = sampler.sample(
+        tf.constant(labels), tf.constant(logits),
+        weights=tf.constant(w) if w is not None else None)
+    ol, os_, ow = sorting.gumbel_sample_lists(
+        jnp.asarray(labels), jnp.asarray(logits), jax.random.PRNGKey(0),
+        weights=w, sample_size=s, temperature=0.7)
+
+  np.testing.assert_array_equal(np.asarray(ol), rl.numpy())
+  np.testing.assert_allclose(np.asarray(os_), rs.numpy(),
+                             rtol=2e-4, atol=1e-5)
+  if w is None:
+    assert ow is None and rw is None
+  else:
+    np.testing.assert_allclose(np.asarray(ow), rw.numpy(),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_gumbel_sampler_3d_subtopic_parity(ref):
+  """Diversity-task path: [B, L, subtopic] labels, validity = any(subtopic)."""
+  rng = np.random.RandomState(8)
+  b, l, sub, s = 4, 7, 3, 3
+  labels = rng.randint(0, 2, size=(b, l, sub)).astype(np.float32)
+  labels[:, -2:, :] = -1.0
+  logits = rng.randn(b, l).astype(np.float32)
+  noise = _gumbel_noise((b, s, l), seed=9)
+
+  with _inject_gumbel(ref, noise):
+    sampler = ref.losses_impl.GumbelSampler(sample_size=s)
+    rl, rs, _ = sampler.sample(tf.constant(labels), tf.constant(logits))
+    ol, os_, _ = sorting.gumbel_sample_lists(
+        jnp.asarray(labels), jnp.asarray(logits), jax.random.PRNGKey(0),
+        sample_size=s)
+
+  np.testing.assert_array_equal(np.asarray(ol), rl.numpy())
+  np.testing.assert_allclose(np.asarray(os_), rs.numpy(),
+                             rtol=2e-4, atol=1e-5)
+
+
+def test_gumbel_neural_sort_parity(ref):
+  """gumbel_neural_sort (losses_impl.py:1804-1847): full [B, S, L, L]
+  permutation-matrix parity under injected noise."""
+  labels, logits, _ = _data(seed=6)
+  s = 4
+  noise = _gumbel_noise((labels.shape[0], s, labels.shape[1]), seed=13)
+  with _inject_gumbel(ref, noise):
+    ref_perm = ref.losses_impl.gumbel_neural_sort(
+        tf.constant(logits), sample_size=s, temperature=0.5)
+    our_perm = sorting.gumbel_neural_sort(
+        jnp.asarray(logits), jax.random.PRNGKey(0), sample_size=s,
+        temperature=0.5)
+  np.testing.assert_allclose(np.asarray(our_perm), ref_perm.numpy(),
+                             rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('key', ['gumbel_approx_ndcg_loss',
+                                 'gumbel_neural_sort_cross_entropy_loss',
+                                 'gumbel_neural_sort_ndcg_loss'])
+@pytest.mark.parametrize('weighted', [False, True], ids=['now', 'w'])
+def test_gumbel_loss_factory_parity(ref, key, weighted):
+  """End-to-end factory closures for the gumbel_* keys
+  (python/losses.py:149-158 + GumbelSampler), noise-injected."""
+  ref_losses = _load_ref_losses_factory(ref)
+  labels, logits, weights = _data(seed=31)
+  s, gt = 4, 0.8
+  noise = _gumbel_noise((labels.shape[0], s, labels.shape[1]), seed=14)
+  wname = 'doc_w' if weighted else None
+
+  with _inject_gumbel(ref, noise):
+    ref_fn = ref_losses.make_loss_fn(
+        key, weights_feature_name=wname,
+        gumbel_params={'sample_size': s, 'temperature': gt})
+    expected = float(ref_fn(tf.constant(labels), tf.constant(logits),
+                            {'doc_w': tf.constant(weights)}))
+    our_fn = loss_registry.make_loss_fn(
+        key, weights_feature_name=wname,
+        gumbel_params={'sample_size': s, 'temperature': gt})
+    got = float(our_fn(labels, logits, features={'doc_w': weights},
+                       key=jax.random.PRNGKey(3)))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5,
+                             err_msg=key)
+
+
+@pytest.mark.parametrize('topk', [None, 4])
+@pytest.mark.parametrize('weighted', [False, True], ids=['now', 'w'])
+def test_coupled_rank_distil_parity(ref, topk, weighted):
+  """CoupledRankDistilLoss (losses_impl.py:1984-2115): k-Plackett-Luce CE
+  between teacher samples and student scores, noise-injected."""
+  labels, logits, weights = _data(seed=33)
+  s = 4
+  noise = _gumbel_noise((labels.shape[0], s, labels.shape[1]), seed=15)
+  w = weights if weighted else None
+
+  with _inject_gumbel(ref, noise):
+    ref_loss = ref.losses_impl.CoupledRankDistilLoss(
+        'crd', sample_size=s, topk=topk)
+    expected = float(ref_loss.compute(
+        tf.constant(labels), tf.constant(logits),
+        tf.constant(w) if w is not None else None,
+        reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+    ours = jl.CoupledRankDistilLoss(name='crd', sample_size=s, topk=topk)
+    got = float(ours(labels, logits, weights=w, reduction=SBNW))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('weighted', [False, True], ids=['now', 'w'])
+def test_yeti_logistic_parity(ref, weighted):
+  """YetiLogisticLoss (keras/losses.py:609-718) decomposed into its
+  losses_impl parts: GumbelSampler -> PairwiseLogisticLoss with
+  YetiDCGLambdaWeight — vs our yeti_logistic_loss factory key."""
+  labels, logits, weights = _data(seed=35)
+  s, gt, temp = 3, 0.7, 1.3
+  noise = _gumbel_noise((labels.shape[0], s, labels.shape[1]), seed=16)
+  w = weights if weighted else None
+
+  with _inject_gumbel(ref, noise):
+    sampler = ref.losses_impl.GumbelSampler(sample_size=s, temperature=gt)
+    gl, gs, gw = sampler.sample(
+        tf.constant(labels), tf.constant(logits),
+        weights=tf.constant(w) if w is not None else None)
+    ref_lw = ref.losses_impl.YetiDCGLambdaWeight(
+        topn=None,
+        gain_fn=lambda l: tf.pow(2.0, l) - 1.0,
+        rank_discount_fn=lambda r: tf.math.log(2.0) / tf.math.log1p(r),
+        normalized=False)
+    ref_loss = ref.losses_impl.PairwiseLogisticLoss(
+        'yeti', lambda_weight=ref_lw, temperature=temp)
+    expected = float(ref_loss.compute(
+        gl, gs, gw,
+        reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+
+    our_fn = loss_registry.make_loss_fn(
+        'yeti_logistic_loss',
+        weights_feature_name='doc_w' if w is not None else None,
+        params={'temperature': temp},
+        gumbel_params={'sample_size': s, 'temperature': gt})
+    got = float(our_fn(labels, logits, features={'doc_w': weights},
+                       key=jax.random.PRNGKey(4)))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('virtual_label', [0.0, 0.5])
+@pytest.mark.parametrize('wmode', ['none', 'item', 'list'])
+def test_calibrated_softmax_parity(ref, virtual_label, wmode):
+  """CalibratedSoftmaxLoss (keras/losses.py:836-943) is deterministic:
+  append virtual label / zero score / unit weight, then SoftmaxLoss. The
+  reference side mirrors the keras concat verbatim on losses_impl."""
+  labels, logits, weights = _data(seed=37)
+  b = labels.shape[0]
+  w = {'none': None, 'item': weights, 'list': weights[:, :1]}[wmode]
+
+  aug_labels = np.concatenate(
+      [labels, np.full((b, 1), virtual_label, np.float32)], axis=1)
+  aug_logits = np.concatenate([logits, np.zeros((b, 1), np.float32)], axis=1)
+  aug_w = w
+  if w is not None and w.shape[1] > 1:  # keras concats ones only for [B, L]
+    aug_w = np.concatenate([w, np.ones((b, 1), np.float32)], axis=1)
+
+  ref_loss = ref.losses_impl.SoftmaxLoss('cal', temperature=0.9)
+  expected = float(ref_loss.compute(
+      tf.constant(aug_labels), tf.constant(aug_logits),
+      tf.constant(aug_w) if aug_w is not None else None,
+      reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+
+  ours = jl.CalibratedSoftmaxLoss(
+      name='cal', virtual_label=virtual_label, temperature=0.9)
+  got = float(ours(labels, logits, weights=w, reduction=SBNW))
+  np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+  # Per-list parity drives loss-as-metric for the calibrated key.
+  rv, rw = ref_loss.compute_per_list(
+      tf.constant(aug_labels), tf.constant(aug_logits),
+      tf.constant(aug_w) if aug_w is not None else None)
+  ov, ow = ours.per_list(labels, logits, weights=w)
+  np.testing.assert_allclose(np.asarray(ov), rv.numpy(),
+                             rtol=2e-4, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(ow), rw.numpy(),
+                             rtol=2e-4, atol=1e-5)
+
+
+def test_list_mle_lambda_weight_parity(ref):
+  """ListMLELambdaWeight (losses_impl.py:457-480) position discounts inside
+  ListMLELoss, on tie-free labels."""
+  labels, logits, _ = _data(seed=39)
+  rng = np.random.RandomState(42)
+  jitter = rng.rand(*labels.shape).astype(np.float32) * 0.9
+  labels = np.where(labels >= 0, labels + jitter, labels)
+  n = labels.shape[1]
+
+  ref_lw = ref.losses_impl.ListMLELambdaWeight(
+      rank_discount_fn=lambda r: tf.pow(2.0, float(n) - r) - 1.0)
+  ref_loss = ref.losses_impl.ListMLELoss('pmle', lambda_weight=ref_lw)
+  expected = float(ref_loss.compute(
+      tf.constant(labels), tf.constant(logits), None,
+      reduction=tf.compat.v1.losses.Reduction.SUM_BY_NONZERO_WEIGHTS))
+
+  our_lw = lw.create_p_list_mle_lambda_weight(n)
+  ours = jl.ListMLELoss(name='pmle', lambda_weight=our_lw)
+  got = float(ours(labels, logits, reduction=SBNW))
   np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
