@@ -1,11 +1,16 @@
 """Multi-task ranking: one shared scorer body, per-task losses and metrics.
 
-Counterpart of the reference's ``MultiTaskPipeline``
-(tensorflow_ranking/python/keras/pipeline.py:733-830): a shared tower emits
-one logit head per task; each task gets its own loss (weighted into the
-total) and metric suite. Here the second task's labels are derived from the
-primary relevance (a click simulation) so the example runs on the bundled
-reference data.
+Counterpart of the reference's ``MultiTaskPipeline`` +
+``MultiLabelDatasetBuilder`` (tensorflow_ranking/python/keras/
+pipeline.py:733-830, 1120-1221): the dataset carries one label feature per
+task; ``MultiLabelDatasetBuilder`` parses them into dict labels, and a
+shared tower emits one logit head per task, each with its own loss
+(weighted into the total) and metric suite.
+
+The bundled reference data has a single ``relevance`` label, so this
+example first materializes a two-label copy (adding a simulated binary
+``click`` feature to every document) and then trains entirely through the
+real dataset-builder path — no hand-synthesized batches.
 """
 
 import os as _os
@@ -14,6 +19,8 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
+import glob
+import os
 
 
 def parse_args():
@@ -24,6 +31,7 @@ def parse_args():
   p.add_argument('--batch_size', type=int, default=8)
   p.add_argument('--list_size', type=int, default=20)
   p.add_argument('--hash_buckets', type=int, default=10000)
+  p.add_argument('--embedding_dim', type=int, default=8)
   p.add_argument('--hidden_layer_dims', default='64,32')
   p.add_argument('--learning_rate', type=float, default=0.05)
   p.add_argument('--num_epochs', type=int, default=3)
@@ -32,13 +40,41 @@ def parse_args():
   return p.parse_args()
 
 
-def main():
-  args = parse_args()
+def add_click_labels(src_pattern: str, out_path: str, seed: int = 11) -> str:
+  """Copies ELWC records, adding a binary ``click`` feature per document:
+  relevant documents are clicked w.p. 0.7, irrelevant never (the click
+  simulation of the unbiased-LTR literature, kept deliberately simple)."""
   import numpy as np
 
+  from ranking_tpu.data import proto, tfrecord
+
+  rng = np.random.RandomState(seed)
+  out = []
+  for path in sorted(glob.glob(src_pattern)):
+    for rec in tfrecord.read_records(path):
+      elwc = proto.ExampleListWithContext()
+      elwc.ParseFromString(rec)
+      for ex in elwc.examples:
+        rel = ex.features.feature['relevance'].int64_list.value
+        relevant = bool(rel) and rel[0] > 0
+        click = int(relevant and rng.rand() < 0.7)
+        ex.features.feature['click'].int64_list.value.append(click)
+      out.append(elwc.SerializeToString())
+  tfrecord.write_records(out_path, out)
+  return out_path
+
+
+def main():
+  args = parse_args()
   from ranking_tpu import models, ops, pipeline
   from ranking_tpu.data import FixedLenFeature, VarLenFeature
-  from ranking_tpu.data.batch import RankingBatch
+
+  os.makedirs(args.model_dir, exist_ok=True)
+  train_path = add_click_labels(
+      args.train_pattern, os.path.join(args.model_dir, 'train_2label.tfrecord'))
+  valid_path = add_click_labels(
+      args.valid_pattern, os.path.join(args.model_dir, 'valid_2label.tfrecord'),
+      seed=12)
 
   context_spec = {
       'query_tokens': VarLenFeature(dtype='string', max_len=10,
@@ -46,31 +82,15 @@ def main():
   example_spec = {
       'document_tokens': VarLenFeature(dtype='string', max_len=60,
                                        hash_buckets=args.hash_buckets),
-      'relevance': FixedLenFeature(shape=(), dtype='int64',
-                                   default_value=0)}
+      'relevance': FixedLenFeature(shape=(), dtype='int64', default_value=0),
+      'click': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
 
-  class TwoTaskBuilder(pipeline.SimpleDatasetBuilder):
-    """Relevance task + simulated binary click task."""
-
-    def _batches(self, *a, **kw):
-      rng = np.random.RandomState(11)
-      for b in super()._batches(*a, **kw):
-        clicks = np.where(
-            b.labels > 0,
-            (rng.rand(*b.labels.shape) < 0.7).astype(np.float32),
-            np.where(b.labels >= 0, 0.0, b.labels))
-        dense = {
-            'tokens_f': np.asarray(
-                b.examples['document_tokens'], np.float32)}
-        yield RankingBatch(
-            context={}, examples=dense,
-            labels={'relevance': b.labels, 'click': clicks}, mask=b.mask)
-
-  builder = TwoTaskBuilder(
+  builder = pipeline.MultiLabelDatasetBuilder(
       context_spec, example_spec,
-      pipeline.DatasetHparams(
-          train_input_pattern=args.train_pattern,
-          valid_input_pattern=args.valid_pattern,
+      label_spec={'relevance': 'relevance', 'click': 'click'},
+      hparams=pipeline.DatasetHparams(
+          train_input_pattern=train_path,
+          valid_input_pattern=valid_path,
           train_batch_size=args.batch_size,
           valid_batch_size=args.batch_size,
           list_size=args.list_size))
@@ -78,9 +98,14 @@ def main():
   model = models.RankingModel(
       scorer=models.MultiTaskScorer(
           task_names=('relevance', 'click'),
-          hidden_layer_dims=tuple(
-              int(h) for h in args.hidden_layer_dims.split(',')),
-          dropout=0.3))
+          body=models.EmbeddingDNNScorer(
+              hidden_layer_dims=tuple(
+                  int(h) for h in args.hidden_layer_dims.split(',')),
+              output_units=2,
+              vocab_sizes={'query_tokens': args.hash_buckets,
+                           'document_tokens': args.hash_buckets},
+              embedding_dim=args.embedding_dim,
+              dropout=0.3)))
 
   hparams = pipeline.PipelineHparams(
       model_dir=args.model_dir,

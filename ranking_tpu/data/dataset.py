@@ -15,7 +15,8 @@ import concurrent.futures
 import glob as glob_lib
 import queue
 import threading
-from typing import Any, Callable, Dict, Iterable, Iterator, List, Mapping, Optional
+from typing import (Any, Callable, Dict, Iterable, Iterator, List, Mapping,
+                    Optional, Union)
 
 import jax
 import numpy as np
@@ -96,23 +97,35 @@ def _batched(stream: Iterator[bytes], batch_size: int,
 
 def parsed_to_batch(
     parsed: ParsedLists,
-    label_feature_name: str,
+    label_feature_name: Union[str, Mapping[str, str]],
     convert_labels_to_binary: bool = False,
     mask_feature_name: Optional[str] = None,
     size_feature_name: Optional[str] = None,
     padded_batch_size: Optional[int] = None,
 ) -> RankingBatch:
-  """ParsedLists -> RankingBatch: pops the label feature out of the example
-  features, squeezes it to [B, L], stamps -1 on padded slots
+  """ParsedLists -> RankingBatch: pops the label feature(s) out of the
+  example features, squeezes each to [B, L], stamps -1 on padded slots
   (python/data.py:41), optionally binarizes (keras/pipeline.py:1026-1117
   SimpleDatasetBuilder), and exposes mask/size features on request
-  (python/data.py:99-130)."""
+  (python/data.py:99-130).
+
+  ``label_feature_name`` may be a dict mapping task names to label feature
+  names, yielding dict labels for multi-task training — the
+  MultiLabelDatasetBuilder path (keras/pipeline.py:1120-1221)."""
   examples = dict(parsed.examples)
-  labels = examples.pop(label_feature_name).astype(np.float32)
-  labels = labels.reshape(labels.shape[0], labels.shape[1])
-  if convert_labels_to_binary:
-    labels = np.where(labels > 0, 1.0, np.where(labels >= 0, 0.0, labels))
-  labels = np.where(parsed.mask, labels, parsers.PADDING_LABEL)
+
+  def _pop_label(name: str) -> np.ndarray:
+    labels = examples.pop(name).astype(np.float32)
+    labels = labels.reshape(labels.shape[0], labels.shape[1])
+    if convert_labels_to_binary:
+      labels = np.where(labels > 0, 1.0, np.where(labels >= 0, 0.0, labels))
+    return np.where(parsed.mask, labels, parsers.PADDING_LABEL)
+
+  if isinstance(label_feature_name, str):
+    labels = _pop_label(label_feature_name)
+  else:
+    labels = {task: _pop_label(name)
+              for task, name in label_feature_name.items()}
 
   context = dict(parsed.context)
   mask = parsed.mask
@@ -128,11 +141,14 @@ def parsed_to_batch(
       widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
       return np.pad(a, widths)
 
+    def _pad_labels(l):
+      return np.concatenate(
+          [l, np.full((pad, l.shape[1]), parsers.PADDING_LABEL, l.dtype)])
+
     context = {k: _pad(v) for k, v in context.items()}
     examples = {k: _pad(v) for k, v in examples.items()}
-    labels = np.concatenate(
-        [labels, np.full((pad, labels.shape[1]), parsers.PADDING_LABEL,
-                         labels.dtype)])
+    labels = ({k: _pad_labels(v) for k, v in labels.items()}
+              if isinstance(labels, dict) else _pad_labels(labels))
     mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), bool)])
 
   return RankingBatch(context=context, examples=examples, labels=labels,

@@ -176,6 +176,7 @@ class EmbeddingDNNScorer(nn.Module):
   """
 
   hidden_layer_dims: Sequence[int]
+  output_units: int = 1
   vocab_sizes: Any = None  # Mapping[str, int]: feature name -> vocab size
   embedding_dim: int = 20
   mesh: Any = None  # Optional[jax.sharding.Mesh]
@@ -210,6 +211,7 @@ class EmbeddingDNNScorer(nn.Module):
                 for k, v in examples.items()}
     return DNNScorer(
         hidden_layer_dims=self.hidden_layer_dims,
+        output_units=self.output_units,
         activation=self.activation,
         use_batch_norm=self.use_batch_norm,
         batch_norm_momentum=self.batch_norm_momentum,
@@ -227,7 +229,8 @@ class MultiTaskScorer(nn.Module):
   """
 
   task_names: Sequence[str]
-  hidden_layer_dims: Sequence[int]
+  hidden_layer_dims: Sequence[int] = ()
+  body: Any = None  # optional shared-body scorer with len(task_names) units
   activation: str = 'relu'
   use_batch_norm: bool = True
   batch_norm_momentum: float = 0.999
@@ -237,14 +240,21 @@ class MultiTaskScorer(nn.Module):
   @nn.compact
   def __call__(self, context: FeatureDict, examples: FeatureDict,
                mask: Array, training: bool = False) -> Dict[str, Array]:
-    scorer = DNNScorer(
-        hidden_layer_dims=self.hidden_layer_dims,
-        output_units=len(self.task_names),
-        activation=self.activation,
-        use_batch_norm=self.use_batch_norm,
-        batch_norm_momentum=self.batch_norm_momentum,
-        dropout=self.dropout,
-        dtype=self.dtype)
+    if self.body is not None:
+      scorer = self.body
+      units = getattr(scorer, 'output_units', None)
+      if units is not None and units != len(self.task_names):
+        raise ValueError(
+            f'body.output_units={units} != {len(self.task_names)} tasks')
+    else:
+      scorer = DNNScorer(
+          hidden_layer_dims=self.hidden_layer_dims,
+          output_units=len(self.task_names),
+          activation=self.activation,
+          use_batch_norm=self.use_batch_norm,
+          batch_norm_momentum=self.batch_norm_momentum,
+          dropout=self.dropout,
+          dtype=self.dtype)
     logits = scorer(context, examples, mask, training=training)
     return {name: logits[:, :, i]
             for i, name in enumerate(self.task_names)}

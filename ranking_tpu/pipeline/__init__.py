@@ -10,6 +10,7 @@ from ranking_tpu.pipeline.hparams import (
 )
 from ranking_tpu.pipeline.pipeline import (
     LibSVMDatasetBuilder,
+    MultiLabelDatasetBuilder,
     MultiTaskPipeline,
     RankingPipeline,
     SimpleDatasetBuilder,
@@ -20,6 +21,7 @@ from ranking_tpu.pipeline.serving import Predictor, evaluate_dataset
 __all__ = [
     'DatasetHparams',
     'LibSVMDatasetBuilder',
+    'MultiLabelDatasetBuilder',
     'MultiTaskPipeline',
     'PipelineHparams',
     'Predictor',

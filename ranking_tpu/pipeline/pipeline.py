@@ -32,11 +32,15 @@ class SimpleDatasetBuilder:
   """TFRecord-backed dataset builder (keras/pipeline.py:1026-1117 analog)."""
 
   def __init__(self, context_feature_spec, example_feature_spec,
-               hparams: DatasetHparams, seed: Optional[int] = None):
+               hparams: DatasetHparams, seed: Optional[int] = None,
+               label_feature_name=None):
     self.context_feature_spec = dict(context_feature_spec)
     self.example_feature_spec = dict(example_feature_spec)
     self.hparams = hparams
     self.seed = seed
+    self.label_feature_name = (
+        hparams.label_feature_name if label_feature_name is None
+        else label_feature_name)
 
   def _batches(self, pattern, batch_size, list_size, shuffle, epochs):
     from ranking_tpu.data import dataset as ds
@@ -47,7 +51,7 @@ class SimpleDatasetBuilder:
           batch_size=batch_size,
           context_feature_spec=self.context_feature_spec,
           example_feature_spec=self.example_feature_spec,
-          label_feature_name=self.hparams.label_feature_name,
+          label_feature_name=self.label_feature_name,
           list_size=list_size,
           convert_labels_to_binary=self.hparams.convert_labels_to_binary,
           epochs=epochs,
@@ -62,7 +66,7 @@ class SimpleDatasetBuilder:
         batch_size=batch_size,
         context_feature_spec=self.context_feature_spec,
         example_feature_spec=self.example_feature_spec,
-        label_feature_name=self.hparams.label_feature_name,
+        label_feature_name=self.label_feature_name,
         list_size=list_size,
         convert_labels_to_binary=self.hparams.convert_labels_to_binary,
         epochs=epochs,
@@ -83,6 +87,34 @@ class SimpleDatasetBuilder:
                          self.hparams.valid_batch_size,
                          self.hparams.valid_list_size
                          or self.hparams.list_size, shuffle=False, epochs=1)
+
+
+class MultiLabelDatasetBuilder(SimpleDatasetBuilder):
+  """Dict-label dataset builder for multi-task training
+  (keras/pipeline.py:1120-1221 ``MultiLabelDatasetBuilder`` analog).
+
+  ``label_spec`` maps task names to per-example label feature names; each
+  is parsed, padded with -1 and popped into ``batch.labels[task]``, ready
+  for ``MultiTaskPipeline``'s dict losses. The label features must appear
+  in ``example_feature_spec`` (the reference merges them via
+  training_only_example_spec; here the caller's spec is the single source
+  of truth and label features are removed from the feature dict at batch
+  assembly, data/dataset.py parsed_to_batch).
+  """
+
+  def __init__(self, context_feature_spec, example_feature_spec,
+               label_spec: Mapping[str, str], hparams: DatasetHparams,
+               seed: Optional[int] = None):
+    if not label_spec:
+      raise ValueError('label_spec must map at least one task to a label '
+                       'feature name.')
+    missing = [name for name in label_spec.values()
+               if name not in example_feature_spec]
+    if missing:
+      raise ValueError(
+          f'label features {missing} missing from example_feature_spec.')
+    super().__init__(context_feature_spec, example_feature_spec, hparams,
+                     seed=seed, label_feature_name=dict(label_spec))
 
 
 class LibSVMDatasetBuilder:

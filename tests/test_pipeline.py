@@ -393,3 +393,74 @@ def test_libsvm_pipeline_end_to_end(tmp_path):
   history = pipeline.SimplePipeline(model, builder, hp).train_and_validate()
   assert np.isfinite(history['loss'])
   assert 0.0 <= history['ndcg@5'] <= 1.0
+
+
+def test_multilabel_dataset_builder(tmp_path):
+  """MultiLabelDatasetBuilder (keras/pipeline.py:1120-1221 analog): dict
+  labels parsed from multiple label features, end to end through
+  MultiTaskPipeline."""
+  from ranking_tpu.data import proto, tfrecord
+
+  # Two-label copy of the bundled data: click = (relevance > 1).
+  recs = []
+  for rec in tfrecord.read_records(f'{REF_DATA}/train_elwc.tfrecord'):
+    elwc = proto.ExampleListWithContext()
+    elwc.ParseFromString(rec)
+    for ex in elwc.examples:
+      rel = ex.features.feature['relevance'].int64_list.value
+      ex.features.feature['click'].int64_list.value.append(
+          int(bool(rel) and rel[0] > 1))
+    recs.append(elwc.SerializeToString())
+  path = str(tmp_path / 'two_label.tfrecord')
+  tfrecord.write_records(path, recs)
+
+  context_spec, example_spec = _specs()
+  example_spec = dict(example_spec)
+  example_spec['click'] = FixedLenFeature(shape=(), dtype='int64',
+                                          default_value=0)
+  builder = pipeline.MultiLabelDatasetBuilder(
+      context_spec, example_spec,
+      label_spec={'rel': 'relevance', 'click': 'click'},
+      hparams=pipeline.DatasetHparams(
+          train_input_pattern=path, valid_input_pattern=path,
+          train_batch_size=4, valid_batch_size=4, list_size=5), seed=0)
+
+  b = next(iter(builder.train_batches()))
+  assert set(b.labels) == {'rel', 'click'}
+  assert b.labels['rel'].shape == (4, 5) == b.labels['click'].shape
+  # Label features were popped out of the example features.
+  assert 'relevance' not in b.examples and 'click' not in b.examples
+  # Click is the binarized high-relevance signal, aligned with rel.
+  valid = np.asarray(b.mask)
+  rel = np.asarray(b.labels['rel'])
+  click = np.asarray(b.labels['click'])
+  np.testing.assert_array_equal(click[valid], (rel[valid] > 1).astype(
+      np.float32))
+  np.testing.assert_array_equal(click[~valid], -1.0)
+
+  model = models.RankingModel(
+      scorer=models.MultiTaskScorer(
+          task_names=('rel', 'click'), hidden_layer_dims=(8,),
+          dropout=0.0, use_batch_norm=False))
+  hp = _hparams(
+      tmp_path, num_epochs=1,
+      loss={'rel': ops.RankingLossKey.SOFTMAX_LOSS,
+            'click': ops.RankingLossKey.SIGMOID_CROSS_ENTROPY_LOSS},
+      loss_weights={'rel': 1.0, 'click': 0.5})
+  history = pipeline.MultiTaskPipeline(model, builder, hp).train_and_validate()
+  assert np.isfinite(history['loss'])
+  assert 'rel/ndcg@5' in history and 'click/ndcg@5' in history
+
+
+def test_multilabel_dataset_builder_validates_spec():
+  context_spec, example_spec = _specs()
+  hp = pipeline.DatasetHparams(
+      train_input_pattern='x', valid_input_pattern='x',
+      train_batch_size=2, valid_batch_size=2, list_size=5)
+  with pytest.raises(ValueError, match='label_spec'):
+    pipeline.MultiLabelDatasetBuilder(
+        context_spec, example_spec, label_spec={}, hparams=hp)
+  with pytest.raises(ValueError, match='missing from example_feature_spec'):
+    pipeline.MultiLabelDatasetBuilder(
+        context_spec, example_spec, label_spec={'t': 'not_there'},
+        hparams=hp)
