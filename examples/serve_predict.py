@@ -27,6 +27,8 @@ def parse_args():
   p.add_argument('--export_path', required=True)
   p.add_argument('--input', required=True, help='ELWC TFRecord file')
   p.add_argument('--output', default='/dev/stdout')
+  p.add_argument('--artifact_path', default=None,
+                 help='also write a self-contained StableHLO artifact here')
   p.add_argument('--batch_size', type=int, default=32)
   p.add_argument('--list_size', type=int, default=50)
   p.add_argument('--hash_buckets', type=int, default=10000)
@@ -67,6 +69,26 @@ def main():
       list_size=args.list_size, label_feature_name='relevance')
 
   records = tfrecord.read_all_records(args.input)
+
+  if args.artifact_path:
+    # Self-contained StableHLO artifact: loadable by pipeline.export.
+    # load_predictor in a process with no model code (keras
+    # saved_model.py Signatures analog).
+    from ranking_tpu.data.batch import RankingBatch
+    from ranking_tpu.pipeline import export as export_lib
+    sample = parsers.parse_example_list(
+        records[:2], context_spec,
+        {k: v for k, v in example_spec.items() if k != 'relevance'},
+        list_size=args.list_size)
+    export_lib.export_predictor(
+        model, predictor.variables, context_spec, example_spec,
+        args.artifact_path,
+        sample_batch=RankingBatch(
+            context=sample.context, examples=sample.examples,
+            labels=sample.mask.astype('float32'), mask=sample.mask),
+        list_size_buckets=(args.list_size,),
+        label_feature_name='relevance')
+    print(f'self-contained artifact -> {args.artifact_path}')
   with open(args.output, 'w', newline='') as f:
     writer = csv.writer(f)
     writer.writerow(['record', 'position', 'relevance', 'score'])

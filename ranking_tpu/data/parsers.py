@@ -222,6 +222,52 @@ def _maybe_shuffle(indices: List[int], shuffle: bool,
   return indices
 
 
+def _read_varint(buf: bytes, pos: int):
+  result = shift = 0
+  while True:
+    b = buf[pos]
+    pos += 1
+    result |= (b & 0x7F) << shift
+    if not b & 0x80:
+      return result, pos
+    shift += 7
+    if shift > 63:
+      raise ValueError('varint too long')
+
+
+def elwc_list_sizes(serialized: Sequence[bytes]) -> np.ndarray:
+  """[B] int32 list lengths from serialized ELWC protos.
+
+  A top-level wire-format walk counting occurrences of the repeated
+  ``examples`` field (field 1) — O(list_size) varint hops per record, no
+  feature decoding. Lets ``Predictor.predict(list_size=None)`` pick its
+  shape bucket without a full Python parse of every request
+  (the serving dynamic-shape path, keras/saved_model.py:120-123)."""
+  sizes = []
+  for rec in serialized:
+    pos, n, count = 0, len(rec), 0
+    while pos < n:
+      tag, pos = _read_varint(rec, pos)
+      field, wire = tag >> 3, tag & 7
+      if wire == 2:        # length-delimited
+        length, pos = _read_varint(rec, pos)
+        if length > n - pos:
+          raise ValueError('corrupt ELWC: length past end of record')
+        if field == 1:     # ExampleListWithContext.examples
+          count += 1
+        pos += length
+      elif wire == 0:      # varint
+        _, pos = _read_varint(rec, pos)
+      elif wire == 5:      # 32-bit
+        pos += 4
+      elif wire == 1:      # 64-bit
+        pos += 8
+      else:
+        raise ValueError(f'unsupported wire type {wire}')
+    sizes.append(count)
+  return np.asarray(sizes, np.int32)
+
+
 def parse_example_list(
     serialized: Sequence[bytes],
     context_spec: Mapping[str, FeatureSpec],

@@ -1,0 +1,282 @@
+"""Self-contained serving artifacts: StableHLO apply + manifest + params.
+
+The deploy-without-code analog of the reference's SavedModel
+``Signatures`` export (tensorflow_ranking/python/keras/saved_model.py:
+24-175): ``export_predictor`` serializes the model's apply function with
+``jax.export`` (StableHLO, batch-dimension polymorphic) at one or more
+list-size buckets, alongside a JSON manifest of the feature specs and an
+``.npz`` of the variables. ``load_predictor`` reconstructs a fully
+functional predictor from the artifact alone — no model class, no
+``ranking_tpu.models`` import, no Python code from training time.
+
+Artifact layout::
+
+    <path>/manifest.json          feature specs, buckets, dtypes
+    <path>/params.npz             flattened variables
+    <path>/apply_L<bucket>.bin    jax.export serialization per bucket
+
+The loaded predictor exposes the same ``predict`` / ``regress`` /
+``score_batch`` surface as ``pipeline.serving.Predictor`` and passes the
+same predict==regress parity invariant (python/keras/pipeline_test.py:238).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.export as jax_export
+import jax.numpy as jnp
+import numpy as np
+
+from ranking_tpu.data import parsers
+
+_MANIFEST = 'manifest.json'
+_PARAMS = 'params.npz'
+_SEP = '|'  # flattened-pytree key separator (never in feature names)
+
+
+# ---------------------------------------------------------------------------
+# Feature-spec (de)serialization
+# ---------------------------------------------------------------------------
+
+
+def spec_to_json(spec: parsers.FeatureSpec) -> dict:
+  if isinstance(spec, parsers.FixedLenFeature):
+    return {'kind': 'fixed', 'shape': list(spec.shape), 'dtype': spec.dtype,
+            'default_value': spec.default_value}
+  if isinstance(spec, parsers.VarLenFeature):
+    vocab = None
+    if spec.vocab is not None:
+      inv = sorted(spec.vocab._map.items(), key=lambda kv: kv[1])
+      vocab = {'tokens': [t.decode() for t, _ in inv],
+               'num_oov_buckets': spec.vocab.num_oov_buckets}
+    return {'kind': 'varlen', 'dtype': spec.dtype, 'max_len': spec.max_len,
+            'pad_value': spec.pad_value, 'hash_buckets': spec.hash_buckets,
+            'vocab': vocab}
+  raise TypeError(f'Unknown spec type: {type(spec)}')
+
+
+def spec_from_json(d: Mapping[str, Any]) -> parsers.FeatureSpec:
+  if d['kind'] == 'fixed':
+    return parsers.FixedLenFeature(shape=tuple(d['shape']), dtype=d['dtype'],
+                                   default_value=d['default_value'])
+  vocab = None
+  if d.get('vocab'):
+    vocab = parsers.Vocabulary(
+        d['vocab']['tokens'],
+        num_oov_buckets=d['vocab']['num_oov_buckets'])
+  return parsers.VarLenFeature(dtype=d['dtype'], max_len=d['max_len'],
+                               pad_value=d['pad_value'], vocab=vocab,
+                               hash_buckets=d['hash_buckets'])
+
+
+# ---------------------------------------------------------------------------
+# Pytree <-> npz
+# ---------------------------------------------------------------------------
+
+
+def _flatten_vars(variables) -> dict:
+  flat = {}
+  for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+    key = _SEP.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
+                    for p in path)
+    flat[key] = np.asarray(leaf)
+  return flat
+
+
+def _unflatten_vars(flat: Mapping[str, np.ndarray]) -> dict:
+  tree: dict = {}
+  for key, value in flat.items():
+    node = tree
+    parts = key.split(_SEP)
+    for part in parts[:-1]:
+      node = node.setdefault(part, {})
+    node[parts[-1]] = value
+  return tree
+
+
+# ---------------------------------------------------------------------------
+# Export
+# ---------------------------------------------------------------------------
+
+
+def _example_avals(sample_examples, list_size: int, batch_dim):
+  avals = {}
+  for name, arr in sample_examples.items():
+    shape = (batch_dim, list_size) + tuple(np.shape(arr)[2:])
+    avals[name] = jax.ShapeDtypeStruct(shape, np.asarray(arr).dtype)
+  return avals
+
+
+def export_predictor(
+    model: Any,
+    variables: Mapping[str, Any],
+    context_feature_spec: Mapping[str, parsers.FeatureSpec],
+    example_feature_spec: Mapping[str, parsers.FeatureSpec],
+    path: str,
+    sample_batch: Any,
+    list_size_buckets: Sequence[int] = (),
+    label_feature_name: Optional[str] = None,
+) -> str:
+  """Writes a self-contained serving artifact to ``path``.
+
+  ``sample_batch`` (a RankingBatch or anything with ``.context`` /
+  ``.examples`` / ``.mask``) supplies the per-feature shapes and dtypes;
+  the batch dimension is exported symbolically so any request batch size
+  works, and the list dimension is exported once per bucket in
+  ``list_size_buckets`` (default: the sample's list size, plus 1 for the
+  pointwise ``regress`` signature).
+  """
+  example_feature_spec = {k: v for k, v in example_feature_spec.items()
+                          if k != label_feature_name}
+  sample_examples = {k: v for k, v in dict(sample_batch.examples).items()
+                     if k in example_feature_spec}
+  sample_context = {k: v for k, v in dict(sample_batch.context).items()
+                    if k in context_feature_spec}
+
+  buckets = sorted(set(list_size_buckets)
+                   or {int(np.shape(sample_batch.mask)[1])})
+  if 1 not in buckets:
+    buckets = [1] + buckets
+
+  os.makedirs(path, exist_ok=True)
+
+  var_avals = jax.tree.map(
+      lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+      dict(variables))
+
+  def _apply(variables, context, examples, mask):
+    return model.apply(variables, context, examples, mask, training=False)
+
+  for bucket in buckets:
+    (b,) = jax_export.symbolic_shape('b')
+    ctx_avals = {
+        name: jax.ShapeDtypeStruct((b,) + tuple(np.shape(arr)[1:]),
+                                   np.asarray(arr).dtype)
+        for name, arr in sample_context.items()}
+    ex_avals = _example_avals(sample_examples, bucket, b)
+    mask_aval = jax.ShapeDtypeStruct((b, bucket), np.bool_)
+    exported = jax_export.export(jax.jit(_apply))(
+        var_avals, ctx_avals, ex_avals, mask_aval)
+    with open(os.path.join(path, f'apply_L{bucket}.bin'), 'wb') as f:
+      f.write(exported.serialize())
+
+  np.savez(os.path.join(path, _PARAMS), **_flatten_vars(dict(variables)))
+
+  manifest = {
+      'format_version': 1,
+      'context_feature_spec': {k: spec_to_json(v)
+                               for k, v in context_feature_spec.items()},
+      'example_feature_spec': {k: spec_to_json(v)
+                               for k, v in example_feature_spec.items()},
+      'list_size_buckets': buckets,
+  }
+  with open(os.path.join(path, _MANIFEST), 'w') as f:
+    json.dump(manifest, f, indent=2)
+  return path
+
+
+# ---------------------------------------------------------------------------
+# Load
+# ---------------------------------------------------------------------------
+
+
+class ExportedPredictor:
+  """Predictor reconstructed from an artifact — no model code needed."""
+
+  def __init__(self, path: str):
+    with open(os.path.join(path, _MANIFEST)) as f:
+      manifest = json.load(f)
+    if manifest.get('format_version') != 1:
+      raise ValueError(f"Unsupported artifact version: "
+                       f"{manifest.get('format_version')!r}")
+    self.context_feature_spec = {
+        k: spec_from_json(v)
+        for k, v in manifest['context_feature_spec'].items()}
+    self.example_feature_spec = {
+        k: spec_from_json(v)
+        for k, v in manifest['example_feature_spec'].items()}
+    self.buckets = list(manifest['list_size_buckets'])
+
+    with np.load(os.path.join(path, _PARAMS)) as z:
+      self.variables = _unflatten_vars({k: z[k] for k in z.files})
+
+    self._fns = {}
+    for bucket in self.buckets:
+      with open(os.path.join(path, f'apply_L{bucket}.bin'), 'rb') as f:
+        self._fns[bucket] = jax_export.deserialize(bytearray(f.read()))
+
+  def _bucket_for(self, longest: int) -> int:
+    for bucket in self.buckets:
+      if bucket >= longest:
+        return bucket
+    raise ValueError(
+        f'Request list size {longest} exceeds the largest exported bucket '
+        f'{self.buckets[-1]}; re-export with a larger bucket.')
+
+  def _run(self, parsed: parsers.ParsedLists, bucket: int) -> np.ndarray:
+    fn = self._fns[bucket]
+    return np.asarray(fn.call(
+        self.variables,
+        jax.tree.map(jnp.asarray, parsed.context),
+        jax.tree.map(jnp.asarray, parsed.examples),
+        jnp.asarray(parsed.mask)))
+
+  def predict(self, serialized_elwcs: Sequence[bytes]) -> np.ndarray:
+    """[B, bucket] scores from serialized ELWC protos (bucketed shapes)."""
+    if not serialized_elwcs:
+      return np.zeros((0, self.buckets[0]), np.float32)
+    longest = max(1, int(parsers.elwc_list_sizes(serialized_elwcs).max()))
+    bucket = self._bucket_for(longest)
+    parsed = self._parse_elwc(serialized_elwcs, bucket)
+    return self._run(parsed, bucket)
+
+  def _parse_elwc(self, serialized, bucket):
+    try:
+      from ranking_tpu.data import native
+      if native.available():
+        return native.decode_elwc_batch(
+            list(serialized), bucket, self.context_feature_spec,
+            self.example_feature_spec)
+    except (ValueError, RuntimeError):
+      pass
+    return parsers.parse_example_list(
+        serialized, self.context_feature_spec, self.example_feature_spec,
+        list_size=bucket)
+
+  def regress(self, serialized_examples: Sequence[bytes]) -> np.ndarray:
+    """[B] scores from serialized pointwise tf.Example protos."""
+    if not serialized_examples:
+      return np.zeros((0,), np.float32)
+    parsed = None
+    try:
+      from ranking_tpu.data import native
+      if native.available():
+        parsed = native.decode_elwc_batch(
+            list(serialized_examples), 1, self.context_feature_spec,
+            self.example_feature_spec, data_format='tf_example')
+    except (ValueError, RuntimeError):
+      parsed = None
+    if parsed is None:
+      parsed = parsers.parse_tf_example(
+          serialized_examples, self.context_feature_spec,
+          self.example_feature_spec, list_size=1)
+    return self._run(parsed, 1)[:, 0]
+
+  def score_batch(self, batch) -> np.ndarray:
+    """Scores a pre-assembled RankingBatch at its exact list size."""
+    bucket = self._bucket_for(int(np.shape(batch.mask)[1]))
+    if int(np.shape(batch.mask)[1]) != bucket:
+      raise ValueError(
+          f'score_batch requires an exported bucket size; got list size '
+          f'{np.shape(batch.mask)[1]}, buckets {self.buckets}')
+    fn = self._fns[bucket]
+    return np.asarray(fn.call(self.variables, dict(batch.context),
+                              dict(batch.examples), batch.mask))
+
+
+def load_predictor(path: str) -> ExportedPredictor:
+  return ExportedPredictor(path)

@@ -81,11 +81,12 @@ class Predictor:
     jit-compiles once; without bucketing every request length would).
     Padded positions score the log-epsilon sentinel.
     """
+    if not serialized_elwcs:
+      return np.zeros((0, self.list_size or 1), np.float32)
     list_size = self.list_size
     if list_size is None:
-      parsed0 = parsers.parse_example_list(
-          serialized_elwcs, {}, {}, list_size=None)
-      longest = max(1, int(parsed0.sizes.max()))
+      # Cheap top-level varint walk — no full parse of the request batch.
+      longest = max(1, int(parsers.elwc_list_sizes(serialized_elwcs).max()))
       list_size = 1 << (longest - 1).bit_length()
     parsed = None
     try:

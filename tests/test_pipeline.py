@@ -2,6 +2,8 @@
 checkpoint, export, and serving parity (listwise predict == pointwise
 regress, the invariant of python/keras/pipeline_test.py:216-238)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -464,3 +466,120 @@ def test_multilabel_dataset_builder_validates_spec():
     pipeline.MultiLabelDatasetBuilder(
         context_spec, example_spec, label_spec={'t': 'not_there'},
         hparams=hp)
+
+
+def test_self_contained_export_loads_without_model_code(tmp_path):
+  """jax.export artifact (pipeline/export.py): a fresh process loads the
+  artifact with NO ranking_tpu.models import and reproduces the live
+  Predictor's scores; predict == regress parity holds
+  (keras/saved_model.py:24-175, pipeline_test.py:238)."""
+  import subprocess
+  import sys as _sys
+
+  from ranking_tpu.data import parsers, proto, tfrecord
+  from ranking_tpu.data.batch import RankingBatch
+  from ranking_tpu.pipeline import export as export_lib
+  from ranking_tpu.pipeline.serving import Predictor
+  import jax.random as jr
+
+  context_spec, example_spec = _specs()
+  model = _model()
+
+  recs = list(tfrecord.read_records(f'{REF_DATA}/train_elwc.tfrecord'))[:6]
+  parsed = parsers.parse_example_list(
+      recs, context_spec,
+      {k: v for k, v in example_spec.items() if k != 'relevance'},
+      list_size=4)
+  batch = RankingBatch(context=parsed.context, examples=parsed.examples,
+                       labels=np.zeros(parsed.mask.shape, np.float32),
+                       mask=parsed.mask)
+  variables = model.init(jr.PRNGKey(0), batch.context, batch.examples,
+                         batch.mask, training=False)
+
+  path = str(tmp_path / 'artifact')
+  export_lib.export_predictor(
+      model, variables, context_spec, example_spec, path,
+      sample_batch=batch, list_size_buckets=(4, 8),
+      label_feature_name='relevance')
+
+  live = Predictor(model, variables, context_spec, example_spec,
+                   list_size=4, label_feature_name='relevance')
+  expected = live.predict(recs)
+
+  # Single-document ELWCs for the regress-parity check.
+  elwc0 = proto.ExampleListWithContext()
+  elwc0.ParseFromString(recs[0])
+  singles = [elwc0.examples[i].SerializeToString()
+             for i in range(len(elwc0.examples))]
+  single_elwcs = []
+  for i in range(len(elwc0.examples)):
+    e = proto.ExampleListWithContext()
+    e.examples.add().CopyFrom(elwc0.examples[i])
+    single_elwcs.append(e.SerializeToString())
+
+  recs_file = tmp_path / 'recs.tfrecord'
+  tfrecord.write_records(str(recs_file), recs)
+  singles_file = tmp_path / 'singles.tfrecord'
+  tfrecord.write_records(str(singles_file), singles)
+  selwc_file = tmp_path / 'single_elwcs.tfrecord'
+  tfrecord.write_records(str(selwc_file), single_elwcs)
+  out_file = tmp_path / 'scores.npz'
+
+  driver = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import sys
+import numpy as np
+from ranking_tpu.data import tfrecord
+from ranking_tpu.pipeline import export as export_lib
+
+lp = export_lib.load_predictor({path!r})
+recs = list(tfrecord.read_records({str(recs_file)!r}))
+singles = list(tfrecord.read_records({str(singles_file)!r}))
+single_elwcs = list(tfrecord.read_records({str(selwc_file)!r}))
+scores = lp.predict(recs)
+reg = lp.regress(singles)
+pred1 = lp.predict(single_elwcs)
+assert 'ranking_tpu.models' not in sys.modules, 'models imported!'
+assert lp.predict([]).shape[0] == 0 and lp.regress([]).shape == (0,)
+np.savez({str(out_file)!r}, scores=scores, reg=reg, pred1=pred1)
+"""
+  env = dict(os.environ)
+  env.pop('JAX_PLATFORMS', None)
+  res = subprocess.run([_sys.executable, '-c', driver], env=env,
+                       capture_output=True, text=True, timeout=300)
+  assert res.returncode == 0, res.stderr[-3000:]
+
+  with np.load(out_file) as z:
+    np.testing.assert_allclose(z['scores'], expected, rtol=1e-5, atol=1e-6)
+    # Pointwise regress == single-document listwise predict (bucket 1).
+    np.testing.assert_allclose(z['reg'], z['pred1'][:, 0],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_exported_artifact_bucket_overflow(tmp_path):
+  from ranking_tpu.data import parsers, tfrecord
+  from ranking_tpu.data.batch import RankingBatch
+  from ranking_tpu.pipeline import export as export_lib
+  import jax.random as jr
+
+  context_spec, example_spec = _specs()
+  model = _model()
+  recs = list(tfrecord.read_records(f'{REF_DATA}/train_elwc.tfrecord'))[:2]
+  parsed = parsers.parse_example_list(
+      recs, context_spec,
+      {k: v for k, v in example_spec.items() if k != 'relevance'},
+      list_size=1)
+  batch = RankingBatch(context=parsed.context, examples=parsed.examples,
+                       labels=np.zeros(parsed.mask.shape, np.float32),
+                       mask=parsed.mask)
+  variables = model.init(jr.PRNGKey(0), batch.context, batch.examples,
+                         batch.mask, training=False)
+  path = str(tmp_path / 'artifact1')
+  export_lib.export_predictor(
+      model, variables, context_spec, example_spec, path,
+      sample_batch=batch, list_size_buckets=(1,),
+      label_feature_name='relevance')
+  lp = export_lib.load_predictor(path)
+  with pytest.raises(ValueError, match='largest exported bucket'):
+    lp.predict(recs)  # bundled lists have 2 docs; only bucket 1 exported
