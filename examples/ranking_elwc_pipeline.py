@@ -71,8 +71,7 @@ def main():
 
   mesh = None
   if args.mesh_model > 1:
-    # Round the vocab up so tables divide across the model axis.
-    vocab_size += (-vocab_size) % args.mesh_model
+    # Tables pad themselves to the model axis; any vocab size works.
     mesh = parallel.make_mesh(model=args.mesh_model)
 
   model = models.RankingModel(

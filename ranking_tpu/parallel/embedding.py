@@ -92,9 +92,14 @@ def sharded_pooled_lookup(
   """
   n_model = mesh.shape[mesh_lib.MODEL_AXIS]
   vocab = table.shape[0]
-  if vocab % n_model:
-    raise ValueError(f'vocab {vocab} not divisible by model axis {n_model}')
-  rows = vocab // n_model
+  rows = -(-vocab // n_model)  # ceil: arbitrary vocab sizes supported
+  pad = rows * n_model - vocab
+  if pad:
+    # Zero-pad the table to a shard multiple (the MinSizePartitioner
+    # analog, keras/strategy_utils.py:104-113); padded rows are never
+    # addressed because ids < vocab, so semantics are unchanged. Callers
+    # that pre-pad their params (ShardedEmbeddingEncoder) skip this.
+    table = jnp.pad(table, ((0, pad), (0, 0)))
 
   @partial(
       jax.shard_map,
@@ -127,9 +132,14 @@ class ShardedEmbeddingEncoder(nn.Module):
 
   @nn.compact
   def __call__(self, ids: Array) -> Array:
+    # Allocate the table pre-padded to a shard multiple so the lookup
+    # needs no runtime pad and the param shards evenly over 'model'
+    # (arbitrary vocab sizes, keras/strategy_utils.py:104-113 analog).
+    n_model = self.mesh.shape[mesh_lib.MODEL_AXIS]
+    padded_vocab = self.vocab_size + (-self.vocab_size) % n_model
     table = self.param(
         'embedding', nn.initializers.normal(stddev=1e-2),
-        (self.vocab_size, self.embedding_dim), self.param_dtype)
+        (padded_vocab, self.embedding_dim), self.param_dtype)
     table = jax.lax.with_sharding_constraint(
         table, NamedSharding(self.mesh, P(mesh_lib.MODEL_AXIS, None)))
     return sharded_pooled_lookup(table, ids, self.mesh, self.combiner)

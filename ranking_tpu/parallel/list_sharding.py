@@ -49,6 +49,7 @@ def sharded_pairwise_loss(
     loss_kind: str = 'logistic',
     weights: Optional[Array] = None,
     reduction: Reduction = Reduction.SUM_BY_NONZERO_WEIGHTS,
+    data_axis: Optional[str] = None,
 ) -> Array:
   """Pairwise loss with the list axis sharded over ``mesh[axis]``.
 
@@ -60,6 +61,9 @@ def sharded_pairwise_loss(
     loss_kind: 'logistic' | 'hinge' | 'soft_zero_one'.
     weights: optional ``[B, L]`` per-item (left-hand) weights.
     reduction: SUM / MEAN / SUM_BY_NONZERO_WEIGHTS.
+    data_axis: if set, the batch dimension additionally shards over this
+      mesh axis (B divisible by its size) so data-parallel batches stay in
+      place instead of being gathered; the reduction psums over both axes.
 
   Returns:
     scalar loss (replicated).
@@ -79,11 +83,15 @@ def sharded_pairwise_loss(
   if labels.shape[1] % n:
     raise ValueError(f'list size {labels.shape[1]} not divisible by '
                      f'{axis}={n}')
+  if data_axis is not None and labels.shape[0] % mesh.shape[data_axis]:
+    raise ValueError(f'batch {labels.shape[0]} not divisible by '
+                     f'{data_axis}={mesh.shape[data_axis]}')
+  reduce_axes = (axis,) if data_axis is None else (axis, data_axis)
 
   @partial(
       jax.shard_map,
       mesh=mesh,
-      in_specs=(P(None, axis), P(None, axis), P(None, axis)),
+      in_specs=(P(data_axis, axis),) * 3,
       out_specs=P(),
   )
   def _loss(lab_s, log_s, w_s):
@@ -100,13 +108,13 @@ def sharded_pairwise_loss(
     w_rows = jnp.where(valid_rows, w_s, 0.0)
     pw = pref * pair_valid.astype(jnp.float32) * w_rows[:, :, None]
     losses = _pair_loss(loss_kind, diff)
-    num = jax.lax.psum(jnp.sum(losses * pw), axis)
+    num = jax.lax.psum(jnp.sum(losses * pw), reduce_axes)
     if reduction == Reduction.SUM:
       return num
     if reduction == Reduction.MEAN:
-      den = jax.lax.psum(jnp.sum(pw), axis)
+      den = jax.lax.psum(jnp.sum(pw), reduce_axes)
     else:
-      den = jax.lax.psum(jnp.sum((pw != 0).astype(jnp.float32)), axis)
+      den = jax.lax.psum(jnp.sum((pw != 0).astype(jnp.float32)), reduce_axes)
     return jnp.where(den > 0, num / jnp.maximum(den, 1e-38), 0.0)
 
   return _loss(labels, logits, weights)

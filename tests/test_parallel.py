@@ -125,3 +125,63 @@ def test_sharded_pairwise_loss_grads_match():
       labels, s, mesh, axis='model'))(logits)
   np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
                              rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_embedding_arbitrary_vocab():
+  """Vocab sizes that don't divide the model axis are zero-padded to a
+  shard multiple (MinSizePartitioner analog, strategy_utils.py:104-113)."""
+  import jax
+  import jax.numpy as jnp
+  from ranking_tpu.models import embeddings as emb_lib
+  from ranking_tpu.parallel import embedding as sharded_emb
+
+  mesh = parallel.make_mesh(model=4)
+  rng = np.random.RandomState(5)
+  vocab, dim = 13, 6  # 13 % 4 != 0
+  table = jnp.asarray(rng.randn(vocab, dim).astype(np.float32))
+  ids = jnp.asarray(rng.randint(-1, vocab, size=(8, 5, 7)), jnp.int32)
+
+  for combiner in ('mean', 'sum', 'sqrtn'):
+    expected = emb_lib.pooled_lookup(table, ids, combiner=combiner)
+    got = sharded_emb.sharded_pooled_lookup(table, ids, mesh,
+                                            combiner=combiner)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-6, err_msg=combiner)
+
+  # Encoder path: padded param rows exist but lookups reproduce the
+  # unsharded encoder on the non-padded vocabulary.
+  enc = sharded_emb.ShardedEmbeddingEncoder(
+      vocab_size=vocab, embedding_dim=dim, mesh=mesh)
+  variables = enc.init(jax.random.PRNGKey(0), ids)
+  assert variables['params']['embedding'].shape == (16, dim)
+  out = enc.apply(variables, ids)
+  ref = emb_lib.pooled_lookup(
+      variables['params']['embedding'][:16], ids, combiner='mean')
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_pairwise_loss_data_axis():
+  """2-D sharding: batch over 'data' AND list over 'model' simultaneously
+  matches the single-device loss."""
+  import jax.numpy as jnp
+  from ranking_tpu.ops import losses as jl
+  from ranking_tpu.ops.reductions import Reduction
+  from ranking_tpu.parallel import list_sharding
+
+  mesh = parallel.make_mesh(data=2, model=4)
+  rng = np.random.RandomState(2)
+  b, l = 4, 8
+  logits = jnp.asarray(rng.randn(b, l).astype(np.float32))
+  labels = rng.randint(0, 4, size=(b, l)).astype(np.float32)
+  labels[:, -2:] = -1.0
+  labels = jnp.asarray(labels)
+  for reduction in (Reduction.SUM, Reduction.MEAN,
+                    Reduction.SUM_BY_NONZERO_WEIGHTS):
+    expected = float(jl.PairwiseLogisticLoss()(labels, logits,
+                                               reduction=reduction))
+    got = float(list_sharding.sharded_pairwise_loss(
+        labels, logits, mesh, axis='model', data_axis='data',
+        reduction=reduction))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6,
+                               err_msg=str(reduction))
