@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 10
 USE_BN = '--no_bn' not in sys.argv  # --no_bn reproduces the 1.06 ms figure
+NO_FUSED = '--no_fused' in sys.argv  # disable the fused Pallas BN tower
 
 
 def main():
@@ -26,6 +27,9 @@ def main():
 
   from ranking_tpu import models, ops, train
   from ranking_tpu.data.batch import batch_from_labels
+  if NO_FUSED:
+    from ranking_tpu.ops.pallas import fused_bn
+    fused_bn.set_enabled(False)
 
   rng = np.random.RandomState(0)
   B, L, F = 128, 200, 136

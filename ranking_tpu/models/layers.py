@@ -135,11 +135,60 @@ _ACTIVATIONS: Dict[str, Callable[[Array], Array]] = {
 }
 
 
+class _DenseParams(nn.Module):
+  """Owns a Dense layer's params (same names/init as nn.Dense) without
+  running the matmul — the fused-BN path reads them into its kernels."""
+
+  features: int
+
+  @nn.compact
+  def __call__(self, in_features: int):
+    kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                        (in_features, self.features))
+    bias = self.param('bias', nn.initializers.zeros_init(),
+                      (self.features,))
+    return kernel, bias
+
+
+class _BNParams(nn.Module):
+  """Owns a BatchNorm layer's params/stats (same names/init as
+  nn.BatchNorm); a second call with batch stats applies flax's
+  running-average update."""
+
+  features: int
+  momentum: float
+
+  @nn.compact
+  def __call__(self, batch_mean=None, batch_var=None):
+    scale = self.param('scale', nn.initializers.ones_init(),
+                       (self.features,))
+    bias = self.param('bias', nn.initializers.zeros_init(),
+                      (self.features,))
+    ra_mean = self.variable('batch_stats', 'mean',
+                            lambda s: jnp.zeros(s, jnp.float32),
+                            (self.features,))
+    ra_var = self.variable('batch_stats', 'var',
+                           lambda s: jnp.ones(s, jnp.float32),
+                           (self.features,))
+    if batch_mean is not None and not self.is_initializing():
+      ra_mean.value = (self.momentum * ra_mean.value
+                       + (1 - self.momentum) * batch_mean)
+      ra_var.value = (self.momentum * ra_var.value
+                      + (1 - self.momentum) * batch_var)
+    return scale, bias
+
+
 class Tower(nn.Module):
   """Feed-forward scoring tower: [BN] -> (Dense -> BN -> act -> dropout)*.
 
   Equivalent of ``create_tower`` (keras/layers.py:26-77). ``dtype`` controls
   the compute precision (bfloat16 recommended on TPU); params stay float32.
+
+  In train mode with batch norm, relu, and no dropout, the hidden chain
+  runs as fused Pallas kernels (ops/pallas/fused_bn.py) that keep BN from
+  costing any activation-sized HBM traffic — numerically the same BN
+  (equality-tested), same parameter tree, enabled automatically on TPU
+  (``ops.pallas.fused_bn.set_enabled`` overrides).
   """
 
   hidden_layer_dims: Sequence[int]
@@ -151,8 +200,48 @@ class Tower(nn.Module):
   dropout: float = 0.5
   dtype: Any = jnp.float32
 
+  def _fused_ok(self, x: Array, training: bool) -> bool:
+    from ranking_tpu.ops.pallas import fused_bn
+    return (training
+            and self.use_batch_norm
+            and not self.input_batch_norm
+            and not self.dropout
+            and self.activation == 'relu'
+            and self.dtype in (jnp.float32, 'float32')
+            and x.dtype == jnp.float32
+            and x.ndim == 2
+            and bool(self.hidden_layer_dims)
+            and not self.is_initializing()
+            and fused_bn.enabled()
+            and fused_bn.supported(x.shape[-1], self.hidden_layer_dims))
+
+  def _fused_call(self, x: Array) -> Array:
+    from ranking_tpu.ops.pallas import fused_bn
+    ws, bs, gammas, betas, bn_mods = [], [], [], [], []
+    f_in = x.shape[-1]
+    for idx, dim in enumerate(self.hidden_layer_dims):
+      kernel, bias = _DenseParams(dim, name=f'Dense_{idx}')(f_in)
+      bn = _BNParams(dim, self.batch_norm_momentum, name=f'BatchNorm_{idx}')
+      scale, offset = bn()
+      ws.append(kernel)
+      bs.append(bias)
+      gammas.append(scale)
+      betas.append(offset)
+      bn_mods.append(bn)
+      f_in = dim
+    out, means, vars_ = fused_bn.fused_bn_mlp(
+        x, tuple(ws), tuple(bs), tuple(gammas), tuple(betas), 1e-5,
+        x.shape[0])
+    for bn, mu, var in zip(bn_mods, means, vars_):
+      bn(jax.lax.stop_gradient(mu), jax.lax.stop_gradient(var))
+    kernel, bias = _DenseParams(
+        self.output_units, name=f'Dense_{len(self.hidden_layer_dims)}')(f_in)
+    return (out @ kernel + bias).astype(jnp.float32)
+
   @nn.compact
   def __call__(self, x: Array, training: bool = False) -> Array:
+    if self._fused_ok(x, training):
+      return self._fused_call(x)
     act = _ACTIVATIONS[self.activation]
     x = x.astype(self.dtype)
     if self.input_batch_norm:
