@@ -202,20 +202,14 @@ class Tower(nn.Module):
 
   def _fused_ok(self, x: Array, training: bool) -> bool:
     from ranking_tpu.ops.pallas import fused_bn
-    return (training
-            and self.use_batch_norm
-            and not self.input_batch_norm
-            and not self.dropout
-            and self.activation == 'relu'
-            and self.dtype in (jnp.float32, 'float32')
-            and x.dtype == jnp.float32
-            and x.ndim == 2
+    return (fused_bn.eligible(training, self.use_batch_norm,
+                              self.input_batch_norm, self.dropout,
+                              self.activation, self.dtype, x)
             and bool(self.hidden_layer_dims)
             and not self.is_initializing()
-            and fused_bn.enabled()
             and fused_bn.supported(x.shape[-1], self.hidden_layer_dims))
 
-  def _fused_call(self, x: Array) -> Array:
+  def _fused_call(self, x: Array, row_mask: Optional[Array]) -> Array:
     from ranking_tpu.ops.pallas import fused_bn
     ws, bs, gammas, betas, bn_mods = [], [], [], [], []
     f_in = x.shape[-1]
@@ -229,9 +223,11 @@ class Tower(nn.Module):
       betas.append(offset)
       bn_mods.append(bn)
       f_in = dim
+    if row_mask is None:
+      row_mask = jnp.ones((x.shape[0],), jnp.float32)
     out, means, vars_ = fused_bn.fused_bn_mlp(
-        x, tuple(ws), tuple(bs), tuple(gammas), tuple(betas), 1e-5,
-        x.shape[0])
+        x, row_mask, tuple(ws), tuple(bs), tuple(gammas), tuple(betas),
+        1e-5)
     for bn, mu, var in zip(bn_mods, means, vars_):
       bn(jax.lax.stop_gradient(mu), jax.lax.stop_gradient(var))
     kernel, bias = _DenseParams(
@@ -239,9 +235,13 @@ class Tower(nn.Module):
     return (out @ kernel + bias).astype(jnp.float32)
 
   @nn.compact
-  def __call__(self, x: Array, training: bool = False) -> Array:
+  def __call__(self, x: Array, training: bool = False,
+               row_mask: Optional[Array] = None) -> Array:
+    """``row_mask`` (fused path only): [N] row validity — BN statistics
+    become the exact masked moments, replacing the circular-padding
+    approximation. Ignored by the standard path."""
     if self._fused_ok(x, training):
-      return self._fused_call(x)
+      return self._fused_call(x, row_mask)
     act = _ACTIVATIONS[self.activation]
     x = x.astype(self.dtype)
     if self.input_batch_norm:

@@ -47,14 +47,33 @@ class DNNScorer(nn.Module):
   def __call__(self, context: FeatureDict, examples: FeatureDict,
                mask: Array, training: bool = False) -> Array:
     batch, list_size = mask.shape
-    # Circular padding protects batch-coupled statistics (batch norm) from
-    # padding rows; without batch norm every row is scored independently
-    # and masked at restore, so the index build + gather can be skipped
-    # (it showed up at ~10% of a flagship train step in device profiles).
-    needs_padding = self.use_batch_norm or self.input_batch_norm
-    concat = layers_lib.concat_features(context, examples, mask,
-                                        circular_padding=needs_padding)
-    flat = concat.reshape(batch * list_size, -1)
+    from ranking_tpu.ops.pallas import fused_bn
+
+    # The fused masked-BN tower (ops/pallas/fused_bn.py) takes the row
+    # mask directly — exact valid-only statistics with no index build.
+    probe = layers_lib.concat_features(context, examples, mask,
+                                       circular_padding=False)
+    flat = probe.reshape(batch * list_size, -1)
+    row_mask = None
+    use_fused = (fused_bn.eligible(training, self.use_batch_norm,
+                                   self.input_batch_norm, self.dropout,
+                                   self.activation, self.dtype, flat)
+                 and not self.is_initializing()
+                 and fused_bn.supported(flat.shape[-1],
+                                        self.hidden_layer_dims))
+    if use_fused:
+      row_mask = mask.reshape(-1)
+    else:
+      # Circular padding protects batch-coupled statistics (batch norm)
+      # from padding rows; without batch norm every row is scored
+      # independently and masked at restore, so the index build + gather
+      # can be skipped (~10% of a flagship train step in device
+      # profiles).
+      needs_padding = self.use_batch_norm or self.input_batch_norm
+      if needs_padding:
+        concat = layers_lib.concat_features(context, examples, mask,
+                                            circular_padding=True)
+        flat = concat.reshape(batch * list_size, -1)
     scores = layers_lib.Tower(
         hidden_layer_dims=self.hidden_layer_dims,
         output_units=self.output_units,
@@ -63,7 +82,7 @@ class DNNScorer(nn.Module):
         use_batch_norm=self.use_batch_norm,
         batch_norm_momentum=self.batch_norm_momentum,
         dropout=self.dropout,
-        dtype=self.dtype)(flat, training=training)
+        dtype=self.dtype)(flat, training=training, row_mask=row_mask)
     if self.output_units == 1:
       return layers_lib.restore_list(scores, mask)
     logits = scores.reshape(batch, list_size, self.output_units)

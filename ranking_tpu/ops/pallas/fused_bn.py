@@ -1,32 +1,43 @@
-"""Fused Dense -> BatchNorm -> ReLU tower (train mode) for TPU.
+"""Fused Dense -> (masked) BatchNorm -> ReLU tower (train mode) for TPU.
 
 The reference's default scoring tower interleaves batch norm with every
-dense layer (tensorflow_ranking/python/keras/layers.py:26-77). Under XLA,
-each train-mode BN costs several extra HBM passes over the [B*L, F]
-activations: a stats reduction, a materialized normalize, and the mirror
-passes in the backward — measured at ~2x the whole step time on the
-flagship workload (benchmarks/profile_step.py: 2.17 ms BN-on vs 1.06 ms
-BN-off).
+dense layer (tensorflow_ranking/python/keras/layers.py:26-77), and keeps
+padding out of the batch statistics by circularly duplicating valid docs
+into the padded rows before the tower (keras/model.py:755-777
+organize-valid-indices + gather). Under XLA this costs (a) several extra
+HBM passes over the [B*L, F] activations per BN (stats reduction,
+materialized normalize, and their backward mirrors) and (b) the index
+build + gather machinery itself — together ~2x the whole step
+(benchmarks/profile_step.py round 1: 2.17 ms BN-on vs 1.06 ms BN-off).
 
-This module closes that gap by restructuring the whole hidden chain into
-one Pallas kernel per layer:
+This module restructures the hidden chain into one Pallas kernel per
+layer, and makes the statistics *exactly* mask-weighted instead of
+circular-padding-approximated (the TPU-native form of "BN over valid
+flattened docs"):
 
-* forward: ``y_l = relu(y_{l-1} * s + t) @ W + b`` — the previous layer's
-  BN fold (scale s, shift t) and ReLU are applied to input tiles already
-  in VMEM (free VPU work against the matmul), and the column sums /
-  sums-of-squares for THIS layer's BN are accumulated in the matmul
-  epilogue. Each activation is written to HBM exactly once and read
-  exactly once; batch norm adds no activation-sized HBM traffic at all.
-* backward: one stats kernel (reads g, y once) computes the BN reduction
-  terms; one matmul kernel (reads g, y, y_prev once) reconstructs
-  ``dy = s*dyhat - y*c2 - c1`` on the fly and emits both ``dx = dy @ W^T``
-  and ``dW = z_prev^T @ dy`` without materializing ``dy``.
+* forward (_fwd_kernel): ``y_l = relu(y_{l-1} * s + t) @ W + b`` — the
+  previous layer's BN fold (scale s, shift t) and ReLU apply to input
+  tiles already in VMEM, and this layer's masked column sums /
+  sums-of-squares accumulate in the matmul epilogue. Each activation is
+  written to HBM once and read once; BN adds no activation-sized HBM
+  traffic.
+* backward: ``_bwd_stats_kernel`` (only for the topmost layer) computes
+  the BN reduction terms in one pass; ``_bwd_mats_kernel`` reconstructs
+  ``dy = s*dyhat - mask*(y*c2 + c1)`` on the fly, emits ``dx = dy@W^T``
+  and ``dW = z_prev^T@dy``, and — in the same epilogue — the NEXT
+  iteration's BN reduction terms from the dx tile it just produced, so
+  no separate stats pass is needed below the top layer. The first
+  layer's dx runs in a separate kernel that XLA dead-code-eliminates
+  when input gradients are not needed (raw-feature scorers).
 
-Semantics are EXACTLY flax's ``Dense -> BatchNorm(use_fast_variance) ->
-relu`` chain in train mode (same fast-variance formula, variance clip,
-epsilon, float32 stats); equality tests run both paths side by side
-(tests/test_pallas_fused_bn.py). The BN mean/var per layer are returned
-so the caller can apply flax's running-average update.
+With a full-valid mask this is numerically the flax
+``Dense -> BatchNorm(use_fast_variance) -> relu`` chain in train mode
+(same fast-variance formula, variance clip, epsilon, float32 stats) —
+equality-tested both ways in tests/test_pallas_fused_bn.py. With
+padding, statistics are the exact masked moments (weighted by the valid
+count) rather than the reference's duplicate-biased approximation; the
+jnp mirror ``reference_bn_mlp(mask=...)`` defines those semantics for
+the tests.
 """
 
 from __future__ import annotations
@@ -42,9 +53,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-TILE_N = 256
+TILE_N = 512       # forward kernel rows per block
+TILE_N_BWD = 256   # backward kernels (more resident buffers -> smaller tile)
 MAX_TILE_F = 512
-VMEM_BUDGET = 14 * 1024 * 1024
+VMEM_BUDGET = 13 * 1024 * 1024
 
 _FORCED: Optional[bool] = None  # None = auto (TPU only)
 
@@ -71,9 +83,11 @@ def supported(num_features: int, hidden_dims: Sequence[int]) -> bool:
   dims = [num_features] + list(hidden_dims)
   for f_in, f_out in zip(dims[:-1], dims[1:]):
     tf = min(f_out, MAX_TILE_F)
-    fwd = 4 * (TILE_N * f_in + f_in * tf + TILE_N * tf + 4 * f_in + 4 * tf)
-    bwd = 4 * (2 * TILE_N * f_out + TILE_N * f_in + 2 * f_in * f_out
-               + TILE_N * f_in + 8 * f_out + 4 * f_in)
+    # Tiled blocks are double-buffered by the pipeline (x2).
+    fwd = 4 * (2 * TILE_N * (f_in + tf) + f_in * tf + 4 * f_in
+               + 4 * tf + 4 * TILE_N)
+    bwd = 4 * (2 * TILE_N_BWD * (2 * f_out + 2 * f_in) + 2 * f_in * f_out
+               + 16 * f_out + 8 * f_in + 4 * TILE_N_BWD)
     if max(fwd, bwd) > VMEM_BUDGET:
       return False
   return True
@@ -84,12 +98,12 @@ def _cdiv(a: int, b: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel: prologue(BN-fold+ReLU) -> matmul -> stats epilogue
+# Forward kernel: prologue(BN-fold+ReLU) -> matmul -> masked stats epilogue
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, s_ref, t_ref, w_ref, b_ref, y_ref, sum_ref, ssq_ref,
-                *, relu_in: bool, n_valid: int):
+def _fwd_kernel(x_ref, m_ref, s_ref, t_ref, w_ref, b_ref,
+                y_ref, sum_ref, ssq_ref, *, relu_in: bool):
   i = pl.program_id(1)
   z = x_ref[:]
   z = z * s_ref[:] + t_ref[:]
@@ -98,8 +112,7 @@ def _fwd_kernel(x_ref, s_ref, t_ref, w_ref, b_ref, y_ref, sum_ref, ssq_ref,
   y = jnp.dot(z, w_ref[:], preferred_element_type=jnp.float32) + b_ref[:]
   y_ref[:] = y
 
-  rows = i * TILE_N + jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
-  ym = jnp.where(rows < n_valid, y, 0.0)
+  ym = y * m_ref[:]
 
   @pl.when(i == 0)
   def _():
@@ -107,20 +120,22 @@ def _fwd_kernel(x_ref, s_ref, t_ref, w_ref, b_ref, y_ref, sum_ref, ssq_ref,
     ssq_ref[:] = jnp.zeros_like(ssq_ref)
 
   sum_ref[:] += jnp.sum(ym, axis=0, keepdims=True)
-  ssq_ref[:] += jnp.sum(ym * ym, axis=0, keepdims=True)
+  ssq_ref[:] += jnp.sum(ym * y, axis=0, keepdims=True)
 
 
-def _layer_forward(x, s_in, t_in, w, b, *, relu_in: bool, n_valid: int):
+def _layer_forward(x, mask_col, s_in, t_in, w, b, *, relu_in: bool):
   n_pad, f_in = x.shape
   f_out = w.shape[1]
   tf = min(f_out, MAX_TILE_F)
   grid = (_cdiv(f_out, tf), _cdiv(n_pad, TILE_N))
 
   y, col_sum, col_ssq = pl.pallas_call(
-      functools.partial(_fwd_kernel, relu_in=relu_in, n_valid=n_valid),
+      functools.partial(_fwd_kernel, relu_in=relu_in),
       grid=grid,
       in_specs=[
           pl.BlockSpec((TILE_N, f_in), lambda j, i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((TILE_N, 1), lambda j, i: (i, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, f_in), lambda j, i: (0, 0),
                        memory_space=pltpu.VMEM),
@@ -149,7 +164,8 @@ def _layer_forward(x, s_in, t_in, w, b, *, relu_in: bool, n_valid: int):
           bytes_accessed=4 * (n_pad * f_in + f_in * f_out + n_pad * f_out),
           transcendentals=0),
       interpret=_interpret(),
-  )(x, s_in.reshape(1, f_in), t_in.reshape(1, f_in), w, b.reshape(1, f_out))
+  )(x, mask_col, s_in.reshape(1, f_in), t_in.reshape(1, f_in), w,
+    b.reshape(1, f_out))
   return y, col_sum[0], col_ssq[0]
 
 
@@ -158,11 +174,15 @@ def _layer_forward(x, s_in, t_in, w, b, *, relu_in: bool, n_valid: int):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_stats_kernel(g_ref, y_ref, s_ref, t_ref, s1_ref, s2_ref):
+def _bwd_stats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, s1_ref, s2_ref):
+  """One-pass BN reduction terms for the topmost layer only."""
   i = pl.program_id(1)
   g = g_ref[:]
   y = y_ref[:]
   yhat = y * s_ref[:] + t_ref[:]
+  # Unmasked: every row's yhat depends on the (masked) statistics and on
+  # beta/gamma, so the reduction terms sum over ALL rows; the mask gates
+  # only the dy correction term (see _dy_tile).
   dyhat = jnp.where(yhat > 0, g, 0.0)
 
   @pl.when(i == 0)
@@ -174,17 +194,19 @@ def _bwd_stats_kernel(g_ref, y_ref, s_ref, t_ref, s1_ref, s2_ref):
   s2_ref[:] += jnp.sum(dyhat * y, axis=0, keepdims=True)
 
 
-def _bwd_stats(g, y, s, t):
+def _bwd_stats(g, y, mask_col, s, t):
   n_pad, f = y.shape
   tf = min(f, MAX_TILE_F)
-  grid = (_cdiv(f, tf), _cdiv(n_pad, TILE_N))
+  grid = (_cdiv(f, tf), _cdiv(n_pad, TILE_N_BWD))
   s1, s2 = pl.pallas_call(
       _bwd_stats_kernel,
       grid=grid,
       in_specs=[
-          pl.BlockSpec((TILE_N, tf), lambda j, i: (i, j),
+          pl.BlockSpec((TILE_N_BWD, tf), lambda j, i: (i, j),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((TILE_N, tf), lambda j, i: (i, j),
+          pl.BlockSpec((TILE_N_BWD, tf), lambda j, i: (i, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((TILE_N_BWD, 1), lambda j, i: (i, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, tf), lambda j, i: (0, j),
                        memory_space=pltpu.VMEM),
@@ -202,28 +224,169 @@ def _bwd_stats(g, y, s, t):
           jax.ShapeDtypeStruct((1, f), jnp.float32),
       ],
       interpret=_interpret(),
-  )(g, y, s.reshape(1, f), t.reshape(1, f))
+  )(g, y, mask_col, s.reshape(1, f), t.reshape(1, f))
   return s1[0], s2[0]
 
 
-def _bwd_mats_kernel(g_ref, y_ref, s_ref, t_ref, c1_ref, c2_ref,
-                     xin_ref, sin_ref, tin_ref, w_ref, dx_ref, dw_ref,
-                     *, relu_in: bool, n_valid: int):
-  i = pl.program_id(0)
-  g = g_ref[:]
-  y = y_ref[:]
-  yhat = y * s_ref[:] + t_ref[:]
-  dyhat = jnp.where(yhat > 0, g, 0.0)
-  dy = s_ref[:] * dyhat - y * c2_ref[:] - c1_ref[:]
-  rows = i * TILE_N + jax.lax.broadcasted_iota(jnp.int32, dy.shape, 0)
-  dy = jnp.where(rows < n_valid, dy, 0.0)
+def _dy_tile(g, y, m, s, t, c1, c2):
+  """dy = s*dyhat - mask*(y*c2 + c1); dyhat = relu'(yhat) * g.
 
+  The direct term applies to every row; the statistics-correction term
+  only to rows that participated in the masked moments."""
+  yhat = y * s + t
+  dyhat = jnp.where(yhat > 0, g, 0.0)
+  return s * dyhat - m * (y * c2 + c1)
+
+
+def _bwd_mats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
+                     xin_ref, sin_ref, tin_ref, w_ref,
+                     dx_ref, dw_ref, s1_ref, s2_ref,
+                     *, relu_in: bool, emit_prev_stats: bool):
+  i = pl.program_id(0)
+  m = m_ref[:]
+  dy = _dy_tile(g_ref[:], y_ref[:], m, s_ref[:], t_ref[:], c1_ref[:],
+                c2_ref[:])
+
+  dx = jax.lax.dot_general(
+      dy, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  dx_ref[:] = dx
+
+  x_in = xin_ref[:]
+  zhat = x_in * sin_ref[:] + tin_ref[:]
+  z = jnp.maximum(zhat, 0.0) if relu_in else zhat
+
+  @pl.when(i == 0)
+  def _():
+    dw_ref[:] = jnp.zeros_like(dw_ref)
+    if emit_prev_stats:
+      s1_ref[:] = jnp.zeros_like(s1_ref)
+      s2_ref[:] = jnp.zeros_like(s2_ref)
+
+  dw_ref[:] += jax.lax.dot_general(
+      z, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+
+  if emit_prev_stats:
+    # The next (lower) layer's BN reduction terms, from the dx tile that
+    # is still in VMEM — saves that layer's separate stats pass.
+    dyhat_prev = jnp.where(zhat > 0, dx, 0.0)
+    s1_ref[:] += jnp.sum(dyhat_prev, axis=0, keepdims=True)
+    s2_ref[:] += jnp.sum(dyhat_prev * x_in, axis=0, keepdims=True)
+
+
+def _bwd_mats(g, y, mask_col, s, t, c1, c2, x_in, s_in, t_in, w,
+              *, relu_in: bool, emit_prev_stats: bool):
+  n_pad, f_out = y.shape
+  f_in = x_in.shape[1]
+  grid = (_cdiv(n_pad, TILE_N_BWD),)
+  dx, dw, s1, s2 = pl.pallas_call(
+      functools.partial(_bwd_mats_kernel, relu_in=relu_in,
+                        emit_prev_stats=emit_prev_stats),
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((TILE_N_BWD, f_out), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((TILE_N_BWD, f_out), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((TILE_N_BWD, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((TILE_N_BWD, f_in), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_in), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_in), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((f_in, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((TILE_N_BWD, f_in), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((f_in, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_in), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_in), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((n_pad, f_in), jnp.float32),
+          jax.ShapeDtypeStruct((f_in, f_out), jnp.float32),
+          jax.ShapeDtypeStruct((1, f_in), jnp.float32),
+          jax.ShapeDtypeStruct((1, f_in), jnp.float32),
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=4 * n_pad * f_in * f_out,
+          bytes_accessed=4 * (3 * n_pad * f_out + 2 * n_pad * f_in
+                              + 2 * f_in * f_out),
+          transcendentals=0),
+      interpret=_interpret(),
+  )(g, y, mask_col, s.reshape(1, f_out), t.reshape(1, f_out),
+    c1.reshape(1, f_out), c2.reshape(1, f_out), x_in,
+    s_in.reshape(1, f_in), t_in.reshape(1, f_in), w)
+  return dx, dw, s1[0], s2[0]
+
+
+def _dx_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref, w_ref,
+               dx_ref):
+  dy = _dy_tile(g_ref[:], y_ref[:], m_ref[:], s_ref[:], t_ref[:],
+                c1_ref[:], c2_ref[:])
   dx_ref[:] = jax.lax.dot_general(
       dy, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
 
-  z = xin_ref[:]
-  z = z * sin_ref[:] + tin_ref[:]
+
+def _bwd_dx_only(g, y, mask_col, s, t, c1, c2, w):
+  """First-layer input gradient, in its own kernel so XLA can drop it
+  when the caller never consumes input cotangents (raw-feature towers)."""
+  n_pad, f_out = y.shape
+  f_in = w.shape[0]
+  grid = (_cdiv(n_pad, TILE_N_BWD),)
+  return pl.pallas_call(
+      _dx_kernel,
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((TILE_N_BWD, f_out), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((TILE_N_BWD, f_out), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((TILE_N_BWD, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((f_in, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((TILE_N_BWD, f_in), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((n_pad, f_in), jnp.float32),
+      interpret=_interpret(),
+  )(g, y, mask_col, s.reshape(1, f_out), t.reshape(1, f_out),
+    c1.reshape(1, f_out), c2.reshape(1, f_out), w)
+
+
+def _dw_only_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
+                    xin_ref, sin_ref, tin_ref, dw_ref, *, relu_in: bool):
+  i = pl.program_id(0)
+  dy = _dy_tile(g_ref[:], y_ref[:], m_ref[:], s_ref[:], t_ref[:],
+                c1_ref[:], c2_ref[:])
+  x_in = xin_ref[:]
+  z = x_in * sin_ref[:] + tin_ref[:]
   if relu_in:
     z = jnp.maximum(z, 0.0)
 
@@ -236,56 +399,44 @@ def _bwd_mats_kernel(g_ref, y_ref, s_ref, t_ref, c1_ref, c2_ref,
       preferred_element_type=jnp.float32)
 
 
-def _bwd_mats(g, y, s, t, c1, c2, x_in, s_in, t_in, w, *, relu_in: bool,
-              n_valid: int):
+def _bwd_dw_only(g, y, mask_col, s, t, c1, c2, x_in, s_in, t_in,
+                 *, relu_in: bool):
+  """First-layer dW without the dx matmul or prev-stats epilogue."""
   n_pad, f_out = y.shape
   f_in = x_in.shape[1]
-  grid = (_cdiv(n_pad, TILE_N),)
-  dx, dw = pl.pallas_call(
-      functools.partial(_bwd_mats_kernel, relu_in=relu_in, n_valid=n_valid),
+  grid = (_cdiv(n_pad, TILE_N_BWD),)
+  return pl.pallas_call(
+      functools.partial(_dw_only_kernel, relu_in=relu_in),
       grid=grid,
       in_specs=[
-          pl.BlockSpec((TILE_N, f_out), lambda i: (i, 0),
+          pl.BlockSpec((TILE_N_BWD, f_out), lambda i: (i, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((TILE_N, f_out), lambda i: (i, 0),
+          pl.BlockSpec((TILE_N_BWD, f_out), lambda i: (i, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, f_out), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+          pl.BlockSpec((TILE_N_BWD, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, f_out), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, f_out), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((TILE_N, f_in), lambda i: (i, 0),
+          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, f_out), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((TILE_N_BWD, f_in), lambda i: (i, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, f_in), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, f_in), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((f_in, f_out), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM),
       ],
-      out_specs=[
-          pl.BlockSpec((TILE_N, f_in), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((f_in, f_out), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      out_shape=[
-          jax.ShapeDtypeStruct((n_pad, f_in), jnp.float32),
-          jax.ShapeDtypeStruct((f_in, f_out), jnp.float32),
-      ],
-      cost_estimate=pl.CostEstimate(
-          flops=4 * n_pad * f_in * f_out,
-          bytes_accessed=4 * (3 * n_pad * f_out + 2 * n_pad * f_in
-                              + 2 * f_in * f_out),
-          transcendentals=0),
+      out_specs=pl.BlockSpec((f_in, f_out), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((f_in, f_out), jnp.float32),
       interpret=_interpret(),
-  )(g, y, s.reshape(1, f_out), t.reshape(1, f_out), c1.reshape(1, f_out),
-    c2.reshape(1, f_out), x_in, s_in.reshape(1, f_in),
-    t_in.reshape(1, f_in), w)
-  return dx, dw
+  )(g, y, mask_col, s.reshape(1, f_out), t.reshape(1, f_out),
+    c1.reshape(1, f_out), c2.reshape(1, f_out), x_in,
+    s_in.reshape(1, f_in), t_in.reshape(1, f_in))
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +444,7 @@ def _bwd_mats(g, y, s, t, c1, c2, x_in, s_in, t_in, w, *, relu_in: bool,
 # ---------------------------------------------------------------------------
 
 
-def _bn_fold(col_sum, col_ssq, gamma, beta, n: int, eps: float):
+def _bn_fold(col_sum, col_ssq, gamma, beta, n, eps: float):
   mu = col_sum / n
   var = jnp.maximum(0.0, col_ssq / n - mu * mu)
   sig_inv = jax.lax.rsqrt(var + eps)
@@ -308,94 +459,144 @@ def _pad_rows(x, n_pad):
   return jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_bn_mlp(x, ws, bs, gammas, betas, eps, n_valid):
-  """relu(BN(x @ W_l + b_l)) chained over layers; returns
-  (last_hidden_activations [N, F_L], means tuple, vars tuple).
+def eligible(training: bool, use_batch_norm: bool, input_batch_norm: bool,
+             dropout: float, activation: str, dtype, x) -> bool:
+  """Static-config eligibility for the fused path (shared by Tower and
+  the scorers that must decide padding strategy before calling it)."""
+  return (training
+          and use_batch_norm
+          and not input_batch_norm
+          and not dropout
+          and activation == 'relu'
+          and dtype in (jnp.float32, 'float32')
+          and x.dtype == jnp.float32
+          and x.ndim == 2
+          and enabled())
 
-  The mean/var outputs are for running-average updates only and are
-  non-differentiable (their cotangents are ignored).
+
+def fused_bn_mlp(x, mask, ws, bs, gammas, betas, eps):
+  """relu(maskedBN(x @ W_l + b_l)) chained over layers.
+
+  Args:
+    x: ``[N, F0]`` float32 rows (documents).
+    mask: ``[N]`` row validity (any dtype; cast to float32). Statistics
+      are the exact moments over rows where mask is nonzero; all rows
+      still produce (normalized) outputs. Pass all-ones to reproduce
+      plain BN.
+    ws/bs/gammas/betas: per-layer Dense kernel/bias and BN scale/offset.
+    eps: BN epsilon (static).
+
+  Returns:
+    ``(a_last [N, F_L], means tuple, vars tuple)``. The mean/var outputs
+    are for running-average updates only and are non-differentiable.
   """
-  out, _ = _fused_fwd(x, ws, bs, gammas, betas, eps, n_valid)
+  mask = jax.lax.stop_gradient(jnp.asarray(mask, jnp.float32))
+  return _fused_op(x, mask, tuple(ws), tuple(bs), tuple(gammas),
+                   tuple(betas), eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_op(x, mask, ws, bs, gammas, betas, eps):
+  out, _ = _fused_fwd(x, mask, ws, bs, gammas, betas, eps)
   return out
 
 
-def _fused_fwd(x, ws, bs, gammas, betas, eps, n_valid):
+def _fused_fwd(x, mask, ws, bs, gammas, betas, eps):
+  n_valid = x.shape[0]
   n_pad = _cdiv(n_valid, TILE_N) * TILE_N
   x_p = _pad_rows(x, n_pad)
+  mask_col = _pad_rows(
+      jnp.asarray(mask, jnp.float32).reshape(n_valid, 1), n_pad)
+  n = jnp.maximum(jnp.sum(mask_col), 1.0)
   f_in0 = x.shape[1]
 
-  ys, sums, ssqs, folds = [], [], [], []
+  ys, sums, folds = [], [], []
   s_in = jnp.ones((f_in0,), jnp.float32)
   t_in = jnp.zeros((f_in0,), jnp.float32)
   h = x_p
   relu_in = False
-  for l, (w, b, gamma, beta) in enumerate(zip(ws, bs, gammas, betas)):
+  for w, b, gamma, beta in zip(ws, bs, gammas, betas):
     y, col_sum, col_ssq = _layer_forward(
-        h, s_in, t_in, w, b, relu_in=relu_in, n_valid=n_valid)
-    mu, var, sig_inv, s, t = _bn_fold(col_sum, col_ssq, gamma, beta,
-                                      n_valid, eps)
+        h, mask_col, s_in, t_in, w, b, relu_in=relu_in)
+    mu, var, sig_inv, s, t = _bn_fold(col_sum, col_ssq, gamma, beta, n, eps)
     ys.append(y)
     sums.append(col_sum)
-    ssqs.append(col_ssq)
     folds.append((mu, var, sig_inv, s, t))
     h, s_in, t_in, relu_in = y, s, t, True
 
-  y_last = ys[-1]
   _, _, _, s_last, t_last = folds[-1]
-  a_last = jnp.maximum(y_last * s_last[None, :] + t_last[None, :], 0.0)
+  a_last = jnp.maximum(ys[-1] * s_last[None, :] + t_last[None, :], 0.0)
   a_last = a_last[:n_valid]
 
   means = tuple(f[0] for f in folds)
   vars_ = tuple(f[1] for f in folds)
-  residuals = (x_p, tuple(ys), tuple(sums), tuple(folds), tuple(ws),
-               tuple(gammas))
+  residuals = (x_p, mask_col, n, tuple(ys), tuple(sums), tuple(folds),
+               tuple(ws))
   return (a_last, means, vars_), residuals
 
 
-def _fused_bwd(eps, n_valid, residuals, cotangents):
+def _layer_consts(fold, s1, s2, col_sum, n):
+  """Per-column BN backward constants and param grads for one layer."""
+  mu, _, sig_inv, s, _ = fold
+  dbeta = s1
+  dgamma = (s2 - mu * s1) * sig_inv
+  c2 = s * sig_inv * dgamma / n
+  c1 = s * (s1 / n - mu * sig_inv * dgamma / n)
+  db = s * s1 - col_sum * c2 - n * c1
+  return dbeta, dgamma, c1, c2, db
+
+
+def _fused_bwd(eps, residuals, cotangents):
   del eps
   g_a, _, _ = cotangents  # mean/var cotangents are ignored (stats outputs)
-  x_p, ys, sums, folds, ws, gammas = residuals
+  x_p, mask_col, n, ys, sums, folds, ws = residuals
   n_pad = x_p.shape[0]
+  n_valid = g_a.shape[0]
   num_layers = len(ys)
 
   g = _pad_rows(g_a, n_pad)
-  d_ws, d_bs, d_gammas, d_betas = [], [], [], []
-  for l in range(num_layers - 1, -1, -1):
-    y = ys[l]
-    mu, var, sig_inv, s, t = folds[l]
-    s1, s2 = _bwd_stats(g, y, s, t)
-    dbeta = s1
-    dgamma = (s2 - mu * s1) * sig_inv
-    c2 = s * sig_inv * dgamma / n_valid
-    c1 = s * (s1 / n_valid - mu * sig_inv * dgamma / n_valid)
-    db = s * s1 - sums[l] * c2 - n_valid * c1
+  d_ws = [None] * num_layers
+  d_bs = [None] * num_layers
+  d_gammas = [None] * num_layers
+  d_betas = [None] * num_layers
+
+  # Top layer's reduction terms need their own pass; every lower layer's
+  # arrive from the _bwd_mats epilogue of the layer above.
+  top = num_layers - 1
+  mu, var, sig_inv, s, t = folds[top]
+  s1, s2 = _bwd_stats(g, ys[top], mask_col, s, t)
+
+  for l in range(top, -1, -1):
+    fold = folds[l]
+    dbeta, dgamma, c1, c2, db = _layer_consts(fold, s1, s2, sums[l], n)
+    d_bs[l] = db
+    d_gammas[l] = dgamma
+    d_betas[l] = dbeta
+    _, _, _, s, t = fold
 
     if l == 0:
       x_in = x_p
       s_in = jnp.ones((x_p.shape[1],), jnp.float32)
       t_in = jnp.zeros((x_p.shape[1],), jnp.float32)
-      relu_in = False
+      d_ws[l] = _bwd_dw_only(g, ys[l], mask_col, s, t, c1, c2, x_in, s_in,
+                             t_in, relu_in=False)
+      dx0 = _bwd_dx_only(g, ys[l], mask_col, s, t, c1, c2, ws[l])
     else:
       x_in = ys[l - 1]
       _, _, _, s_in, t_in = folds[l - 1]
-      relu_in = True
+      dx, dw, s1, s2 = _bwd_mats(
+          g, ys[l], mask_col, s, t, c1, c2, x_in, s_in, t_in, ws[l],
+          relu_in=True, emit_prev_stats=True)
+      d_ws[l] = dw
+      g = dx
 
-    dx, dw = _bwd_mats(g, y, s, t, c1, c2, x_in, s_in, t_in, ws[l],
-                       relu_in=relu_in, n_valid=n_valid)
-    d_ws.append(dw)
-    d_bs.append(db)
-    d_gammas.append(dgamma)
-    d_betas.append(dbeta)
-    g = dx
-
-  dx0 = g[:n_valid] if n_valid != n_pad else g
-  return (dx0, tuple(reversed(d_ws)), tuple(reversed(d_bs)),
-          tuple(reversed(d_gammas)), tuple(reversed(d_betas)))
+  dx0 = dx0[:n_valid] if n_valid != n_pad else dx0
+  dmask = jnp.zeros((n_valid,), jnp.float32)
+  return (dx0, dmask, tuple(d_ws), tuple(d_bs), tuple(d_gammas),
+          tuple(d_betas))
 
 
-fused_bn_mlp.defvjp(_fused_fwd, _fused_bwd)
+_fused_op.defvjp(_fused_fwd, _fused_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -403,15 +604,20 @@ fused_bn_mlp.defvjp(_fused_fwd, _fused_bwd)
 # ---------------------------------------------------------------------------
 
 
-def reference_bn_mlp(x, ws, bs, gammas, betas, eps=1e-5):
-  """Pure-jnp mirror of fused_bn_mlp: Dense -> train-mode BatchNorm
-  (fast variance, clip, float32) -> relu per layer."""
+def reference_bn_mlp(x, ws, bs, gammas, betas, eps=1e-5, mask=None):
+  """Pure-jnp mirror of fused_bn_mlp: Dense -> train-mode masked
+  BatchNorm (fast variance, clip, float32) -> relu per layer."""
   h = x
+  if mask is None:
+    m = jnp.ones((x.shape[0], 1), jnp.float32)
+  else:
+    m = jnp.asarray(mask, jnp.float32).reshape(x.shape[0], 1)
+  n = jnp.maximum(jnp.sum(m), 1.0)
   means, vars_ = [], []
   for w, b, gamma, beta in zip(ws, bs, gammas, betas):
     y = h @ w + b
-    mu = jnp.mean(y, axis=0)
-    var = jnp.maximum(0.0, jnp.mean(y * y, axis=0) - mu * mu)
+    mu = jnp.sum(y * m, axis=0) / n
+    var = jnp.maximum(0.0, jnp.sum(y * y * m, axis=0) / n - mu * mu)
     yhat = (y - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
     h = jnp.maximum(yhat, 0.0)
     means.append(mu)
