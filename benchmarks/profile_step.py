@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 STEPS = 10
 USE_BN = '--no_bn' not in sys.argv  # --no_bn reproduces the 1.06 ms figure
 NO_FUSED = '--no_fused' in sys.argv  # disable the fused Pallas BN tower
+BF16 = '--bf16' in sys.argv  # bfloat16 activations (TPU-native config)
 
 
 def main():
@@ -36,9 +37,11 @@ def main():
   labels = rng.randint(0, 5, size=(B, L)).astype(np.float32)
   batch = batch_from_labels(
       labels=labels, examples={'x': rng.randn(B, L, F).astype(np.float32)})
+  import jax.numpy as jnp
   model = models.RankingModel(
       scorer=models.DNNScorer(hidden_layer_dims=(1024, 512, 256),
-                              dropout=0.0, use_batch_norm=USE_BN))
+                              dropout=0.0, use_batch_norm=USE_BN,
+                              dtype=jnp.bfloat16 if BF16 else jnp.float32))
   state = train.create_train_state(
       model, optax.adam(1e-3), jax.random.PRNGKey(0),
       batch.context, batch.examples, batch.mask)
@@ -84,6 +87,8 @@ def main():
   out = {
       'steps': STEPS,
       'batch_norm': USE_BN,
+      'fused_bn': USE_BN and not NO_FUSED,
+      'dtype': 'bf16' if BF16 else 'f32',
       'wall_ms_per_step': round(wall / STEPS * 1e3, 3),
       'device_ms_per_step': (round(device_ms / STEPS, 3)
                              if device_ms else None),

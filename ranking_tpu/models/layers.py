@@ -227,12 +227,13 @@ class Tower(nn.Module):
       row_mask = jnp.ones((x.shape[0],), jnp.float32)
     out, means, vars_ = fused_bn.fused_bn_mlp(
         x, row_mask, tuple(ws), tuple(bs), tuple(gammas), tuple(betas),
-        1e-5)
+        1e-5, act_dtype=self.dtype)
     for bn, mu, var in zip(bn_mods, means, vars_):
       bn(jax.lax.stop_gradient(mu), jax.lax.stop_gradient(var))
     kernel, bias = _DenseParams(
         self.output_units, name=f'Dense_{len(self.hidden_layer_dims)}')(f_in)
-    return (out @ kernel + bias).astype(jnp.float32)
+    out = out @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+    return out.astype(jnp.float32)
 
   @nn.compact
   def __call__(self, x: Array, training: bool = False,

@@ -105,12 +105,13 @@ def _cdiv(a: int, b: int) -> int:
 def _fwd_kernel(x_ref, m_ref, s_ref, t_ref, w_ref, b_ref,
                 y_ref, sum_ref, ssq_ref, *, relu_in: bool):
   i = pl.program_id(1)
-  z = x_ref[:]
+  z = x_ref[:].astype(jnp.float32)
   z = z * s_ref[:] + t_ref[:]
   if relu_in:
     z = jnp.maximum(z, 0.0)
-  y = jnp.dot(z, w_ref[:], preferred_element_type=jnp.float32) + b_ref[:]
-  y_ref[:] = y
+  y = jnp.dot(z.astype(w_ref.dtype), w_ref[:],
+              preferred_element_type=jnp.float32) + b_ref[:]
+  y_ref[:] = y.astype(y_ref.dtype)
 
   ym = y * m_ref[:]
 
@@ -123,9 +124,11 @@ def _fwd_kernel(x_ref, m_ref, s_ref, t_ref, w_ref, b_ref,
   ssq_ref[:] += jnp.sum(ym * y, axis=0, keepdims=True)
 
 
-def _layer_forward(x, mask_col, s_in, t_in, w, b, *, relu_in: bool):
+def _layer_forward(x, mask_col, s_in, t_in, w, b, *, relu_in: bool,
+                   act_dtype=jnp.float32):
   n_pad, f_in = x.shape
   f_out = w.shape[1]
+  w = w.astype(act_dtype)
   tf = min(f_out, MAX_TILE_F)
   grid = (_cdiv(f_out, tf), _cdiv(n_pad, TILE_N))
 
@@ -155,7 +158,7 @@ def _layer_forward(x, mask_col, s_in, t_in, w, b, *, relu_in: bool):
                        memory_space=pltpu.VMEM),
       ],
       out_shape=[
-          jax.ShapeDtypeStruct((n_pad, f_out), jnp.float32),
+          jax.ShapeDtypeStruct((n_pad, f_out), act_dtype),
           jax.ShapeDtypeStruct((1, f_out), jnp.float32),
           jax.ShapeDtypeStruct((1, f_out), jnp.float32),
       ],
@@ -177,8 +180,8 @@ def _layer_forward(x, mask_col, s_in, t_in, w, b, *, relu_in: bool):
 def _bwd_stats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, s1_ref, s2_ref):
   """One-pass BN reduction terms for the topmost layer only."""
   i = pl.program_id(1)
-  g = g_ref[:]
-  y = y_ref[:]
+  g = g_ref[:].astype(jnp.float32)
+  y = y_ref[:].astype(jnp.float32)
   yhat = y * s_ref[:] + t_ref[:]
   # Unmasked: every row's yhat depends on the (masked) statistics and on
   # beta/gamma, so the reduction terms sum over ALL rows; the mask gates
@@ -233,6 +236,8 @@ def _dy_tile(g, y, m, s, t, c1, c2):
 
   The direct term applies to every row; the statistics-correction term
   only to rows that participated in the masked moments."""
+  g = g.astype(jnp.float32)
+  y = y.astype(jnp.float32)
   yhat = y * s + t
   dyhat = jnp.where(yhat > 0, g, 0.0)
   return s * dyhat - m * (y * c2 + c1)
@@ -248,11 +253,12 @@ def _bwd_mats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
                 c2_ref[:])
 
   dx = jax.lax.dot_general(
-      dy, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+      dy.astype(w_ref.dtype), w_ref[:],
+      dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
-  dx_ref[:] = dx
+  dx_ref[:] = dx.astype(dx_ref.dtype)
 
-  x_in = xin_ref[:]
+  x_in = xin_ref[:].astype(jnp.float32)
   zhat = x_in * sin_ref[:] + tin_ref[:]
   z = jnp.maximum(zhat, 0.0) if relu_in else zhat
 
@@ -264,13 +270,14 @@ def _bwd_mats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
       s2_ref[:] = jnp.zeros_like(s2_ref)
 
   dw_ref[:] += jax.lax.dot_general(
-      z, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+      z.astype(w_ref.dtype), dy.astype(w_ref.dtype),
+      dimension_numbers=(((0,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
 
   if emit_prev_stats:
     # The next (lower) layer's BN reduction terms, from the dx tile that
     # is still in VMEM — saves that layer's separate stats pass.
-    dyhat_prev = jnp.where(zhat > 0, dx, 0.0)
+    dyhat_prev = jnp.where(zhat > 0, dx.astype(jnp.float32), 0.0)
     s1_ref[:] += jnp.sum(dyhat_prev, axis=0, keepdims=True)
     s2_ref[:] += jnp.sum(dyhat_prev * x_in, axis=0, keepdims=True)
 
@@ -279,6 +286,8 @@ def _bwd_mats(g, y, mask_col, s, t, c1, c2, x_in, s_in, t_in, w,
               *, relu_in: bool, emit_prev_stats: bool):
   n_pad, f_out = y.shape
   f_in = x_in.shape[1]
+  act_dtype = y.dtype
+  w = w.astype(act_dtype)
   grid = (_cdiv(n_pad, TILE_N_BWD),)
   dx, dw, s1, s2 = pl.pallas_call(
       functools.partial(_bwd_mats_kernel, relu_in=relu_in,
@@ -319,7 +328,7 @@ def _bwd_mats(g, y, mask_col, s, t, c1, c2, x_in, s_in, t_in, w,
                        memory_space=pltpu.VMEM),
       ],
       out_shape=[
-          jax.ShapeDtypeStruct((n_pad, f_in), jnp.float32),
+          jax.ShapeDtypeStruct((n_pad, f_in), act_dtype),
           jax.ShapeDtypeStruct((f_in, f_out), jnp.float32),
           jax.ShapeDtypeStruct((1, f_in), jnp.float32),
           jax.ShapeDtypeStruct((1, f_in), jnp.float32),
@@ -341,8 +350,9 @@ def _dx_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref, w_ref,
   dy = _dy_tile(g_ref[:], y_ref[:], m_ref[:], s_ref[:], t_ref[:],
                 c1_ref[:], c2_ref[:])
   dx_ref[:] = jax.lax.dot_general(
-      dy, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-      preferred_element_type=jnp.float32)
+      dy.astype(w_ref.dtype), w_ref[:],
+      dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
 
 def _bwd_dx_only(g, y, mask_col, s, t, c1, c2, w):
@@ -350,6 +360,7 @@ def _bwd_dx_only(g, y, mask_col, s, t, c1, c2, w):
   when the caller never consumes input cotangents (raw-feature towers)."""
   n_pad, f_out = y.shape
   f_in = w.shape[0]
+  w = w.astype(y.dtype)
   grid = (_cdiv(n_pad, TILE_N_BWD),)
   return pl.pallas_call(
       _dx_kernel,
@@ -385,7 +396,7 @@ def _dw_only_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
   i = pl.program_id(0)
   dy = _dy_tile(g_ref[:], y_ref[:], m_ref[:], s_ref[:], t_ref[:],
                 c1_ref[:], c2_ref[:])
-  x_in = xin_ref[:]
+  x_in = xin_ref[:].astype(jnp.float32)
   z = x_in * sin_ref[:] + tin_ref[:]
   if relu_in:
     z = jnp.maximum(z, 0.0)
@@ -394,8 +405,10 @@ def _dw_only_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
   def _():
     dw_ref[:] = jnp.zeros_like(dw_ref)
 
+  mxu_dtype = y_ref.dtype
   dw_ref[:] += jax.lax.dot_general(
-      z, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+      z.astype(mxu_dtype), dy.astype(mxu_dtype),
+      dimension_numbers=(((0,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
 
 
@@ -468,13 +481,14 @@ def eligible(training: bool, use_batch_norm: bool, input_batch_norm: bool,
           and not input_batch_norm
           and not dropout
           and activation == 'relu'
-          and dtype in (jnp.float32, 'float32')
+          and jnp.dtype(dtype) in (jnp.float32, jnp.bfloat16)
           and x.dtype == jnp.float32
           and x.ndim == 2
           and enabled())
 
 
-def fused_bn_mlp(x, mask, ws, bs, gammas, betas, eps):
+def fused_bn_mlp(x, mask, ws, bs, gammas, betas, eps,
+                 act_dtype=jnp.float32):
   """relu(maskedBN(x @ W_l + b_l)) chained over layers.
 
   Args:
@@ -492,16 +506,17 @@ def fused_bn_mlp(x, mask, ws, bs, gammas, betas, eps):
   """
   mask = jax.lax.stop_gradient(jnp.asarray(mask, jnp.float32))
   return _fused_op(x, mask, tuple(ws), tuple(bs), tuple(gammas),
-                   tuple(betas), eps)
+                   tuple(betas), eps, jnp.dtype(act_dtype).name)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _fused_op(x, mask, ws, bs, gammas, betas, eps):
-  out, _ = _fused_fwd(x, mask, ws, bs, gammas, betas, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_op(x, mask, ws, bs, gammas, betas, eps, act_dtype_name):
+  out, _ = _fused_fwd(x, mask, ws, bs, gammas, betas, eps, act_dtype_name)
   return out
 
 
-def _fused_fwd(x, mask, ws, bs, gammas, betas, eps):
+def _fused_fwd(x, mask, ws, bs, gammas, betas, eps, act_dtype_name):
+  act_dtype = jnp.dtype(act_dtype_name)
   n_valid = x.shape[0]
   n_pad = _cdiv(n_valid, TILE_N) * TILE_N
   x_p = _pad_rows(x, n_pad)
@@ -517,7 +532,8 @@ def _fused_fwd(x, mask, ws, bs, gammas, betas, eps):
   relu_in = False
   for w, b, gamma, beta in zip(ws, bs, gammas, betas):
     y, col_sum, col_ssq = _layer_forward(
-        h, mask_col, s_in, t_in, w, b, relu_in=relu_in)
+        h, mask_col, s_in, t_in, w, b, relu_in=relu_in,
+        act_dtype=act_dtype)
     mu, var, sig_inv, s, t = _bn_fold(col_sum, col_ssq, gamma, beta, n, eps)
     ys.append(y)
     sums.append(col_sum)
@@ -525,8 +541,9 @@ def _fused_fwd(x, mask, ws, bs, gammas, betas, eps):
     h, s_in, t_in, relu_in = y, s, t, True
 
   _, _, _, s_last, t_last = folds[-1]
-  a_last = jnp.maximum(ys[-1] * s_last[None, :] + t_last[None, :], 0.0)
-  a_last = a_last[:n_valid]
+  a_last = jnp.maximum(
+      ys[-1].astype(jnp.float32) * s_last[None, :] + t_last[None, :], 0.0)
+  a_last = a_last[:n_valid].astype(act_dtype)
 
   means = tuple(f[0] for f in folds)
   vars_ = tuple(f[1] for f in folds)
@@ -546,8 +563,8 @@ def _layer_consts(fold, s1, s2, col_sum, n):
   return dbeta, dgamma, c1, c2, db
 
 
-def _fused_bwd(eps, residuals, cotangents):
-  del eps
+def _fused_bwd(eps, act_dtype_name, residuals, cotangents):
+  del eps, act_dtype_name
   g_a, _, _ = cotangents  # mean/var cotangents are ignored (stats outputs)
   x_p, mask_col, n, ys, sums, folds, ws = residuals
   n_pad = x_p.shape[0]

@@ -200,3 +200,40 @@ def test_dnn_scorer_fused_train_step():
   logits = model.apply(state.variables, batch.context, batch.examples,
                        batch.mask, training=False)
   assert np.isfinite(np.asarray(logits)[np.asarray(batch.mask)]).all()
+
+
+def test_tower_bf16_fused_matches_standard_bf16_accuracy():
+  """bf16 activations: the fused path must be as close to f32 truth as
+  the standard flax bf16 tower is (same precision class), and the two
+  bf16 variants must agree closely with each other."""
+  rng = np.random.RandomState(1)
+  x = jnp.asarray(rng.randn(600, 136).astype(np.float32))
+  t32 = layers_lib.Tower(hidden_layer_dims=(64, 32), output_units=1,
+                         dropout=0.0, dtype=jnp.float32)
+  tbf = layers_lib.Tower(hidden_layer_dims=(64, 32), output_units=1,
+                         dropout=0.0, dtype=jnp.bfloat16)
+  variables = t32.init(jax.random.PRNGKey(0), x, training=True)
+
+  def loss(tower, v, enabled):
+    fused_bn.set_enabled(enabled)
+    out, _ = tower.apply(v, x, training=True, mutable=['batch_stats'])
+    return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape)))
+
+  g_ref = jax.grad(lambda v: loss(t32, v, False))(variables)
+  g_bf_std = jax.grad(lambda v: loss(tbf, v, False))(variables)
+  g_bf_fused = jax.grad(lambda v: loss(tbf, v, True))(variables)
+
+  def rms_err(a, b):
+    num = den = 0.0
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+      la = np.asarray(la, np.float64)
+      lb = np.asarray(lb, np.float64)
+      num += float(np.sum((la - lb) ** 2))
+      den += float(np.sum(la ** 2))
+    return (num / max(den, 1e-30)) ** 0.5
+
+  std_err = rms_err(g_ref, g_bf_std)
+  fused_err = rms_err(g_ref, g_bf_fused)
+  cross = rms_err(g_bf_std, g_bf_fused)
+  assert fused_err < 1.5 * std_err + 1e-3, (fused_err, std_err)
+  assert cross < 0.05, cross
