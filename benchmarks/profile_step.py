@@ -19,6 +19,8 @@ STEPS = 10
 USE_BN = '--no_bn' not in sys.argv  # --no_bn reproduces the 1.06 ms figure
 NO_FUSED = '--no_fused' in sys.argv  # disable the fused Pallas BN tower
 BF16 = '--bf16' in sys.argv  # bfloat16 activations (TPU-native config)
+EVAL = '--eval' in sys.argv  # profile the eval step (fwd + metric suite)
+PALLAS_SORT = '--pallas_sort' in sys.argv  # opt-in fused sort in metrics
 
 
 def main():
@@ -45,8 +47,26 @@ def main():
   state = train.create_train_state(
       model, optax.adam(1e-3), jax.random.PRNGKey(0),
       batch.context, batch.examples, batch.mask)
-  step = jax.jit(train.make_train_step(
-      ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)), donate_argnums=0)
+  if PALLAS_SORT:
+    ops.pallas.set_enabled(True)
+  if EVAL:
+    metric_fns = {}
+    for topn in (1, 5, 10, None):
+      name = f'ndcg@{topn}' if topn else 'ndcg'
+      metric_fns[name] = ops.make_ranking_metric_fn(
+          ops.RankingMetricKey.NDCG, topn=topn)
+    metric_fns['mrr'] = ops.make_ranking_metric_fn(ops.RankingMetricKey.MRR)
+    eval_fn = jax.jit(train.make_eval_step(metric_fns))
+    states0 = train.init_metric_states(metric_fns)
+
+    def step(state, batch, key):
+      del key
+      states, _ = eval_fn(state, batch, states0)
+      return state, {'loss': states[next(iter(metric_fns))].total}
+  else:
+    step = jax.jit(train.make_train_step(
+        ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)),
+        donate_argnums=0 if not EVAL else ())
   key = jax.random.PRNGKey(1)
   for _ in range(3):
     state, m = step(state, batch, key)
@@ -89,6 +109,8 @@ def main():
       'batch_norm': USE_BN,
       'fused_bn': USE_BN and not NO_FUSED,
       'dtype': 'bf16' if BF16 else 'f32',
+      'mode': 'eval' if EVAL else 'train',
+      'pallas_sort': PALLAS_SORT,
       'wall_ms_per_step': round(wall / STEPS * 1e3, 3),
       'device_ms_per_step': (round(device_ms / STEPS, 3)
                              if device_ms else None),

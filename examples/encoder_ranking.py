@@ -22,6 +22,14 @@ def parse_args():
   p.add_argument('--valid_pattern', required=True)
   p.add_argument('--model_dir', default='/tmp/ranking_encoder')
   p.add_argument('--warm_start_dir', default=None)
+  p.add_argument('--init_checkpoint', default=None,
+                 help='TF2 BERT checkpoint (e.g. bert_lite_tf2.ckpt); '
+                      'requires --bert_config; reads input_ids/input_mask/'
+                      'segment_ids features (TFRBertDataLoader format)')
+  p.add_argument('--bert_config', default=None)
+  p.add_argument('--vocab_file', default=None,
+                 help='WordPiece vocab: tokenize raw query/document string '
+                      'features instead of reading pre-tokenized ids')
   p.add_argument('--batch_size', type=int, default=4)
   p.add_argument('--list_size', type=int, default=10)
   p.add_argument('--seq_len', type=int, default=64)
@@ -76,12 +84,103 @@ def main():
           valid_batch_size=args.batch_size,
           list_size=args.list_size))
 
-  model = models.RankingModel(scorer=models.EncoderScorer(
-      encoder=models.TransformerEncoder(
-          vocab_size=vocab_size, hidden_dim=args.hidden_dim,
-          num_layers=args.num_layers, num_heads=args.num_heads,
-          mlp_dim=args.hidden_dim * 4, max_len=args.seq_len),
-      dropout=0.1))
+  if args.init_checkpoint:
+    # Pretrained-BERT mode (tfrbert_task.py:346-361 analog): encoder
+    # config + weights from the checkpoint. With --vocab_file, raw
+    # query/document strings are WordPiece-tokenized host-side at the
+    # checkpoint's max sequence length; otherwise the records must carry
+    # pre-tokenized input_ids/input_mask/segment_ids
+    # (TFRBertDataLoader format).
+    import numpy as np
+
+    from ranking_tpu.data import FixedLenFeature as FLF
+    from ranking_tpu.models import bert_ckpt
+    encoder, bert_params = bert_ckpt.load_tf2_bert_checkpoint(
+        args.init_checkpoint, args.bert_config)
+    seq_len = min(args.seq_len, encoder.max_len)
+    if args.vocab_file:
+      from ranking_tpu.data import proto, tfrecord
+      tokenizer = bert.WordPieceTokenizer(args.vocab_file)
+
+      class TokenizingBuilder:
+        """ELWC reader tokenizing raw query/document strings."""
+
+        def __init__(self, train, valid):
+          self.train, self.valid = train, valid
+
+        def _load(self, path):
+          import glob as _glob
+          lists = []
+          for fp in sorted(_glob.glob(path)):
+            for rec in tfrecord.read_records(fp):
+              elwc = proto.ExampleListWithContext()
+              elwc.ParseFromString(rec)
+              docs, rels, query = [], [], ''
+              for ex in elwc.examples[:args.list_size]:
+                f = ex.features.feature
+                query = (f['query'].bytes_list.value or [b''])[0].decode()
+                docs.append(
+                    (f['document'].bytes_list.value or [b''])[0].decode())
+                rel = f['relevance'].int64_list.value
+                rels.append(float(rel[0]) if rel else 0.0)
+              lists.append((query, docs, rels))
+          return lists
+
+        def _batches(self, lists, epochs):
+          ls = args.list_size
+          epoch = 0
+          while epochs is None or epoch < epochs:
+            epoch += 1
+            for start in range(0, len(lists), args.batch_size):
+              chunk = lists[start:start + args.batch_size]
+              if len(chunk) < args.batch_size:
+                continue
+              ids = np.zeros((len(chunk), ls, seq_len), np.int32)
+              ams = np.zeros_like(ids)
+              segs = np.zeros_like(ids)
+              labels = np.full((len(chunk), ls), -1.0, np.float32)
+              for bi, (q, docs, rels) in enumerate(chunk):
+                i, m, sg = bert.encode_query_documents(
+                    tokenizer, q, docs, seq_len)
+                ids[bi, :len(docs)] = i
+                ams[bi, :len(docs)] = m
+                segs[bi, :len(docs)] = sg
+                labels[bi, :len(rels)] = rels
+              yield RankingBatch(
+                  context={},
+                  examples={'input_ids': ids, 'input_mask': ams,
+                            'segment_ids': segs},
+                  labels=labels, mask=labels >= 0)
+
+        def train_batches(self):
+          return self._batches(self._load(self.train), None)
+
+        def valid_batches(self):
+          return self._batches(self._load(self.valid), 1)
+
+      builder = TokenizingBuilder(args.train_pattern, args.valid_pattern)
+    else:
+      spec = {name: FLF(shape=(seq_len,), dtype='int64', default_value=0)
+              for name in ('input_ids', 'input_mask', 'segment_ids')}
+      spec['relevance'] = FLF(shape=(), dtype='int64', default_value=0)
+      builder = pipeline.SimpleDatasetBuilder(
+          {}, spec,
+          pipeline.DatasetHparams(
+              train_input_pattern=args.train_pattern,
+              valid_input_pattern=args.valid_pattern,
+              train_batch_size=args.batch_size,
+              valid_batch_size=args.batch_size,
+              list_size=args.list_size))
+    model = models.RankingModel(
+        scorer=models.EncoderScorer(encoder=encoder, dropout=0.1))
+  else:
+    bert_params = None
+    model = models.RankingModel(scorer=models.EncoderScorer(
+        encoder=models.TransformerEncoder(
+            vocab_size=vocab_size, hidden_dim=args.hidden_dim,
+            num_layers=args.num_layers, num_heads=args.num_heads,
+            mlp_dim=args.hidden_dim * 4, max_len=args.seq_len),
+        dropout=0.1))
 
   hparams = pipeline.PipelineHparams(
       model_dir=args.model_dir,
@@ -92,6 +191,17 @@ def main():
       loss=args.loss)
 
   pipe = pipeline.SimplePipeline(model, builder, hparams)
+  if bert_params is not None:
+    orig_build = pipe._build
+
+    def build_with_bert(sample):
+      state = orig_build(sample)
+      params = dict(state.params)
+      params['scorer'] = dict(params['scorer'])
+      params['scorer']['encoder'] = bert_params
+      return state.replace(params=params)
+
+    pipe._build = build_with_bert
   if args.warm_start_dir:
     from ranking_tpu.train import checkpoint
     pretrained = checkpoint.load_params(args.warm_start_dir)

@@ -47,3 +47,126 @@ def fuse_query_document_ids(
       seq = seq[:seq_len - 1] + [sep_id]
       out[bi, li, :len(seq)] = seq
   return out
+
+
+class WordPieceTokenizer:
+  """Greedy longest-match-first WordPiece with BERT's basic tokenization
+  (lowercase, punctuation splitting) — the host-side analog of the
+  tokenizer the reference pairs with its BERT checkpoints
+  (tfrbert_task.py uses pre-tokenized ``input_ids``; this produces them).
+
+  Vocab file: one token per line; continuation pieces prefixed '##'.
+  """
+
+  def __init__(self, vocab_path_or_tokens, lowercase: bool = True,
+               unk_token: str = '[UNK]', max_chars_per_word: int = 100):
+    if isinstance(vocab_path_or_tokens, (list, tuple)):
+      tokens = list(vocab_path_or_tokens)
+    else:
+      with open(vocab_path_or_tokens) as f:
+        tokens = [line.rstrip('\n') for line in f if line.rstrip('\n')]
+    self.vocab = {t: i for i, t in enumerate(tokens)}
+    self.inv_vocab = tokens
+    self.lowercase = lowercase
+    self.unk_token = unk_token
+    self.max_chars_per_word = max_chars_per_word
+    for special in ('[CLS]', '[SEP]', '[PAD]'):
+      if special not in self.vocab:
+        raise ValueError(f'vocab is missing {special}')
+    self.cls_id = self.vocab['[CLS]']
+    self.sep_id = self.vocab['[SEP]']
+    self.pad_id = self.vocab['[PAD]']
+    self.unk_id = self.vocab.get(unk_token, 0)
+
+  @staticmethod
+  def _basic_split(text: str):
+    out, word = [], []
+    for ch in text:
+      if ch.isspace():
+        if word:
+          out.append(''.join(word))
+          word = []
+      elif not (ch.isalnum() or ch == '_'):
+        if word:
+          out.append(''.join(word))
+          word = []
+        out.append(ch)
+      else:
+        word.append(ch)
+    if word:
+      out.append(''.join(word))
+    return out
+
+  def _wordpiece(self, word: str):
+    if len(word) > self.max_chars_per_word:
+      return [self.unk_id]
+    pieces, start = [], 0
+    while start < len(word):
+      end = len(word)
+      piece_id = None
+      while start < end:
+        piece = word[start:end]
+        if start > 0:
+          piece = '##' + piece
+        if piece in self.vocab:
+          piece_id = self.vocab[piece]
+          break
+        end -= 1
+      if piece_id is None:
+        return [self.unk_id]
+      pieces.append(piece_id)
+      start = end
+    return pieces
+
+  def tokenize(self, text: str):
+    """Text -> list of WordPiece ids (no special tokens)."""
+    if self.lowercase:
+      text = text.lower()
+    ids = []
+    for word in self._basic_split(text):
+      ids.extend(self._wordpiece(word))
+    return ids
+
+  def encode_pair(self, text_a: str, text_b: str, seq_len: int):
+    """BERT pair encoding: ``[CLS] A [SEP] B [SEP]`` padded with [PAD].
+
+    Returns (input_ids, input_mask, segment_ids) int32 arrays of length
+    ``seq_len``; B is truncated first, then A (longest-first), matching
+    the BERT convention.
+    """
+    a = self.tokenize(text_a)
+    b = self.tokenize(text_b)
+    budget = seq_len - 3
+    while len(a) + len(b) > budget:
+      if len(a) >= len(b) and len(a) > 1:
+        a.pop()
+      elif len(b) > 1:
+        b.pop()
+      else:
+        a = a[:max(1, budget - len(b))]
+        break
+    ids = [self.cls_id] + a + [self.sep_id] + b + [self.sep_id]
+    segs = [0] * (len(a) + 2) + [1] * (len(b) + 1)
+    mask = [1] * len(ids)
+    pad = seq_len - len(ids)
+    ids, mask, segs = (ids + [self.pad_id] * pad, mask + [0] * pad,
+                       segs + [0] * pad)
+    return (np.asarray(ids[:seq_len], np.int32),
+            np.asarray(mask[:seq_len], np.int32),
+            np.asarray(segs[:seq_len], np.int32))
+
+
+def encode_query_documents(
+    tokenizer: 'WordPieceTokenizer',
+    query: str,
+    documents,
+    seq_len: int,
+):
+  """[L, seq_len] x3 BERT inputs for one query's document list."""
+  ids, masks, segs = [], [], []
+  for doc in documents:
+    i, m, s = tokenizer.encode_pair(query, doc, seq_len)
+    ids.append(i)
+    masks.append(m)
+    segs.append(s)
+  return (np.stack(ids), np.stack(masks), np.stack(segs))

@@ -53,7 +53,13 @@ class TransformerBlock(nn.Module):
 
 
 class TransformerEncoder(nn.Module):
-  """BERT-style encoder over token ids; ids < 0 are padding."""
+  """BERT-style encoder over token ids; ids < 0 are padding.
+
+  With ``type_vocab_size > 0`` the encoder adds segment (token-type)
+  embeddings and matches the full BERT embedding stack — the config
+  loaded by ``models.bert_ckpt.load_tf2_bert_checkpoint``. An explicit
+  ``attn_mask`` (the BERT ``input_mask`` convention, where PAD id 0 is a
+  real vocabulary entry) overrides the ids<0 padding rule."""
 
   vocab_size: int
   hidden_dim: int = 128
@@ -61,18 +67,31 @@ class TransformerEncoder(nn.Module):
   num_heads: int = 4
   mlp_dim: int = 512
   max_len: int = 512
+  type_vocab_size: int = 0
   dropout: float = 0.1
   dtype: Any = jnp.float32
 
   @nn.compact
-  def __call__(self, ids: Array, training: bool = False) -> Array:
-    mask = ids >= 0
-    safe = jnp.where(mask, ids, 0)
+  def __call__(self, ids: Array, training: bool = False,
+               segment_ids: Optional[Array] = None,
+               attn_mask: Optional[Array] = None) -> Array:
+    if ids.shape[-1] > self.max_len:
+      raise ValueError(
+          f'sequence length {ids.shape[-1]} exceeds max_len '
+          f'{self.max_len} (position table size); re-tokenize or raise '
+          f'max_len')
+    mask = (ids >= 0) if attn_mask is None else (attn_mask > 0)
+    safe = jnp.where(mask & (ids >= 0), ids, 0)
     x = nn.Embed(self.vocab_size, self.hidden_dim, name='token_embed',
                  dtype=self.dtype)(safe)
     pos = jnp.arange(ids.shape[-1])[None, :]
     x = x + nn.Embed(self.max_len, self.hidden_dim, name='pos_embed',
                      dtype=self.dtype)(pos)
+    if self.type_vocab_size:
+      seg = (jnp.zeros_like(safe) if segment_ids is None
+             else jnp.where(mask, segment_ids, 0))
+      x = x + nn.Embed(self.type_vocab_size, self.hidden_dim,
+                       name='type_embed', dtype=self.dtype)(seg)
     x = nn.LayerNorm(dtype=self.dtype)(x)
     x = nn.Dropout(self.dropout, deterministic=not training)(x)
     x = x * mask[..., None]
@@ -100,13 +119,22 @@ class EncoderScorer(nn.Module):
   encoder: nn.Module
   dropout: float = 0.1
   ids_feature_name: str = 'input_ids'
+  mask_feature_name: str = 'input_mask'
+  segment_feature_name: str = 'segment_ids'
 
   @nn.compact
   def __call__(self, context, examples, mask, training: bool = False):
     ids = examples[self.ids_feature_name]
     batch, list_size, seq_len = ids.shape
     flat = ids.reshape(batch * list_size, seq_len)
-    pooled = self.encoder(flat, training=training)
+    kwargs = {}
+    if self.mask_feature_name in examples:
+      kwargs['attn_mask'] = examples[self.mask_feature_name].reshape(
+          batch * list_size, seq_len)
+    if self.segment_feature_name in examples:
+      kwargs['segment_ids'] = examples[self.segment_feature_name].reshape(
+          batch * list_size, seq_len)
+    pooled = self.encoder(flat, training=training, **kwargs)
     pooled = nn.Dropout(self.dropout, deterministic=not training)(pooled)
     scores = nn.Dense(1, name='score')(pooled)
     logits = scores.reshape(batch, list_size)

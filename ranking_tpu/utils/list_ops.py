@@ -64,6 +64,27 @@ def _shuffle_order(
   return jnp.argsort(values, axis=1, stable=True)
 
 
+def _pallas_sort_ok(scores, features_list) -> bool:
+  """Whether the opt-in fused sort kernel handles this call: pallas
+  enabled, on TPU (or interpret for tests), 2-D float-representable
+  channels, and a list size whose [TILE_B, L, L] comparison slab fits
+  VMEM."""
+  try:
+    from ranking_tpu.ops import pallas as pallas_ops
+  except ImportError:  # circular-import guard during partial init
+    return False
+  if not pallas_ops.enabled():
+    return False
+  from ranking_tpu.ops.pallas import sort as pallas_sort
+  if jax.default_backend() != 'tpu' and not pallas_sort._INTERPRET:
+    return False
+  if scores.shape[1] > 512:
+    return False
+  return all(
+      f.ndim == 2 and jnp.issubdtype(f.dtype, jnp.number)
+      for f in features_list)
+
+
 def sort_by_scores(
     scores: Array,
     features_list: Sequence[Array],
@@ -87,6 +108,14 @@ def sort_by_scores(
   scores = scores.astype(jnp.float32)
   batch, list_size = scores.shape
   topn = list_size if topn is None else min(topn, list_size)
+
+  if key is None and _pallas_sort_ok(scores, features_list):
+    # Opt-in fused in-VMEM sort (ops/pallas/sort.py): identical
+    # deterministic tie/mask semantics, one kernel for all channels.
+    from ranking_tpu.ops.pallas import sort as pallas_sort
+    out = pallas_sort.sort_by_scores(scores, features_list, topn=topn,
+                                     mask=mask)
+    return [o.astype(f.dtype) for o, f in zip(out, features_list)]
 
   if mask is not None:
     scores = jnp.where(mask, scores, jnp.min(scores))

@@ -182,3 +182,20 @@ def test_unbiased_two_tower_debiases(tmp_path, monkeypatch, capsys):
   # The position-aware model must recover a meaningfully better true
   # ranking than the naive click model.
   assert debiased > naive + 0.03, (naive, debiased)
+
+
+def test_encoder_ranking_init_checkpoint(monkeypatch, capsys, tmp_path):
+  """Pretrained-BERT mode: WordPiece tokenization of the bundled raw
+  query/document strings + checkpoint-initialized encoder, e2e."""
+  td = '/root/reference/tensorflow_ranking/extension/testdata'
+  out = _run_example(
+      monkeypatch, capsys, 'examples/encoder_ranking.py',
+      [f'--train_pattern={td}/tfrbert_elwc_train.tfrecord',
+       f'--valid_pattern={td}/tfrbert_elwc_test.tfrecord',
+       f'--model_dir={tmp_path}/bert', '--num_epochs=1',
+       '--steps_per_epoch=3', '--validation_steps=1', '--list_size=3',
+       '--batch_size=2',
+       f'--init_checkpoint={td}/bert_lite_tf2.ckpt',
+       f'--bert_config={td}/bert_lite_config.json',
+       f'--vocab_file={td}/bert_lite_vocab.txt'])
+  assert 'final:' in out and 'nan' not in out

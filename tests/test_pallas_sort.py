@@ -84,3 +84,38 @@ def test_odd_batch_padding():
   scores, labels, mask = _data(b=3, l=5, seed=5)
   got, = psort.sort_by_scores(scores, [labels], mask=mask)
   assert got.shape == (3, 5)
+
+
+def test_metric_path_with_pallas_sort_matches(monkeypatch):
+  """Opt-in wiring: with ops.pallas.set_enabled(True), the metric suite
+  routes its sorts through the fused kernel (interpret mode here) and
+  reproduces the XLA-path values exactly."""
+  import numpy as np
+
+  from ranking_tpu import ops
+  from ranking_tpu.ops.pallas import sort as pallas_sort
+
+  rng = np.random.RandomState(3)
+  b, l = 12, 40
+  logits = rng.randn(b, l).astype(np.float32) * 2
+  logits += np.arange(l)[None, :] * 1e-3  # tie-free
+  labels = rng.randint(0, 4, size=(b, l)).astype(np.float32)
+  labels[:, -7:] = -1.0
+  weights = (rng.rand(b, l) + 0.2).astype(np.float32)
+
+  keys = [ops.RankingMetricKey.NDCG, ops.RankingMetricKey.MRR,
+          ops.RankingMetricKey.MAP, ops.RankingMetricKey.PRECISION]
+  expected = {
+      k: float(ops.compute_mean(k, labels, logits, weights=weights, topn=5))
+      for k in keys}
+
+  monkeypatch.setattr(pallas_sort, '_INTERPRET', True)
+  ops.pallas.set_enabled(True)
+  try:
+    for k in keys:
+      got = float(ops.compute_mean(k, labels, logits, weights=weights,
+                                   topn=5))
+      np.testing.assert_allclose(got, expected[k], rtol=1e-5, atol=1e-6,
+                                 err_msg=str(k))
+  finally:
+    ops.pallas.set_enabled(None)
