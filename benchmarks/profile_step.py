@@ -20,7 +20,8 @@ USE_BN = '--no_bn' not in sys.argv  # --no_bn reproduces the 1.06 ms figure
 NO_FUSED = '--no_fused' in sys.argv  # disable the fused Pallas BN tower
 BF16 = '--bf16' in sys.argv  # bfloat16 activations (TPU-native config)
 EVAL = '--eval' in sys.argv  # profile the eval step (fwd + metric suite)
-PALLAS_SORT = '--pallas_sort' in sys.argv  # opt-in fused sort in metrics
+PALLAS_SORT = '--pallas_sort' in sys.argv  # force the fused sort in metrics
+NO_PALLAS_SORT = '--no_pallas_sort' in sys.argv  # disable auto fast paths
 
 
 def main():
@@ -49,6 +50,8 @@ def main():
       batch.context, batch.examples, batch.mask)
   if PALLAS_SORT:
     ops.pallas.set_enabled(True)
+  elif NO_PALLAS_SORT:
+    ops.pallas.set_enabled(False)
   if EVAL:
     metric_fns = {}
     for topn in (1, 5, 10, None):

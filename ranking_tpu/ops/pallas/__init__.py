@@ -1,16 +1,23 @@
-"""Pallas TPU kernels: drop-in accelerators for the O(L^2) ranking hot path.
+"""Pallas TPU kernels: drop-in accelerators for the ranking hot path.
 
 Kernels never fork semantics: each has a jnp reference implementation in
-``ranking_tpu.ops`` and equality tests. ``set_enabled(True)`` flips the
-fused pairwise fast path on globally.
+``ranking_tpu.ops`` and equality tests.
 
-Default is OFF: measured on TPU v5e (B128 x L200, logistic + NDCG-v2
-lambda, fwd+bwd), the fused kernel ran at parity with XLA's own fusion
-(~2.5 vs ~2.2 ms/step) — XLA already avoids materializing [B, L, L] in
-HBM for these elementwise-reduce patterns, so the kernel is an
-optimization lever for shapes where XLA's fusion heuristics break, not a
-default win. The in-VMEM sort kernel (ops/pallas/sort.py) is invoked
-explicitly by callers.
+Three kernel families, three measured wins on TPU v5e (PARITY.md):
+
+* fused masked batch-norm tower (``fused_bn.py``): auto-enabled in train
+  mode — flagship train step 2.17 -> 1.47 ms (1.14 bf16);
+* in-VMEM per-list sort (``sort.py``): eval step with the full metric
+  suite 2.65 -> 1.44 ms (1.83x) at the flagship B128xL200;
+* fused pairwise loss (``pairwise.py``): 1.27-1.31x fwd+bwd at
+  L >= 1024 (B32xL1024, B16xL2048), but SLOWER than XLA fusion at small
+  L (0.32x at the flagship B128xL200).
+
+``set_enabled`` policy: None (default) = auto — each fast path engages
+on TPU only in its measured-win domain: pairwise at list size >=
+``MIN_LIST_SIZE``, sort within its VMEM domain (L <= 512, gated in
+``utils.list_ops._pallas_sort_ok``). True forces both for any shape
+(incl. interpret mode off-TPU, for tests); False disables.
 """
 
 from __future__ import annotations
@@ -33,17 +40,26 @@ from ranking_tpu.ops.pallas.pairwise import (
     fused_pairwise_sums,
 )
 
-_ENABLED: Optional[bool] = None  # None = default (off; see module docstring)
+_ENABLED: Optional[bool] = None  # None = auto (see module docstring)
+
+MIN_LIST_SIZE = 1024  # auto mode engages at-or-above this list size
 
 
 def set_enabled(value: Optional[bool]) -> None:
-  """True/False to force the fused pairwise path; None restores default."""
+  """True/False to force the pairwise/sort fast paths; None = auto."""
   global _ENABLED
   _ENABLED = value
 
 
-def enabled() -> bool:
-  return bool(_ENABLED)
+def enabled(list_size: Optional[int] = None) -> bool:
+  """Whether the fast paths apply. In auto mode (None), engage on TPU
+  when the list size is large enough to win; callers that cannot supply
+  a list size get the forced value only."""
+  if _ENABLED is not None:
+    return _ENABLED
+  if list_size is None:
+    return False
+  return jax.default_backend() == 'tpu' and list_size >= MIN_LIST_SIZE
 
 
 def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
@@ -62,7 +78,8 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
   from ranking_tpu.ops.reductions import Reduction
   from ranking_tpu.utils import fns, list_ops
 
-  if not enabled():
+  import numpy as np
+  if not enabled(int(np.shape(labels)[-1])):
     return None
   reduction = Reduction(reduction)
   if reduction not in (Reduction.SUM, Reduction.MEAN,

@@ -65,18 +65,25 @@ def _shuffle_order(
 
 
 def _pallas_sort_ok(scores, features_list) -> bool:
-  """Whether the opt-in fused sort kernel handles this call: pallas
-  enabled, on TPU (or interpret for tests), 2-D float-representable
-  channels, and a list size whose [TILE_B, L, L] comparison slab fits
-  VMEM."""
+  """Whether the fused sort kernel handles this call.
+
+  Auto policy (ops.pallas.set_enabled(None), the default): on TPU, for
+  any list size in the kernel's VMEM domain (L <= 512, where the eval
+  metric suite measured 1.8x — PARITY.md). Forcing True additionally
+  allows interpret mode for tests; False disables. Requires 2-D
+  numeric channels (values travel as float32 through the kernel)."""
   try:
     from ranking_tpu.ops import pallas as pallas_ops
+    from ranking_tpu.ops.pallas import sort as pallas_sort
   except ImportError:  # circular-import guard during partial init
     return False
-  if not pallas_ops.enabled():
+  forced = pallas_ops._ENABLED
+  if forced is False:
     return False
-  from ranking_tpu.ops.pallas import sort as pallas_sort
-  if jax.default_backend() != 'tpu' and not pallas_sort._INTERPRET:
+  if forced is None and jax.default_backend() != 'tpu':
+    return False
+  if forced and (jax.default_backend() != 'tpu'
+                 and not pallas_sort._INTERPRET):
     return False
   if scores.shape[1] > 512:
     return False
