@@ -50,40 +50,42 @@ def child():
       examples={'float_features': rng.randn(
           BATCH, LIST_SIZE, NUM_FEATURES).astype(np.float32)})
 
-  # No batch norm: matches the measured TF baseline tower exactly
-  # (benchmarks/tf_baseline.py builds Dense/relu only).
-  model = models.RankingModel(
-      scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
-                              use_batch_norm=False),
-      transform_name='log1p')
-  state = train.create_train_state(
-      model, optax.adam(1e-3), jax.random.PRNGKey(0),
-      batch.context, batch.examples, batch.mask)
-
   mesh = parallel.make_mesh()  # all local devices on the data axis
-  state = jax.tree.map(
-      lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
   batch = parallel.shard_batch(batch, mesh)
-
   loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
-  step = jax.jit(train.make_train_step(loss_fn), donate_argnums=0)
+  n_chips = max(1, len(jax.devices()))
   key = jax.random.PRNGKey(1)
 
-  for _ in range(WARMUP):
-    state, metrics = step(state, batch, key)
-  # A scalar fetch is the only reliable execution barrier on tunneled
-  # devices (block_until_ready can return before remote execution ends).
-  float(metrics['loss'])
+  # Headline tag 'bnoff': no batch norm — matches the measured TF baseline
+  # tower exactly (benchmarks/tf_baseline.py builds Dense/relu only).
+  # 'bnon': the reference's DEFAULT tower (keras/layers.py create_tower
+  # use_batch_norm=True), served by the fused masked-BN Pallas path.
+  for tag, use_bn in (('bnoff', False), ('bnon', True)):
+    model = models.RankingModel(
+        scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
+                                use_batch_norm=use_bn),
+        transform_name='log1p')
+    state = train.create_train_state(
+        model, optax.adam(1e-3), jax.random.PRNGKey(0),
+        batch.context, batch.examples, batch.mask)
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
+    step = jax.jit(train.make_train_step(loss_fn), donate_argnums=0)
 
-  n_chips = max(1, len(jax.devices()))
-  for _ in range(CHUNKS):
-    t0 = time.perf_counter()
-    for _ in range(ITERS_PER_CHUNK):
+    for _ in range(WARMUP):
       state, metrics = step(state, batch, key)
-    float(metrics['loss'])  # barrier: chained states force all steps done
-    dt = time.perf_counter() - t0
-    eps = BATCH * ITERS_PER_CHUNK / dt / n_chips
-    print(f'CHUNK {eps:.2f}', flush=True)
+    # A scalar fetch is the only reliable execution barrier on tunneled
+    # devices (block_until_ready can return before remote execution ends).
+    float(metrics['loss'])
+
+    for _ in range(CHUNKS):
+      t0 = time.perf_counter()
+      for _ in range(ITERS_PER_CHUNK):
+        state, metrics = step(state, batch, key)
+      float(metrics['loss'])  # barrier: chained states force all steps done
+      dt = time.perf_counter() - t0
+      eps = BATCH * ITERS_PER_CHUNK / dt / n_chips
+      print(f'CHUNK {tag} {eps:.2f}', flush=True)
 
 
 def main():
@@ -92,6 +94,7 @@ def main():
       stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
       cwd=os.path.dirname(os.path.abspath(__file__)))
   results = []
+  bn_results = []
   deadline = time.time() + CHILD_TIMEOUT_S
   try:
     while time.time() < deadline:
@@ -102,8 +105,9 @@ def main():
         time.sleep(0.1)
         continue
       if line.startswith('CHUNK '):
-        results.append(float(line.split()[1]))
-        if len(results) >= CHUNKS:
+        _, tag, val = line.split()
+        (results if tag == 'bnoff' else bn_results).append(float(val))
+        if len(results) >= CHUNKS and len(bn_results) >= CHUNKS:
           break
   finally:
     if proc.poll() is None:
@@ -127,12 +131,16 @@ def main():
     with open(path) as f:
       baseline = json.load(f).get('tf_ranking_examples_per_sec')
 
-  print(json.dumps({
+  out = {
       'metric': 'listwise_train_examples_per_sec_per_chip',
       'value': round(value, 2),
       'unit': 'query_lists/s/chip (B128xL200xF136 DNN softmax train step)',
       'vs_baseline': round(value / baseline, 3) if baseline else 1.0,
-  }))
+  }
+  if bn_results:
+    # Reference-default tower (batch norm on, fused masked-BN kernel).
+    out['bn_on_value'] = round(max(bn_results), 2)
+  print(json.dumps(out))
 
 
 if __name__ == '__main__':
