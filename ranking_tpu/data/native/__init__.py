@@ -91,6 +91,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
     ]
+    lib.rt_elwc_sizes.restype = ctypes.c_int
+    lib.rt_elwc_sizes.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.rt_libsvm_parse.restype = ctypes.c_void_p
     lib.rt_libsvm_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.rt_libsvm_num_queries.restype = ctypes.c_int64
@@ -299,6 +306,29 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec,
       context=finalize(ctx_out, n, False),
       examples=finalize(ex_out, n * list_size, True),
       sizes=sizes, mask=mask)
+
+
+def elwc_sizes(records):
+  """[B] int32 list lengths from serialized ELWC protos (C++ top-level
+  scan, no feature decoding). Raises RuntimeError when the native library
+  is unavailable and ValueError on malformed input."""
+  import numpy as np
+
+  lib = _load()
+  if lib is None:
+    raise RuntimeError('native decoder unavailable')
+  n = len(records)
+  records = [bytes(r) for r in records]
+  recs = (ctypes.c_char_p * n)(*records)
+  lens = (ctypes.c_int64 * n)(*[len(r) for r in records])
+  sizes = np.zeros(n, np.int32)
+  rc = lib.rt_elwc_sizes(
+      ctypes.cast(recs, ctypes.POINTER(ctypes.c_char_p)),
+      ctypes.cast(lens, ctypes.POINTER(ctypes.c_int64)),
+      n, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+  if rc != 0:
+    raise ValueError('malformed ELWC record in native size scan')
+  return sizes
 
 
 def _register_loader_api(lib) -> None:

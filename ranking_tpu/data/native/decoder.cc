@@ -566,6 +566,28 @@ int64_t rt_scan_tfrecord(const uint8_t* data, int64_t size, int64_t* offsets,
   return count;
 }
 
+// Counts top-level ELWC `examples` entries (field 1, length-delimited) per
+// record without decoding any features — the O(list_size) probe behind
+// Predictor.predict(list_size=None)'s shape-bucket selection.
+int rt_elwc_sizes(const uint8_t** recs, const int64_t* lens, int n,
+                  int32_t* sizes_out) {
+  for (int i = 0; i < n; ++i) {
+    const uint8_t* p = recs[i];
+    const uint8_t* end = recs[i] + lens[i];
+    int32_t count = 0;
+    while (p < end) {
+      uint64_t tag;
+      if (!read_varint(p, end, &tag)) return -1;
+      uint32_t field = static_cast<uint32_t>(tag >> 3);
+      uint32_t wt = tag & 7;
+      if (field == 1 && wt == 2) ++count;
+      if (!skip_field(p, end, wt)) return -1;
+    }
+    sizes_out[i] = count;
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 // --- LIBSVM ranking parser -------------------------------------------------

@@ -242,7 +242,19 @@ def elwc_list_sizes(serialized: Sequence[bytes]) -> np.ndarray:
   ``examples`` field (field 1) — O(list_size) varint hops per record, no
   feature decoding. Lets ``Predictor.predict(list_size=None)`` pick its
   shape bucket without a full Python parse of every request
-  (the serving dynamic-shape path, keras/saved_model.py:120-123)."""
+  (the serving dynamic-shape path, keras/saved_model.py:120-123).
+  Runs in C++ (`rt_elwc_sizes`) when the native decoder is available."""
+  try:
+    from ranking_tpu.data import native
+    if native.available():
+      return native.elwc_sizes(serialized)
+  except (ImportError, RuntimeError):
+    pass
+  return _elwc_list_sizes_py(serialized)
+
+
+def _elwc_list_sizes_py(serialized: Sequence[bytes]) -> np.ndarray:
+  """Pure-Python fallback for (and test oracle of) `elwc_list_sizes`."""
   sizes = []
   for rec in serialized:
     pos, n, count = 0, len(rec), 0

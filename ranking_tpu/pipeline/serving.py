@@ -76,18 +76,22 @@ class Predictor:
   def predict(self, serialized_elwcs: Sequence[bytes]) -> np.ndarray:
     """[B, list_size] scores from serialized ELWC protos.
 
-    With ``list_size=None`` the batch is padded to the next power of two of
-    its longest list, bucketing compile shapes (each distinct padded shape
-    jit-compiles once; without bucketing every request length would).
-    Padded positions score the log-epsilon sentinel.
+    With ``list_size=None`` the batch is padded up to a half-step
+    power-of-two ladder (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, ...) of its
+    longest list, bucketing compile shapes (each distinct padded shape
+    jit-compiles once; without bucketing every request length would) with
+    at most 33% padding overhead. Padded positions score the log-epsilon
+    sentinel.
     """
     if not serialized_elwcs:
       return np.zeros((0, self.list_size or 1), np.float32)
     list_size = self.list_size
     if list_size is None:
-      # Cheap top-level varint walk — no full parse of the request batch.
+      # Cheap top-level varint walk (C++ when available) — no full parse.
       longest = max(1, int(parsers.elwc_list_sizes(serialized_elwcs).max()))
-      list_size = 1 << (longest - 1).bit_length()
+      pow2 = 1 << (longest - 1).bit_length()
+      half_step = (pow2 // 4) * 3
+      list_size = half_step if half_step >= longest else pow2
     parsed = None
     try:
       # C++ decode fast path (data/native/decoder.cc) when the specs are

@@ -333,3 +333,21 @@ def test_scan_tfrecord_rejects_corrupt_length(tmp_path):
       offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
       lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 8)
   assert n == 0  # stops at the corruption point, no garbage records
+
+
+def test_native_elwc_sizes_matches_python():
+  path = f'{REF_DATA}/train_elwc.tfrecord'
+  records = tfrecord.read_all_records(path, verify=True)[:32]
+  # Add synthetic records with varied list sizes, including empty.
+  for n in (0, 1, 7, 33):
+    docs = [{'relevance': [1]}] * n
+    records.append(proto.make_elwc({'q': ['x']}, docs).SerializeToString())
+  got = native.elwc_sizes(records)
+  expected = parsers._elwc_list_sizes_py(records)
+  np.testing.assert_array_equal(got, expected)
+  assert got[-4:].tolist() == [0, 1, 7, 33]
+
+
+def test_native_elwc_sizes_rejects_malformed():
+  with pytest.raises(ValueError):
+    native.elwc_sizes([b'\x0a\xff\xff\xff\xff\x7f trailing-garbage'])

@@ -214,9 +214,10 @@ def test_predict_buckets_dynamic_list_sizes(tmp_path):
                                             docs3).SerializeToString()])
   out5 = predictor.predict([proto.make_elwc({'query_tokens': ['q']},
                                             docs5).SerializeToString()])
-  # Both bucket to the next power of two (4 and 8).
-  assert out3.shape == (1, 4)
-  assert out5.shape == (1, 8)
+  # Half-step power-of-two ladder (1, 2, 3, 4, 6, 8, 12, ...): 3 -> 3,
+  # 5 -> 6.
+  assert out3.shape == (1, 3)
+  assert out5.shape == (1, 6)
   assert np.isfinite(out3[:, :3]).all()
 
 
