@@ -1,8 +1,14 @@
 """Training pipelines, hparams, and serving."""
 
+from ranking_tpu.pipeline import export as export_lib
 from ranking_tpu.pipeline import hparams as hparams_lib
 from ranking_tpu.pipeline import pipeline as pipeline_lib
 from ranking_tpu.pipeline import serving
+from ranking_tpu.pipeline.export import (
+    ExportedPredictor,
+    export_predictor,
+    load_predictor,
+)
 from ranking_tpu.pipeline.hparams import (
     DatasetHparams,
     PipelineHparams,
@@ -20,6 +26,7 @@ from ranking_tpu.pipeline.serving import Predictor, evaluate_dataset
 
 __all__ = [
     'DatasetHparams',
+    'ExportedPredictor',
     'LibSVMDatasetBuilder',
     'MultiLabelDatasetBuilder',
     'MultiTaskPipeline',
@@ -29,8 +36,11 @@ __all__ = [
     'SimpleDatasetBuilder',
     'SimplePipeline',
     'evaluate_dataset',
+    'export_lib',
+    'export_predictor',
     'from_yaml',
     'hparams_lib',
+    'load_predictor',
     'pipeline_lib',
     'serving',
 ]
