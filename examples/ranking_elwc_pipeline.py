@@ -36,6 +36,9 @@ def parse_args():
   p.add_argument('--hidden_layer_dims', default='64,32,16')
   p.add_argument('--loss', default='approx_ndcg_loss')
   p.add_argument('--learning_rate', type=float, default=0.05)
+  p.add_argument('--optimizer', default='adam',
+                 help="adam|adagrad|sgd|adamw|lazy_adam (sparse-row "
+                      "embedding updates)")
   p.add_argument('--num_epochs', type=int, default=5)
   p.add_argument('--steps_per_epoch', type=int, default=10)
   p.add_argument('--validation_steps', type=int, default=10)
@@ -101,6 +104,7 @@ def main():
       validation_steps=args.validation_steps,
       learning_rate=args.learning_rate,
       loss=args.loss,
+      optimizer=args.optimizer,
       export_best_model=True,
       best_exporter_metric='ndcg@5',
       best_exporter_metric_higher_better=True)

@@ -21,7 +21,8 @@ class PipelineHparams:
   learning_rate: float
   loss: Union[str, Mapping[str, str]]
   loss_weights: Optional[Union[float, Mapping[str, float]]] = None
-  optimizer: str = 'adam'                      # 'adam' | 'adagrad' | 'sgd'
+  optimizer: str = 'adam'   # 'adam' | 'adagrad' | 'sgd' | 'adamw' |
+                            # 'lazy_adam' (sparse-row embedding updates)
   loss_reduction: str = 'sum_by_nonzero_weights'
   steps_per_execution: int = 10
   export_best_model: bool = False
@@ -95,6 +96,8 @@ def optimizer_from_hparams(hparams: PipelineHparams):
   import optax
   name = hparams.optimizer.lower()
   lr = hparams.learning_rate
+  if name == 'lazy_adam':  # dense params ride plain adam
+    name = 'adam'
   factories = {'adam': optax.adam, 'adagrad': optax.adagrad,
                'sgd': optax.sgd, 'adamw': optax.adamw}
   if name not in factories:
@@ -105,3 +108,16 @@ def optimizer_from_hparams(hparams: PipelineHparams):
     # (ReduceLROnPlateau analog, keras/pipeline.py:512-517).
     return optax.inject_hyperparams(factories[name])(learning_rate=lr)
   return factories[name](lr)
+
+
+def sparse_optimizer_from_hparams(hparams: PipelineHparams):
+  """LazyAdam spec when optimizer='lazy_adam' (embedding tables get
+  sparse-row updates, train/sparse.py), else None."""
+  if hparams.optimizer.lower() != 'lazy_adam':
+    return None
+  if hparams.automatic_reduce_lr:
+    raise ValueError(
+        "optimizer='lazy_adam' does not support automatic_reduce_lr "
+        '(the plateau hook rewrites only the dense optax state)')
+  from ranking_tpu.train.sparse import LazyAdam
+  return LazyAdam(learning_rate=hparams.learning_rate)

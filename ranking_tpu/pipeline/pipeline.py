@@ -25,7 +25,8 @@ import numpy as np
 from ranking_tpu import ops, parallel, train
 from ranking_tpu.data.batch import RankingBatch
 from ranking_tpu.pipeline.hparams import (
-    DatasetHparams, PipelineHparams, optimizer_from_hparams)
+    DatasetHparams, PipelineHparams, optimizer_from_hparams,
+    sparse_optimizer_from_hparams)
 
 
 class SimpleDatasetBuilder:
@@ -208,18 +209,24 @@ class SimplePipeline:
         data = math.gcd(avail, sample.batch_size)
       self.mesh = parallel.make_mesh(data=data, model=hp.mesh_model)
     tx = optimizer_from_hparams(hp)
+    sparse_tx = sparse_optimizer_from_hparams(hp)
     rng = jax.random.PRNGKey(hp.seed or 0)
     state = train.create_train_state(
-        self.model, tx, rng, sample.context, sample.examples, sample.mask)
+        self.model, tx, rng, sample.context, sample.examples, sample.mask,
+        sparse_tx=sparse_tx)
 
     def _place(s):
-      return s.replace(
+      s = s.replace(
           step=jax.device_put(s.step, parallel.replicated(self.mesh)),
           params=parallel.shard_params(s.params, self.mesh),
           opt_state=parallel.shard_params(s.opt_state, self.mesh),
           batch_stats=jax.tree.map(
               lambda x: jax.device_put(x, parallel.replicated(self.mesh)),
               s.batch_stats))
+      if s.sparse_opt_state is not None:
+        s = s.replace(sparse_opt_state=parallel.shard_params(
+            s.sparse_opt_state, self.mesh))
+      return s
 
     state = _place(state)
     # The reference monitors the *validation* stream: 'val_' + metric, with

@@ -1,9 +1,11 @@
 """Training loop: state, jitted steps, checkpointing."""
 
 from ranking_tpu.train import checkpoint
+from ranking_tpu.train import sparse
 from ranking_tpu.train import state as state_lib
 from ranking_tpu.train import steps
 from ranking_tpu.train.checkpoint import CheckpointManager
+from ranking_tpu.train.sparse import LazyAdam
 from ranking_tpu.train.state import TrainState, create_train_state
 from ranking_tpu.train.steps import (
     init_metric_states,
@@ -15,6 +17,7 @@ from ranking_tpu.train.steps import (
 
 __all__ = [
     'CheckpointManager',
+    'LazyAdam',
     'TrainState',
     'checkpoint',
     'create_train_state',
@@ -23,6 +26,7 @@ __all__ = [
     'make_multi_step',
     'make_train_step',
     'metric_results',
+    'sparse',
     'state_lib',
     'steps',
 ]

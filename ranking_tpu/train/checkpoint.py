@@ -68,20 +68,26 @@ class CheckpointManager:
 
 def _savable(state: Any) -> Mapping[str, Any]:
   """The array-bearing portion of a TrainState (tx/apply_fn are code)."""
-  return {
+  out = {
       'step': state.step,
       'params': state.params,
       'batch_stats': state.batch_stats,
       'opt_state': state.opt_state,
   }
+  if getattr(state, 'sparse_opt_state', None) is not None:
+    out['sparse_opt_state'] = state.sparse_opt_state
+  return out
 
 
 def _merge(state: Any, restored: Mapping[str, Any]) -> Any:
-  return state.replace(
+  state = state.replace(
       step=restored['step'],
       params=restored['params'],
       batch_stats=restored['batch_stats'],
       opt_state=restored['opt_state'])
+  if 'sparse_opt_state' in restored:
+    state = state.replace(sparse_opt_state=restored['sparse_opt_state'])
+  return state
 
 
 def export_params(state: Any, path: str) -> None:
