@@ -255,9 +255,18 @@ def build_ranking_dataset(
     it = iter(batches)
 
     def _fill():
-      for recs in it:
-        pending.put(pool.submit(_parse, recs))
-      pending.put(None)
+      try:
+        for recs in it:
+          pending.put(pool.submit(_parse, recs))
+      except RuntimeError:
+        # Pool shut down mid-stream: the consumer abandoned the generator
+        # (early break / GC). Nothing left to feed.
+        return
+      finally:
+        try:
+          pending.put_nowait(None)
+        except queue.Full:
+          pass  # consumer gone; sentinel unnecessary
 
     filler = threading.Thread(target=_fill, daemon=True)
     filler.start()
