@@ -247,8 +247,24 @@ class SimplePipeline:
     self._tb = tb.SummaryWriter(os.path.join(hp.model_dir, 'tensorboard'))
     weights = hp.loss_weights
     multi_weights = weights if isinstance(weights, Mapping) else None
-    step_fn = train.make_train_step(self.loss_fn,
-                                    multi_task_weights=multi_weights)
+    step_fn = None
+    if sparse_tx is not None:
+      # Vocab-independent sparse step (train/steps.py
+      # make_sparse_train_step) whenever every lazy table's id feature can
+      # be derived from the model's naming convention; otherwise the
+      # dense-grad LazyAdam path still applies lazy-row updates.
+      from ranking_tpu.train import sparse as sparse_lib
+      efs = sparse_lib.derive_embed_features(
+          state.params, sample.context, sample.examples,
+          table_pattern=sparse_tx.table_pattern)
+      covered = {ef.param_path for ef in efs}
+      tables = set(sparse_lib.partition(state.params, sparse_tx)[1])
+      if efs and covered == tables:
+        step_fn = train.make_sparse_train_step(
+            self.loss_fn, efs, multi_task_weights=multi_weights)
+    if step_fn is None:
+      step_fn = train.make_train_step(self.loss_fn,
+                                      multi_task_weights=multi_weights)
     self._train_step = jax.jit(step_fn, donate_argnums=0)
     # steps_per_execution analog (keras/pipeline.py:287-289): K steps per
     # dispatch via lax.scan over a [K, B, ...] stacked batch.

@@ -41,13 +41,92 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Any, Callable, Dict, Mapping, Tuple, Union
+from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
 Schedule = Union[float, Callable[[Array], Array]]
+
+
+def compact_unique(flat_ids: Array) -> Tuple[Array, Array, Array]:
+  """Static-shape unique over a flat int32 id vector.
+
+  The building block of the sparse train step: instead of the dense-grad
+  path's O(vocab) row-norm scan, the ids one batch touches (N of them,
+  batch-bounded and vocab-independent) are deduplicated with one 1-D sort.
+
+  Args:
+    flat_ids: ``[N]`` integer ids; ids < 0 are padding.
+
+  Returns:
+    ``(uids, remap, filled)``, all ``[N]``:
+      * ``uids`` — the distinct non-negative ids compacted into the first
+        ``n_unique`` slots (remaining slots hold 0 and are not ``filled``);
+      * ``remap`` — for every input position, the slot its id landed in;
+        padding positions keep their (negative) id;
+      * ``filled`` — bool, marks the occupied slots of ``uids``.
+  """
+  n = flat_ids.shape[0]
+  flat_ids = flat_ids.astype(jnp.int32)
+  valid = flat_ids >= 0
+  big = jnp.iinfo(jnp.int32).max
+  key = jnp.where(valid, flat_ids, big)
+  order = jnp.argsort(key)
+  s = key[order]
+  valid_s = valid[order]
+  first = jnp.concatenate(
+      [jnp.ones((1,), bool), s[1:] != s[:-1]]) & valid_s
+  urank = jnp.cumsum(first.astype(jnp.int32)) - 1  # [N]
+  n_unique = jnp.sum(first.astype(jnp.int32))
+  dest = jnp.where(valid_s, urank, n)  # invalid ids scatter out of bounds
+  uids = jnp.zeros((n,), jnp.int32).at[dest].set(s, mode='drop')
+  filled = jnp.arange(n, dtype=jnp.int32) < n_unique
+  remap = jnp.zeros((n,), jnp.int32).at[order].set(urank)
+  remap = jnp.where(valid, remap, flat_ids)
+  return uids, remap, filled
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbedFeature:
+  """Declares that a feature's ids feed an embedding table.
+
+  The sparse train step (train/steps.py make_sparse_train_step) uses this
+  to route gradients: it remaps the feature's ids to batch-local slots,
+  gathers the touched table rows, and differentiates with respect to those
+  rows only — the dense ``[vocab, dim]`` gradient never exists.
+  """
+
+  param_path: str          # '/'-joined path of the table leaf
+  feature: str             # feature name carrying the ids
+  source: str = 'examples'  # 'context' | 'examples'
+  # Pre-hash ids modulo this before lookup (HashEmbeddingEncoder analog);
+  # None = ids are direct row indices (EmbeddingEncoder).
+  num_buckets: Optional[int] = None
+
+
+def derive_embed_features(params: Any, context: Mapping[str, Array],
+                          examples: Mapping[str, Array],
+                          table_pattern: str = r'embedding',
+                          ) -> Tuple[EmbedFeature, ...]:
+  """Best-effort EmbedFeature derivation for EmbeddingDNNScorer-style
+  models: table leaves at ``.../embed_<feature>/embedding`` whose
+  ``<feature>`` is present in the batch."""
+  out = []
+  for pth, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
+    s = path_str(pth)
+    if not re.search(table_pattern, s):
+      continue
+    m = re.search(r'embed_([^/]+)/[^/]+$', s)
+    if not m:
+      continue
+    feat = m.group(1)
+    if feat in context:
+      out.append(EmbedFeature(param_path=s, feature=feat, source='context'))
+    elif feat in examples:
+      out.append(EmbedFeature(param_path=s, feature=feat, source='examples'))
+  return tuple(out)
 
 
 def path_str(path) -> str:
@@ -109,6 +188,50 @@ class LazyAdam:
       new_state[p] = {'m': nm, 'v': nv}
       dropped = dropped + nd
     new_state['dropped'] = dropped
+    return new_params, new_state
+
+  def update_rows(
+      self,
+      row_grads: Mapping[str, Tuple[Array, Array, Array]],
+      state: Mapping[str, Any],
+      sparse_params: Mapping[str, Array],
+  ) -> Tuple[Dict[str, Array], Dict[str, Any]]:
+    """Row-level update for the sparse train step: O(K·dim) per table.
+
+    ``row_grads`` maps table path -> ``(uids [K], grads [K, dim...],
+    filled [K])`` as produced by ``compact_unique`` + grads w.r.t. the
+    gathered rows. Unlike ``update``, no full-table gradient is ever read:
+    moments and params are gathered at the touched rows, stepped, and
+    scattered back. A row counts as touched iff its gradient is nonzero —
+    identical semantics to the dense-grad path (and to TF's
+    IndexedSlices-driven LazyAdam, where an all-masked token contributes a
+    zero slice that moves nothing on a fresh row and is excluded here
+    exactly).
+    """
+    count = state['count'] + 1
+    lr = (self.learning_rate(count) if callable(self.learning_rate)
+          else self.learning_rate)
+    t = count.astype(jnp.float32)
+    bc1 = 1.0 - self.b1 ** t
+    bc2 = 1.0 - self.b2 ** t
+    new_params: Dict[str, Array] = {}
+    new_state: Dict[str, Any] = {'count': count}
+    new_state['dropped'] = state.get('dropped', jnp.zeros((), jnp.int32))
+    for p, (uids, g, filled) in row_grads.items():
+      table, m, v = sparse_params[p], state[p]['m'], state[p]['v']
+      reduce_axes = tuple(range(1, g.ndim))
+      touched = filled & (jnp.sum(jnp.abs(g), axis=reduce_axes) > 0)
+      safe = jnp.where(touched, uids, 0)
+      p_r, m_r, v_r = table[safe], m[safe], v[safe]
+      new_m = self.b1 * m_r + (1.0 - self.b1) * g
+      new_v = self.b2 * v_r + (1.0 - self.b2) * g * g
+      step = lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + self.eps)
+      # Untouched slots scatter out of bounds and drop; uids are unique,
+      # so no scatter conflicts.
+      dest = jnp.where(touched, uids, table.shape[0])
+      new_params[p] = table.at[dest].set(p_r - step, mode='drop')
+      new_state[p] = {'m': m.at[dest].set(new_m, mode='drop'),
+                      'v': v.at[dest].set(new_v, mode='drop')}
     return new_params, new_state
 
 

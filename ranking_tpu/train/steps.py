@@ -56,6 +56,37 @@ def _forward(state, batch: RankingBatch, training: bool,
   return out, state.batch_stats
 
 
+def _make_total_loss(loss_fn, multi_task_weights):
+  """Single or dict-of-task loss -> scalar total-loss closure."""
+
+  def _total_loss(labels, logits, features, key):
+    if isinstance(loss_fn, Mapping):
+      total = jnp.zeros((), jnp.float32)
+      for i, (task, fn) in enumerate(sorted(loss_fn.items())):
+        w = 1.0 if not multi_task_weights else multi_task_weights.get(task, 1.)
+        sub_key = None if key is None else jax.random.fold_in(key, i)
+        total = total + w * fn(labels[task], logits[task], features=features,
+                               key=sub_key)
+      return total
+    return loss_fn(labels, logits, features=features, key=key)
+
+  return _total_loss
+
+
+def _sanity_metrics(loss, batch: RankingBatch, logits) -> Dict[str, Array]:
+  """Loss + labels/logits means mirroring the reference head
+  (python/head.py:216-223)."""
+  ref_logits = (logits if not isinstance(logits, dict)
+                else next(iter(sorted(logits.items())))[1])
+  ref_labels = (batch.labels if not isinstance(batch.labels, dict)
+                else next(iter(sorted(batch.labels.items())))[1])
+  return {
+      'loss': loss,
+      'labels_mean': _masked_mean(ref_labels, batch.mask),
+      'logits_mean': _masked_mean(ref_logits, batch.mask),
+  }
+
+
 def make_train_step(
     loss_fn: LossFn,
     multi_task_weights: Optional[Mapping[str, float]] = None,
@@ -68,16 +99,7 @@ def make_train_step(
   MultiTaskPipeline, keras/pipeline.py:733-830).
   """
 
-  def _total_loss(labels, logits, features, key):
-    if isinstance(loss_fn, Mapping):
-      total = jnp.zeros((), jnp.float32)
-      for i, (task, fn) in enumerate(sorted(loss_fn.items())):
-        w = 1.0 if not multi_task_weights else multi_task_weights.get(task, 1.)
-        sub_key = None if key is None else jax.random.fold_in(key, i)
-        total = total + w * fn(labels[task], logits[task], features=features,
-                               key=sub_key)
-      return total
-    return loss_fn(labels, logits, features=features, key=key)
+  _total_loss = _make_total_loss(loss_fn, multi_task_weights)
 
   def train_step(state, batch: RankingBatch, key: Array):
     dropout_key, noise_key, shuffle_key, loss_key = jax.random.split(
@@ -94,18 +116,127 @@ def make_train_step(
     (loss, (logits, new_stats)), grads = jax.value_and_grad(
         _loss, has_aux=True)(state.params)
     state = state.apply_gradients(grads, batch_stats=new_stats)
+    return state, _sanity_metrics(loss, batch, logits)
 
-    ref_logits = (logits if not isinstance(logits, dict)
-                  else next(iter(sorted(logits.items())))[1])
-    ref_labels = (batch.labels if not isinstance(batch.labels, dict)
-                  else next(iter(sorted(batch.labels.items())))[1])
-    # Sanity metrics mirroring the reference head (python/head.py:216-223).
-    metrics = {
-        'loss': loss,
-        'labels_mean': _masked_mean(ref_labels, batch.mask),
-        'logits_mean': _masked_mean(ref_logits, batch.mask),
-    }
-    return state, metrics
+  return train_step
+
+
+def make_sparse_train_step(
+    loss_fn: LossFn,
+    embed_features: Any,
+    multi_task_weights: Optional[Mapping[str, float]] = None,
+) -> Callable[..., Tuple[Any, Dict[str, Array]]]:
+  """Train step whose embedding gradients never materialize densely.
+
+  The standard step differentiates through ``table[ids]``, whose backward
+  is a scatter-add into a dense ``[vocab, dim]`` zero tensor — O(vocab)
+  HBM traffic per step even when a batch touches a few thousand rows, the
+  same cost profile that makes naive TF training of large embedding
+  columns infeasible (the reference instead relies on
+  ``tf.IndexedSlices``, python/feature.py:79-133). This step is the
+  TPU-native equivalent of that sparse path, with strictly batch-bounded
+  cost:
+
+  1. each declared id feature is deduplicated with one 1-D sort
+     (``sparse.compact_unique``) and remapped to batch-local slots;
+  2. the touched table rows are gathered into a ``[K, dim]`` slab
+     (K = ids per batch, static) and the embedding modules are redirected
+     onto it via ``flax.linen.intercept_methods`` — the model runs
+     unmodified, but its lookup reads the slab with slot ids;
+  3. gradients are taken w.r.t. the slab (backward = scatter-add into
+     K rows, not vocab) and applied with ``LazyAdam.update_rows`` —
+     gather/step/scatter of K rows of param/m/v state.
+
+  Requires ``state.sparse_tx`` (a ``train.sparse.LazyAdam``) and that
+  every ``embed_features`` entry's ``param_path`` matches its
+  ``table_pattern``. Tables not declared in ``embed_features`` would get
+  no gradient at all, so construction fails loudly if any sparse table is
+  left uncovered. Semantics equal the dense-grad LazyAdam path exactly
+  (tests/test_sparse_step.py); only the cost changes: O(K·dim + vocab·0)
+  instead of O(vocab·dim) per step.
+  """
+  import dataclasses as _dc
+
+  import flax.linen as nn
+
+  from ranking_tpu.models import embeddings as emb_lib
+  from ranking_tpu.train import sparse as sparse_lib
+
+  embed_features = tuple(embed_features)
+  _total_loss = _make_total_loss(loss_fn, multi_task_weights)
+
+  def _interceptor(rows_by_path):
+    def interceptor(next_fn, args, kwargs, context):
+      mod = context.module
+      if (context.method_name == '__call__' and
+          isinstance(mod, (emb_lib.EmbeddingEncoder,
+                           emb_lib.HashEmbeddingEncoder))):
+        path = '/'.join(tuple(mod.path) + ('embedding',))
+        rows = rows_by_path.get(path)
+        if rows is not None:
+          ids = args[0] if args else kwargs['ids']
+          # ids are already batch-local slots (and pre-hashed for the
+          # hash encoder); padding stays negative for the pooling mask.
+          return emb_lib.pooled_lookup(rows, ids, mod.combiner)
+      return next_fn(*args, **kwargs)
+
+    return interceptor
+
+  def train_step(state, batch: RankingBatch, key: Array):
+    if state.sparse_tx is None:
+      raise ValueError('make_sparse_train_step requires a TrainState built '
+                       'with sparse_tx (train.sparse.LazyAdam)')
+    dropout_key, noise_key, shuffle_key, loss_key = jax.random.split(
+        jax.random.fold_in(key, state.step), 4)
+    dense_params, sp_params = sparse_lib.partition(state.params,
+                                                   state.sparse_tx)
+    uncovered = set(sp_params) - {ef.param_path for ef in embed_features}
+    if uncovered:
+      raise ValueError(
+          f'sparse tables with no declared id feature: {sorted(uncovered)}; '
+          'declare them in embed_features or narrow table_pattern')
+
+    context = dict(batch.context)
+    examples = dict(batch.examples)
+    rows: Dict[str, Array] = {}
+    info: Dict[str, Tuple[Array, Array]] = {}
+    for ef in embed_features:
+      src = context if ef.source == 'context' else examples
+      ids = src[ef.feature]
+      if ef.num_buckets is not None:
+        ids = jnp.where(ids >= 0, jnp.mod(ids, ef.num_buckets), ids)
+      uids, remap, filled = sparse_lib.compact_unique(ids.reshape(-1))
+      src[ef.feature] = remap.reshape(ids.shape)
+      rows[ef.param_path] = jnp.take(sp_params[ef.param_path], uids, axis=0)
+      info[ef.param_path] = (uids, filled)
+    batch2 = _dc.replace(batch, context=context, examples=examples)
+
+    def _loss(dparams, rows_in):
+      with nn.intercept_methods(_interceptor(rows_in)):
+        logits, new_stats = _forward(
+            state, batch2, training=True,
+            rngs={'dropout': dropout_key, 'noise': noise_key,
+                  'shuffle': shuffle_key}, params=dparams)
+      loss = _total_loss(batch2.labels, logits, batch2.features, loss_key)
+      return loss, (logits, new_stats)
+
+    (loss, (logits, new_stats)), (dgrads, rgrads) = jax.value_and_grad(
+        _loss, argnums=(0, 1), has_aux=True)(dense_params, rows)
+
+    import optax
+    updates, new_opt_state = state.tx.update(dgrads, state.opt_state,
+                                             dense_params)
+    new_dense = optax.apply_updates(dense_params, updates)
+    row_grads = {p: (info[p][0], rgrads[p], info[p][1]) for p in rows}
+    new_sparse, new_sparse_state = state.sparse_tx.update_rows(
+        row_grads, state.sparse_opt_state, sp_params)
+    state = state.replace(
+        step=state.step + 1,
+        params=sparse_lib.merge(state.params, new_dense, new_sparse),
+        opt_state=new_opt_state,
+        sparse_opt_state=new_sparse_state,
+        batch_stats=new_stats)
+    return state, _sanity_metrics(loss, batch, logits)
 
   return train_step
 

@@ -1,0 +1,227 @@
+"""Sparse train step (train/steps.py make_sparse_train_step): the
+vocab-independent embedding path. Ground truth is the dense-grad LazyAdam
+step, which these tests require it to match bitwise."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ranking_tpu import models, ops, train
+from ranking_tpu.data.batch import batch_from_labels
+from ranking_tpu.train import sparse as sparse_lib
+
+
+# ---------------------------------------------------------------- unique
+
+
+def _np_unique_oracle(flat):
+  valid = flat >= 0
+  uids = np.unique(flat[valid])
+  slot = {int(u): i for i, u in enumerate(uids)}
+  remap = np.array([slot[int(x)] if x >= 0 else int(x) for x in flat],
+                   np.int32)
+  return uids, remap
+
+
+@pytest.mark.parametrize('seed,n,vocab,pad_frac', [
+    (0, 64, 10, 0.2), (1, 128, 1000, 0.0), (2, 37, 5, 0.5), (3, 16, 1, 0.3),
+])
+def test_compact_unique_matches_numpy(seed, n, vocab, pad_frac):
+  rng = np.random.RandomState(seed)
+  flat = rng.randint(0, vocab, size=n).astype(np.int32)
+  flat[rng.rand(n) < pad_frac] = -1
+  uids, remap, filled = jax.jit(sparse_lib.compact_unique)(jnp.asarray(flat))
+  uids, remap, filled = map(np.asarray, (uids, remap, filled))
+  exp_uids, exp_remap = _np_unique_oracle(flat)
+  k = len(exp_uids)
+  assert filled.sum() == k
+  np.testing.assert_array_equal(filled[:k], True)
+  np.testing.assert_array_equal(uids[:k], exp_uids)
+  np.testing.assert_array_equal(remap, exp_remap)
+  # Round trip: every valid position's id is recoverable from its slot.
+  valid = flat >= 0
+  np.testing.assert_array_equal(uids[remap[valid]], flat[valid])
+
+
+def test_compact_unique_all_padding():
+  uids, remap, filled = jax.jit(sparse_lib.compact_unique)(
+      jnp.full((8,), -1, jnp.int32))
+  assert int(np.sum(np.asarray(filled))) == 0
+  np.testing.assert_array_equal(np.asarray(remap), -1)
+
+
+# ------------------------------------------------------------ step parity
+
+
+def _embedding_batch(rng, batch=4, lists=6, tokens=3, vocab=64):
+  labels = rng.randint(0, 3, size=(batch, lists)).astype(np.float32)
+  labels[0, -2:] = -1.0  # padded docs
+  docs = rng.randint(-1, vocab, size=(batch, lists, tokens)).astype(np.int32)
+  ctx = rng.randint(0, vocab, size=(batch, tokens)).astype(np.int32)
+  return batch_from_labels(labels=labels,
+                           examples={'document_tokens': docs},
+                           context={'query_tokens': ctx})
+
+
+def _embedding_model(vocab=64):
+  return models.RankingModel(scorer=models.EmbeddingDNNScorer(
+      hidden_layer_dims=(8,),
+      vocab_sizes={'query_tokens': vocab, 'document_tokens': vocab},
+      embedding_dim=4, dropout=0.0, use_batch_norm=False))
+
+
+def _mkstate(model, batch, lr=1e-2):
+  return train.create_train_state(
+      model, optax.adam(lr), jax.random.PRNGKey(0),
+      batch.context, batch.examples, batch.mask,
+      sparse_tx=train.LazyAdam(learning_rate=lr, max_rows=256))
+
+
+def test_sparse_step_matches_dense_lazy_step_bitwise():
+  rng = np.random.RandomState(0)
+  model = _embedding_model()
+  batches = [_embedding_batch(rng) for _ in range(4)]
+  dense_state = _mkstate(model, batches[0])
+  sparse_state = _mkstate(model, batches[0])
+  efs = sparse_lib.derive_embed_features(
+      sparse_state.params, batches[0].context, batches[0].examples)
+  assert {ef.param_path for ef in efs} == {
+      'scorer/embed_document_tokens/embedding',
+      'scorer/embed_query_tokens/embedding'}
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  dstep = jax.jit(train.make_train_step(loss_fn))
+  sstep = jax.jit(train.make_sparse_train_step(loss_fn, efs))
+  for i, batch in enumerate(batches):
+    dense_state, dm = dstep(dense_state, batch, jax.random.PRNGKey(7))
+    sparse_state, sm = sstep(sparse_state, batch, jax.random.PRNGKey(7))
+    assert float(dm['loss']) == float(sm['loss'])
+  jax.tree.map(
+      lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                 np.asarray(b)),
+      dense_state.params, sparse_state.params)
+  jax.tree.map(
+      lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                 np.asarray(b)),
+      dense_state.sparse_opt_state, sparse_state.sparse_opt_state)
+
+
+def test_sparse_step_pairwise_loss_and_weights_feature():
+  # A pairwise loss with a weights feature exercises batch2.features
+  # (remapped ids must not disturb weight lookup).
+  rng = np.random.RandomState(1)
+  model = _embedding_model()
+  batch = _embedding_batch(rng)
+  batch = dataclasses.replace(
+      batch, examples={**batch.examples,
+                       'doc_weight': np.abs(
+                           rng.rand(4, 6).astype(np.float32))})
+  dense_state = _mkstate(model, batch)
+  sparse_state = _mkstate(model, batch)
+  efs = sparse_lib.derive_embed_features(
+      sparse_state.params, batch.context, batch.examples)
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.PAIRWISE_LOGISTIC_LOSS,
+                             weights_feature_name='doc_weight')
+  dstep = jax.jit(train.make_train_step(loss_fn))
+  sstep = jax.jit(train.make_sparse_train_step(loss_fn, efs))
+  for _ in range(3):
+    dense_state, dm = dstep(dense_state, batch, jax.random.PRNGKey(3))
+    sparse_state, sm = sstep(sparse_state, batch, jax.random.PRNGKey(3))
+    assert float(dm['loss']) == float(sm['loss'])
+  jax.tree.map(
+      lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                 np.asarray(b)),
+      dense_state.params, sparse_state.params)
+
+
+def test_sparse_step_hash_encoder_num_buckets():
+  """HashEmbeddingEncoder path: ids pre-hashed outside, slots inside."""
+
+  class HashScorer(models.scorers.nn.Module):  # type: ignore[name-defined]
+
+    @models.scorers.nn.compact
+    def __call__(self, context, examples, mask, training=False):
+      from ranking_tpu.models import embeddings as emb_lib
+      emb = emb_lib.HashEmbeddingEncoder(
+          num_buckets=16, embedding_dim=4, name='embed_document_tokens')(
+              examples['document_tokens'])
+      return models.DNNScorer(hidden_layer_dims=(8,), dropout=0.0,
+                              use_batch_norm=False, name='dnn')(
+          {}, {'emb': emb}, mask, training=training)
+
+  rng = np.random.RandomState(2)
+  labels = rng.randint(0, 3, size=(4, 6)).astype(np.float32)
+  docs = rng.randint(-1, 200, size=(4, 6, 3)).astype(np.int32)  # > buckets
+  batch = batch_from_labels(labels=labels,
+                            examples={'document_tokens': docs})
+  model = models.RankingModel(scorer=HashScorer())
+  dense_state = _mkstate(model, batch)
+  sparse_state = _mkstate(model, batch)
+  efs = (sparse_lib.EmbedFeature(
+      param_path='scorer/embed_document_tokens/embedding',
+      feature='document_tokens', source='examples', num_buckets=16),)
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  dstep = jax.jit(train.make_train_step(loss_fn))
+  sstep = jax.jit(train.make_sparse_train_step(loss_fn, efs))
+  for _ in range(3):
+    dense_state, dm = dstep(dense_state, batch, jax.random.PRNGKey(5))
+    sparse_state, sm = sstep(sparse_state, batch, jax.random.PRNGKey(5))
+    assert float(dm['loss']) == float(sm['loss'])
+  jax.tree.map(
+      lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                 np.asarray(b)),
+      dense_state.params, sparse_state.params)
+
+
+def test_uncovered_table_raises():
+  rng = np.random.RandomState(3)
+  model = _embedding_model()
+  batch = _embedding_batch(rng)
+  state = _mkstate(model, batch)
+  efs = sparse_lib.derive_embed_features(
+      state.params, batch.context, batch.examples)[:1]  # drop one table
+  step = train.make_sparse_train_step(
+      ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS), efs)
+  with pytest.raises(ValueError, match='no declared id feature'):
+    step(state, batch, jax.random.PRNGKey(0))
+
+
+def test_pipeline_auto_selects_sparse_step(tmp_path):
+  """optimizer='lazy_adam' + EmbeddingDNNScorer => the pipeline derives the
+  id features and runs the sparse step end to end."""
+  from ranking_tpu import pipeline
+  from ranking_tpu.data import FixedLenFeature, VarLenFeature
+
+  ref_data = '/root/reference/tensorflow_ranking/examples/data'
+  context_spec = {'query_tokens': VarLenFeature(
+      dtype='string', max_len=6, hash_buckets=100)}
+  example_spec = {
+      'document_tokens': VarLenFeature(dtype='string', max_len=20,
+                                       hash_buckets=100),
+      'relevance': FixedLenFeature(shape=(), dtype='int64',
+                                   default_value=0)}
+  model = models.RankingModel(scorer=models.EmbeddingDNNScorer(
+      hidden_layer_dims=(16, 8),
+      vocab_sizes={'query_tokens': 100, 'document_tokens': 100},
+      embedding_dim=4, dropout=0.0, use_batch_norm=False))
+  builder = pipeline.SimpleDatasetBuilder(
+      context_spec, example_spec,
+      pipeline.DatasetHparams(
+          train_input_pattern=f'{ref_data}/train_elwc.tfrecord',
+          valid_input_pattern=f'{ref_data}/eval_elwc.tfrecord',
+          train_batch_size=4, valid_batch_size=4, list_size=5,
+          shuffle_buffer_size=10))
+  hp = pipeline.PipelineHparams(
+      model_dir=str(tmp_path / 'model'), num_epochs=2, steps_per_epoch=3,
+      validation_steps=2, learning_rate=0.05,
+      loss=ops.RankingLossKey.SOFTMAX_LOSS, optimizer='lazy_adam')
+  pipe = pipeline.SimplePipeline(model, builder, hp)
+  pipe.train_and_validate()
+  state = pipe.final_state
+  assert state.sparse_tx is not None
+  assert int(state.step) == 6
+  tables = sparse_lib.partition(state.params, state.sparse_tx)[1]
+  assert len(tables) == 2
