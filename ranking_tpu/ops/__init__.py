@@ -12,6 +12,7 @@ from ranking_tpu.ops.loss_registry import RankingLossKey, make_loss_fn
 from ranking_tpu.ops.metric_registry import (
     RankingMetricKey,
     compute_mean,
+    eval_metric,
     make_ranking_metric_fn,
 )
 from ranking_tpu.ops.reductions import Reduction
@@ -22,6 +23,7 @@ __all__ = [
     'RankingMetricKey',
     'Reduction',
     'compute_mean',
+    'eval_metric',
     'lambda_weights',
     'loss_registry',
     'losses',

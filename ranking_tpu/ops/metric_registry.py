@@ -138,6 +138,41 @@ def compute_mean(
                    / jnp.where(denom != 0, denom, 1.0), 0.0)
 
 
+def eval_metric(metric_fn, **kwargs) -> Array:
+  """Stand-alone evaluation of a metric fn on ranked results.
+
+  The analog of the reference's ``tfr.metrics.eval_metric``
+  (python/metrics.py:650-705): arguments are passed by name and
+  validated against the metric fn's signature, and the weighted mean is
+  returned as a scalar.
+
+  Example::
+
+    value = eval_metric(
+        metric_fn=make_ranking_metric_fn(RankingMetricKey.MRR),
+        labels=[[0., 0., 1.]], predictions=[[1., 3., 2.]])
+  """
+  import inspect
+
+  spec = inspect.getfullargspec(metric_fn)
+  defaults = spec.defaults or ()
+  required = spec.args[: len(spec.args) - len(defaults)] + [
+      n for n in spec.kwonlyargs if n not in (spec.kwonlydefaults or {})]
+  for arg in required:
+    if arg not in kwargs:
+      raise ValueError(f'Metric {metric_fn.__name__} requires '
+                       f'argument {arg}.')
+  accepted = set(spec.args) | set(spec.kwonlyargs)
+  for arg in kwargs:
+    if arg not in accepted:
+      raise ValueError(f'Metric {metric_fn.__name__} does not accept '
+                       f'argument {arg}.')
+  values, weights = metric_fn(**kwargs)
+  denom = jnp.sum(weights)
+  return jnp.where(denom != 0, jnp.sum(values * weights)
+                   / jnp.where(denom != 0, denom, 1.0), 0.0)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MeanState:

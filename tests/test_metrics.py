@@ -321,3 +321,21 @@ class TestRaggedMetricFn:
     dv, dw = dfn(dense_labels, dense_preds)
     np.testing.assert_allclose(np.asarray(rv), np.asarray(dv), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(rw), np.asarray(dw), rtol=1e-6)
+
+
+class TestEvalMetric:
+  """Standalone eval_metric (python/metrics.py:650-705 analog)."""
+
+  def test_value_and_validation(self):
+    import pytest
+
+    from ranking_tpu import ops
+    fn = ops.make_ranking_metric_fn(ops.RankingMetricKey.MRR)
+    v = ops.eval_metric(metric_fn=fn, labels=[[0., 0., 1.], [0., 1., 2.]],
+                        predictions=[[1., 3., 2.], [1., 2., 3.]])
+    np.testing.assert_allclose(float(v), 0.75)  # ranks 2 and 1
+    with pytest.raises(ValueError, match='requires argument'):
+      ops.eval_metric(metric_fn=fn, predictions=[[1.]])
+    with pytest.raises(ValueError, match='does not accept'):
+      ops.eval_metric(metric_fn=fn, labels=[[0.]], predictions=[[1.]],
+                      bogus=3)
