@@ -92,20 +92,25 @@ def main():
           batch.context, batch.examples, batch.mask, sparse_tx=sparse_tx)
 
     lazy = train.LazyAdam(learning_rate=1e-3, max_rows=B * L * T + B * T)
-    efs = None
-    variants = {}
-    variants['dense'] = (mkstate(), jax.jit(
-        train.make_train_step(loss_fn), donate_argnums=0))
-    variants['lazy'] = (mkstate(lazy), jax.jit(
-        train.make_train_step(loss_fn), donate_argnums=0))
-    st = mkstate(lazy)
-    efs = sparse_lib.derive_embed_features(st.params, batch.context,
-                                           batch.examples)
-    variants['sparse'] = (st, jax.jit(
-        train.make_sparse_train_step(loss_fn, efs), donate_argnums=0))
+
+    # Build/run/free one variant at a time: at multi-GB vocabularies the
+    # three states cannot coexist in HBM.
+    def make_variant(name):
+      if name == 'dense':
+        return mkstate(), jax.jit(
+            train.make_train_step(loss_fn), donate_argnums=0)
+      if name == 'lazy':
+        return mkstate(lazy), jax.jit(
+            train.make_train_step(loss_fn), donate_argnums=0)
+      st = mkstate(lazy)
+      efs = sparse_lib.derive_embed_features(st.params, batch.context,
+                                             batch.examples)
+      return st, jax.jit(
+          train.make_sparse_train_step(loss_fn, efs), donate_argnums=0)
 
     results[vocab] = {}
-    for name, (state, step) in variants.items():
+    for name in ('dense', 'lazy', 'sparse'):
+      state, step = make_variant(name)
       key = jax.random.PRNGKey(1)
       for _ in range(3):  # compile + warm
         state, m = step(state, batch, key)
