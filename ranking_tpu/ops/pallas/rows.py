@@ -1,0 +1,119 @@
+"""In-place sparse row scatter for embedding tables (TPU DMA kernel).
+
+XLA's TPU scatter never updates in place: ``table.at[ids].set(rows)``
+lowers to a full-table materialization, so updating 51k rows of a
+``[3M, 128]`` table costs a 1.5 GB rewrite (~3.8 ms on v5e) — O(vocab),
+exactly the cost the sparse train step (train/steps.py
+make_sparse_train_step) exists to avoid. This kernel aliases the table
+buffer (``input_output_aliases``) and DMAs each updated row from VMEM
+straight into its HBM slot: O(rows) traffic, measured 1.02 ms for 51200
+rows of a 3M x 128 table — 3.7x over the donated XLA scatter and
+independent of vocabulary size (the DMA-issue rate, ~50 rows/us, is the
+bound; block size is capped by DMA-semaphore space at 256).
+
+Semantics (jnp reference ``scatter_rows_reference``): rows with
+``valid == 0`` are skipped; valid ids must be unique and in range — the
+sparse step's ``compact_unique`` guarantees both.
+
+Like every kernel in this package this is an optimization, never a
+semantic fork: equality tests in tests/test_pallas_rows.py run the DMA
+kernel in interpret mode on CPU and against the jnp reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# Rows per grid step; bounded by DMA-semaphore space (512 fails to
+# compile on v5e: 'Ran out of memory in memory space sflag').
+BLOCK_ROWS = 256
+
+
+def scatter_rows_reference(table: Array, ids: Array, valid: Array,
+                           updates: Array) -> Array:
+  """jnp semantics: table with ``updates[i]`` written at row ``ids[i]``
+  for every ``valid[i] != 0``; invalid slots dropped."""
+  dest = jnp.where(valid != 0, ids, table.shape[0])
+  return table.at[dest].set(updates, mode='drop')
+
+
+def _scatter_kernel(ids_ref, valid_ref, updates_ref, tab_in, tab_out, sems):
+  del tab_in  # aliased with tab_out; the kernel only writes
+  base = pl.program_id(0) * BLOCK_ROWS
+  for j in range(BLOCK_ROWS):
+    @pl.when(valid_ref[base + j] != 0)
+    def _(j=j):
+      pltpu.make_async_copy(
+          updates_ref.at[pl.ds(j, 1), :],
+          tab_out.at[pl.ds(ids_ref[base + j], 1), :],
+          sems.at[j]).start()
+  for j in range(BLOCK_ROWS):
+    @pl.when(valid_ref[base + j] != 0)
+    def _(j=j):
+      pltpu.make_async_copy(
+          updates_ref.at[pl.ds(j, 1), :],
+          tab_out.at[pl.ds(ids_ref[base + j], 1), :],
+          sems.at[j]).wait()
+
+
+def scatter_rows(table: Array, ids: Array, valid: Array, updates: Array,
+                 interpret: bool = False) -> Array:
+  """In-place row scatter: ``table[ids[i]] = updates[i]`` where valid.
+
+  Meant to run inside a jitted step whose table buffer is donated — the
+  ``input_output_aliases`` on the kernel then updates the table in place
+  (XLA inserts a copy only if the table has later uses).
+
+  Args:
+    table: ``[V, D]`` table.
+    ids: ``[K]`` int32 row ids, unique among valid entries, in ``[0, V)``.
+    valid: ``[K]`` int32/bool; zero entries are skipped.
+    updates: ``[K, D]`` rows, same dtype as ``table``.
+    interpret: run the Pallas interpreter (CPU tests).
+
+  Returns:
+    The updated table (aliasing the input buffer when possible).
+  """
+  k, d = updates.shape
+  pad = (-k) % BLOCK_ROWS
+  if pad:
+    ids = jnp.pad(ids, (0, pad))
+    valid = jnp.pad(valid.astype(jnp.int32), (0, pad))
+    updates = jnp.pad(updates, ((0, pad), (0, 0)))
+    k += pad
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=2,
+      grid=(k // BLOCK_ROWS,),
+      in_specs=[
+          pl.BlockSpec((BLOCK_ROWS, d), lambda i, ids, valid: (i, 0)),
+          pl.BlockSpec(memory_space=pl.ANY),
+      ],
+      out_specs=pl.BlockSpec(memory_space=pl.ANY),
+      scratch_shapes=[pltpu.SemaphoreType.DMA((BLOCK_ROWS,))],
+  )
+  return pl.pallas_call(
+      _scatter_kernel,
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+      input_output_aliases={3: 0},
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('arbitrary',)),
+      interpret=interpret,
+  )(ids.astype(jnp.int32), valid.astype(jnp.int32), updates, table)
+
+
+def use_kernel() -> bool:
+  """Auto policy: the DMA scatter engages on TPU (where the XLA scatter
+  is O(vocab)); elsewhere the jnp reference path runs. ops.pallas
+  set_enabled(False) disables, True has no extra effect (the kernel
+  needs a real DMA engine, so forcing it off-TPU falls back to
+  interpret-free reference semantics)."""
+  from ranking_tpu.ops import pallas as pallas_pkg
+  if pallas_pkg._ENABLED is False:  # explicit global off-switch
+    return False
+  return jax.default_backend() == 'tpu'

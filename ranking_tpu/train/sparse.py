@@ -208,12 +208,25 @@ class LazyAdam:
     zero slice that moves nothing on a fresh row and is excluded here
     exactly).
     """
+    from ranking_tpu.ops.pallas import rows as rows_lib
     count = state['count'] + 1
     lr = (self.learning_rate(count) if callable(self.learning_rate)
           else self.learning_rate)
     t = count.astype(jnp.float32)
     bc1 = 1.0 - self.b1 ** t
     bc2 = 1.0 - self.b2 ** t
+    # On TPU the row writes go through the in-place DMA scatter kernel
+    # (ops/pallas/rows.py) — XLA's own scatter rewrites the whole table.
+    use_dma = rows_lib.use_kernel()
+
+    def _scatter(buf, uids, touched, rows):
+      # Auto domain: the DMA kernel costs O(rows) (~20 ns/row issue
+      # rate), XLA's scatter O(table) (full rewrite). Crossover measured
+      # at table.size ≈ 2000 × rows (PARITY.md).
+      if (use_dma and rows.ndim == 2
+          and buf.size > 2000 * rows.shape[0]):
+        return rows_lib.scatter_rows(buf, uids, touched, rows)
+      return rows_lib.scatter_rows_reference(buf, uids, touched, rows)
     new_params: Dict[str, Array] = {}
     new_state: Dict[str, Any] = {'count': count}
     new_state['dropped'] = state.get('dropped', jnp.zeros((), jnp.int32))
@@ -226,12 +239,10 @@ class LazyAdam:
       new_m = self.b1 * m_r + (1.0 - self.b1) * g
       new_v = self.b2 * v_r + (1.0 - self.b2) * g * g
       step = lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + self.eps)
-      # Untouched slots scatter out of bounds and drop; uids are unique,
-      # so no scatter conflicts.
-      dest = jnp.where(touched, uids, table.shape[0])
-      new_params[p] = table.at[dest].set(p_r - step, mode='drop')
-      new_state[p] = {'m': m.at[dest].set(new_m, mode='drop'),
-                      'v': v.at[dest].set(new_v, mode='drop')}
+      # uids are unique among touched slots, so no scatter conflicts.
+      new_params[p] = _scatter(table, uids, touched, p_r - step)
+      new_state[p] = {'m': _scatter(m, uids, touched, new_m),
+                      'v': _scatter(v, uids, touched, new_v)}
     return new_params, new_state
 
 
