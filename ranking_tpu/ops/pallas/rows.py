@@ -15,6 +15,13 @@ Semantics (jnp reference ``scatter_rows_reference``): rows with
 ``valid == 0`` are skipped; valid ids must be unique and in range — the
 sparse step's ``compact_unique`` guarantees both.
 
+Width constraint: Mosaic's memref slicer only accepts height-1 row
+slices that cover exactly one full (8, 128) tile's lanes, so the DMA
+path engages at row width 128 precisely (``supported_width``); every
+other width silently uses the jnp reference path. Size TPU embedding
+dims at 128 — it is also the lane-tiling sweet spot for the tables
+themselves (a [V, 64] f32 table wastes half of every (8, 128) tile).
+
 Like every kernel in this package this is an optimization, never a
 semantic fork: equality tests in tests/test_pallas_rows.py run the DMA
 kernel in interpret mode on CPU and against the jnp reference.
@@ -42,23 +49,34 @@ def scatter_rows_reference(table: Array, ids: Array, valid: Array,
   return table.at[dest].set(updates, mode='drop')
 
 
+def supported_width(d: int) -> bool:
+  """Mosaic accepts height-1 row slices only when the row is exactly one
+  full 128-lane tile — narrower rows ([1, 64]) and wider rows ([1, 256],
+  or width-128 stripes of a wider memref) all fail its tiling check
+  ('slice shape along dimension 0 must be aligned to tiling (8)'), in
+  VMEM and HBM alike. Other widths use the XLA reference path; size
+  embedding dims at 128 to stay on the DMA kernel."""
+  return d == 128
+
+
 def _scatter_kernel(ids_ref, valid_ref, updates_ref, tab_in, tab_out, sems):
   del tab_in  # aliased with tab_out; the kernel only writes
   base = pl.program_id(0) * BLOCK_ROWS
+
+  def _copy(j):
+    return pltpu.make_async_copy(
+        updates_ref.at[pl.ds(j, 1), :],
+        tab_out.at[pl.ds(ids_ref[base + j], 1), :],
+        sems.at[j])
+
   for j in range(BLOCK_ROWS):
     @pl.when(valid_ref[base + j] != 0)
     def _(j=j):
-      pltpu.make_async_copy(
-          updates_ref.at[pl.ds(j, 1), :],
-          tab_out.at[pl.ds(ids_ref[base + j], 1), :],
-          sems.at[j]).start()
+      _copy(j).start()
   for j in range(BLOCK_ROWS):
     @pl.when(valid_ref[base + j] != 0)
     def _(j=j):
-      pltpu.make_async_copy(
-          updates_ref.at[pl.ds(j, 1), :],
-          tab_out.at[pl.ds(ids_ref[base + j], 1), :],
-          sems.at[j]).wait()
+      _copy(j).wait()
 
 
 def scatter_rows(table: Array, ids: Array, valid: Array, updates: Array,
@@ -80,6 +98,8 @@ def scatter_rows(table: Array, ids: Array, valid: Array, updates: Array,
     The updated table (aliasing the input buffer when possible).
   """
   k, d = updates.shape
+  if not supported_width(d):
+    return scatter_rows_reference(table, ids, valid, updates)
   pad = (-k) % BLOCK_ROWS
   if pad:
     ids = jnp.pad(ids, (0, pad))

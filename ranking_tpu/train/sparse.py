@@ -162,6 +162,10 @@ class LazyAdam:
     return re.search(self.table_pattern, path) is not None
 
   def init(self, sparse_params: Mapping[str, Array]) -> Dict[str, Any]:
+    # Moments stay separate [vocab, dim] buffers (not packed [..., 2*dim]):
+    # the in-place DMA scatter (ops/pallas/rows.py) moves height-1 row
+    # slices, which Mosaic only accepts at exactly one 128-lane tile —
+    # a packed 256-wide row would force the O(vocab) XLA scatter back.
     state: Dict[str, Any] = {
         p: {'m': jnp.zeros_like(x), 'v': jnp.zeros_like(x)}
         for p, x in sparse_params.items()}
@@ -195,6 +199,7 @@ class LazyAdam:
       row_grads: Mapping[str, Tuple[Array, Array, Array]],
       state: Mapping[str, Any],
       sparse_params: Mapping[str, Array],
+      row_params: Optional[Mapping[str, Array]] = None,
   ) -> Tuple[Dict[str, Array], Dict[str, Any]]:
     """Row-level update for the sparse train step: O(K·dim) per table.
 
@@ -207,6 +212,11 @@ class LazyAdam:
     IndexedSlices-driven LazyAdam, where an all-masked token contributes a
     zero slice that moves nothing on a fresh row and is excluded here
     exactly).
+
+    ``row_params`` optionally supplies the already-gathered param rows
+    ``table[uids]`` per path (the sparse step's forward slab) so the
+    update skips its own gather of the full table; untouched slots'
+    values are irrelevant (their scatter is dropped).
     """
     from ranking_tpu.ops.pallas import rows as rows_lib
     count = state['count'] + 1
@@ -222,8 +232,10 @@ class LazyAdam:
     def _scatter(buf, uids, touched, rows):
       # Auto domain: the DMA kernel costs O(rows) (~20 ns/row issue
       # rate), XLA's scatter O(table) (full rewrite). Crossover measured
-      # at table.size ≈ 2000 × rows (PARITY.md).
+      # at table.size ≈ 2000 × rows (PARITY.md); the kernel itself
+      # additionally requires width-128 rows (rows_lib.supported_width).
       if (use_dma and rows.ndim == 2
+          and rows_lib.supported_width(rows.shape[-1])
           and buf.size > 2000 * rows.shape[0]):
         return rows_lib.scatter_rows(buf, uids, touched, rows)
       return rows_lib.scatter_rows_reference(buf, uids, touched, rows)
@@ -235,7 +247,11 @@ class LazyAdam:
       reduce_axes = tuple(range(1, g.ndim))
       touched = filled & (jnp.sum(jnp.abs(g), axis=reduce_axes) > 0)
       safe = jnp.where(touched, uids, 0)
-      p_r, m_r, v_r = table[safe], m[safe], v[safe]
+      if row_params is not None and p in row_params:
+        p_r = row_params[p]  # table[uids], gathered once by the step
+      else:
+        p_r = table[safe]
+      m_r, v_r = m[safe], v[safe]
       new_m = self.b1 * m_r + (1.0 - self.b1) * g
       new_v = self.b2 * v_r + (1.0 - self.b2) * g * g
       step = lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + self.eps)

@@ -229,7 +229,7 @@ def make_sparse_train_step(
     new_dense = optax.apply_updates(dense_params, updates)
     row_grads = {p: (info[p][0], rgrads[p], info[p][1]) for p in rows}
     new_sparse, new_sparse_state = state.sparse_tx.update_rows(
-        row_grads, state.sparse_opt_state, sp_params)
+        row_grads, state.sparse_opt_state, sp_params, row_params=rows)
     state = state.replace(
         step=state.step + 1,
         params=sparse_lib.merge(state.params, new_dense, new_sparse),
