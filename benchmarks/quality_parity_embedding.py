@@ -49,34 +49,32 @@ from benchmarks.quality_parity import (  # noqa: E402
 VOCAB = 1000
 EDIM = 16
 HIDDEN = (64, 32)
-BATCH = 4
+BATCH = 16
 LIST_SIZE = 10
+Q_TOKENS = 4
+D_TOKENS = 12
 LR = 0.05
 LOSSES = ('softmax_loss', 'approx_ndcg_loss')
 
 
-def load_elwc_data():
-  """Identical hashed-id arrays for every framework/variant."""
-  from ranking_tpu.data import FixedLenFeature, VarLenFeature, dataset
-  ctx = {'query_tokens': VarLenFeature(dtype='string', max_len=10,
-                                       hash_buckets=VOCAB)}
-  ex = {'document_tokens': VarLenFeature(dtype='string', max_len=30,
-                                         hash_buckets=VOCAB),
-        'relevance': FixedLenFeature(shape=(), dtype='int64',
-                                     default_value=0)}
+def _token_lists(rng, n):
+  """Token-overlap lists: doc relevance = planted query tokens (0-3)."""
+  q = rng.randint(0, VOCAB, size=(n, Q_TOKENS)).astype(np.int32)
+  d = rng.randint(0, VOCAB, size=(n, LIST_SIZE, D_TOKENS)).astype(np.int32)
+  y = rng.randint(0, 4, size=(n, LIST_SIZE)).astype(np.float32)
+  for i in range(n):
+    for j in range(LIST_SIZE):
+      k = int(y[i, j])
+      if k:
+        pos = rng.choice(D_TOKENS, size=k, replace=False)
+        d[i, j, pos] = q[i][rng.choice(Q_TOKENS, size=k, replace=False)]
+  return q, d, y
 
-  def load(path):
-    (b,) = list(dataset.build_ranking_dataset(
-        path, 'example_list_with_context', batch_size=1000,
-        context_feature_spec=ctx, example_feature_spec=ex,
-        label_feature_name='relevance', list_size=LIST_SIZE, epochs=1,
-        shuffle=False, drop_remainder=False))
-    return (np.asarray(b.context['query_tokens']),
-            np.asarray(b.examples['document_tokens']),
-            np.asarray(b.labels))
 
-  q, d, y = load(f'{REF_DATA}/train_elwc.tfrecord')
-  vq, vd, vy = load(f'{REF_DATA}/eval_elwc.tfrecord')
+def load_token_data(train_n=500, eval_n=200):
+  """Identical id arrays for every framework/variant; held-out queries."""
+  q, d, y = _token_lists(np.random.RandomState(7), train_n)
+  vq, vd, vy = _token_lists(np.random.RandomState(1234), eval_n)
   return q, d, y, vq, vd, vy
 
 
@@ -184,7 +182,7 @@ def main():
   jax.config.update('jax_platforms', 'cpu')
 
   ref = load_reference_modules()
-  data = load_elwc_data()
+  data = load_token_data()
   vy = data[-1]
 
   results = {}
@@ -220,7 +218,7 @@ def main():
             'delta': round(delta, 4), 'tol': round(tol, 4), 'pass': ok}
     summary[loss_key] = entry
 
-  out = {'workload': (f'bundled ELWC {REF_DATA}, L={LIST_SIZE}, '
+  out = {'workload': (f'synthetic token-overlap, L={LIST_SIZE}, '
                       f'vocab={VOCAB} hashed, edim={EDIM}, DNN{HIDDEN}, '
                       f'Adam({LR}), B={BATCH}, steps={args.steps}, '
                       f'seeds={args.seeds}; all metrics via reference '
