@@ -120,4 +120,7 @@ def sparse_optimizer_from_hparams(hparams: PipelineHparams):
         "optimizer='lazy_adam' does not support automatic_reduce_lr "
         '(the plateau hook rewrites only the dense optax state)')
   from ranking_tpu.train.sparse import LazyAdam
-  return LazyAdam(learning_rate=hparams.learning_rate)
+  # Tables sharded over 'model' must not route through the local DMA
+  # scatter kernel (see LazyAdam.dma_scatter).
+  return LazyAdam(learning_rate=hparams.learning_rate,
+                  dma_scatter=hparams.mesh_model == 1)

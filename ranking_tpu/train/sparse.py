@@ -157,6 +157,11 @@ class LazyAdam:
   # can touch (<= ids per batch); overflow rows are dropped and counted
   # in state['dropped'].
   max_rows: int = 8192
+  # In-place DMA scatter (ops/pallas/rows.py) for the row updates. Turn
+  # off for tables sharded over the mesh 'model' axis — the Pallas call
+  # addresses one local buffer and must not be SPMD-partitioned; the XLA
+  # reference scatter partitions correctly there.
+  dma_scatter: bool = True
 
   def matches(self, path: str) -> bool:
     return re.search(self.table_pattern, path) is not None
@@ -227,7 +232,7 @@ class LazyAdam:
     bc2 = 1.0 - self.b2 ** t
     # On TPU the row writes go through the in-place DMA scatter kernel
     # (ops/pallas/rows.py) — XLA's own scatter rewrites the whole table.
-    use_dma = rows_lib.use_kernel()
+    use_dma = self.dma_scatter and rows_lib.use_kernel()
 
     def _scatter(buf, uids, touched, rows):
       # Auto domain: the DMA kernel costs O(rows) (~20 ns/row issue

@@ -165,12 +165,19 @@ def make_sparse_train_step(
   embed_features = tuple(embed_features)
   _total_loss = _make_total_loss(loss_fn, multi_task_weights)
 
+  from ranking_tpu.parallel import embedding as sharded_emb_lib
+
   def _interceptor(rows_by_path):
     def interceptor(next_fn, args, kwargs, context):
       mod = context.module
+      # The sharded encoder is redirected too: its heavy row-sharded
+      # table never enters the differentiated graph — the gathered slab
+      # (one collective gather per step, outside autodiff) replaces the
+      # per-token shard_map lookup entirely.
       if (context.method_name == '__call__' and
           isinstance(mod, (emb_lib.EmbeddingEncoder,
-                           emb_lib.HashEmbeddingEncoder))):
+                           emb_lib.HashEmbeddingEncoder,
+                           sharded_emb_lib.ShardedEmbeddingEncoder))):
         path = '/'.join(tuple(mod.path) + ('embedding',))
         rows = rows_by_path.get(path)
         if rows is not None:

@@ -225,3 +225,55 @@ def test_pipeline_auto_selects_sparse_step(tmp_path):
   assert int(state.step) == 6
   tables = sparse_lib.partition(state.params, state.sparse_tx)[1]
   assert len(tables) == 2
+
+
+def test_sparse_step_sharded_tables_match_dense_lazy():
+  """Row-sharded tables (mesh model axis): the sparse step must produce
+  the same training trajectory as the dense-grad LazyAdam path, with the
+  sharded encoder's lookup redirected onto the gathered row slab."""
+  from ranking_tpu import parallel
+
+  mesh = parallel.make_mesh(model=2)
+  vocab = 63  # odd on purpose: table pads itself to the model axis
+  model = models.RankingModel(scorer=models.EmbeddingDNNScorer(
+      hidden_layer_dims=(8,),
+      vocab_sizes={'query_tokens': vocab, 'document_tokens': vocab},
+      embedding_dim=4, mesh=mesh, dropout=0.0, use_batch_norm=False))
+  rng = np.random.RandomState(7)
+  batch = _embedding_batch(rng, batch=4, vocab=vocab)
+
+  def mkstate():
+    state = train.create_train_state(
+        model, optax.adam(1e-2), jax.random.PRNGKey(0),
+        batch.context, batch.examples, batch.mask,
+        sparse_tx=train.LazyAdam(learning_rate=1e-2, dma_scatter=False))
+    return state.replace(
+        params=parallel.shard_params(state.params, mesh),
+        opt_state=parallel.shard_params(state.opt_state, mesh),
+        sparse_opt_state=parallel.shard_params(state.sparse_opt_state,
+                                               mesh))
+
+  sharded_batch = parallel.shard_batch(batch, mesh)
+  dense_state, sparse_state = mkstate(), mkstate()
+  efs = sparse_lib.derive_embed_features(
+      sparse_state.params, batch.context, batch.examples)
+  assert len(efs) == 2
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  dstep = jax.jit(train.make_train_step(loss_fn))
+  sstep = jax.jit(train.make_sparse_train_step(loss_fn, efs))
+  for _ in range(3):
+    dense_state, dm = dstep(dense_state, sharded_batch,
+                            jax.random.PRNGKey(2))
+    sparse_state, sm = sstep(sparse_state, sharded_batch,
+                             jax.random.PRNGKey(2))
+    # Forward summation orders differ (shard_map psum of partials vs
+    # replicated slab pooling), so equality is numerical, not bitwise.
+    np.testing.assert_allclose(float(dm['loss']), float(sm['loss']),
+                               rtol=1e-5)
+  # Adam normalizes near-zero gradients by near-zero sqrt(v), amplifying
+  # the forward paths' different summation orders; one optimizer step is
+  # ~lr = 1e-2, so 1e-3 is a tenth of a step.
+  jax.tree.map(
+      lambda a, b: np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
+      dense_state.params, sparse_state.params)
