@@ -119,13 +119,20 @@ def derive_embed_features(params: Any, context: Mapping[str, Array],
     if not re.search(table_pattern, s):
       continue
     m = re.search(r'embed_([^/]+)/[^/]+$', s)
-    if not m:
+    if m:
+      feat = m.group(1)
+      if feat in context:
+        out.append(EmbedFeature(param_path=s, feature=feat,
+                                source='context'))
+      elif feat in examples:
+        out.append(EmbedFeature(param_path=s, feature=feat,
+                                source='examples'))
       continue
-    feat = m.group(1)
-    if feat in context:
-      out.append(EmbedFeature(param_path=s, feature=feat, source='context'))
-    elif feat in examples:
-      out.append(EmbedFeature(param_path=s, feature=feat, source='examples'))
+    # EncoderScorer/TFR-BERT convention: the encoder's token table is fed
+    # by the fused input_ids feature (models/encoder.py).
+    if re.search(r'token_embed/[^/]+$', s) and 'input_ids' in examples:
+      out.append(EmbedFeature(param_path=s, feature='input_ids',
+                              source='examples'))
   return tuple(out)
 
 

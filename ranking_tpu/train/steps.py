@@ -185,6 +185,16 @@ def make_sparse_train_step(
           # ids are already batch-local slots (and pre-hashed for the
           # hash encoder); padding stays negative for the pooling mask.
           return emb_lib.pooled_lookup(rows, ids, mod.combiner)
+      if (context.method_name == '__call__'
+          and isinstance(mod, nn.Embed)):
+        # Plain token-embedding lookup (e.g. the encoder's token_embed,
+        # TFR-BERT's 23M-param table): same redirection, no pooling.
+        path = '/'.join(tuple(mod.path) + ('embedding',))
+        rows = rows_by_path.get(path)
+        if rows is not None:
+          ids = args[0] if args else next(iter(kwargs.values()))
+          return jnp.take(rows.astype(mod.dtype or rows.dtype), ids,
+                          axis=0)
       return next_fn(*args, **kwargs)
 
     return interceptor

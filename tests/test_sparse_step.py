@@ -277,3 +277,50 @@ def test_sparse_step_sharded_tables_match_dense_lazy():
       lambda a, b: np.testing.assert_allclose(
           np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
       dense_state.params, sparse_state.params)
+
+
+def test_sparse_step_encoder_token_table():
+  """TFR-BERT analog: the encoder's token table trains sparsely, with the
+  nn.Embed lookup redirected onto the row slab — bitwise-equal to the
+  dense-grad lazy path (pos/type tables stay dense via table_pattern)."""
+  from ranking_tpu.models import encoder as enc_lib
+
+  rng = np.random.RandomState(11)
+  B, L, S, V = 3, 4, 8, 64
+  labels = rng.randint(0, 3, size=(B, L)).astype(np.float32)
+  ids = rng.randint(0, V, size=(B, L, S)).astype(np.int32)
+  masks = (rng.rand(B, L, S) > 0.2).astype(np.int32)
+  segs = rng.randint(0, 2, size=(B, L, S)).astype(np.int32)
+  batch = batch_from_labels(
+      labels=labels,
+      examples={'input_ids': ids, 'input_mask': masks,
+                'segment_ids': segs})
+  model = models.RankingModel(scorer=models.EncoderScorer(
+      encoder=enc_lib.TransformerEncoder(
+          vocab_size=V, hidden_dim=8, num_layers=1, num_heads=2,
+          mlp_dim=16, max_len=S, type_vocab_size=2, dropout=0.0),
+      dropout=0.0))
+
+  def mkstate():
+    return train.create_train_state(
+        model, optax.adam(1e-2), jax.random.PRNGKey(0),
+        batch.context, batch.examples, batch.mask,
+        sparse_tx=train.LazyAdam(learning_rate=1e-2,
+                                 table_pattern=r'token_embed/embedding'))
+
+  dense_state, sparse_state = mkstate(), mkstate()
+  efs = sparse_lib.derive_embed_features(
+      sparse_state.params, batch.context, batch.examples)
+  assert [ef.feature for ef in efs] == ['input_ids']
+  assert efs[0].param_path.endswith('token_embed/embedding')
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  dstep = jax.jit(train.make_train_step(loss_fn))
+  sstep = jax.jit(train.make_sparse_train_step(loss_fn, efs))
+  for _ in range(3):
+    dense_state, dm = dstep(dense_state, batch, jax.random.PRNGKey(9))
+    sparse_state, sm = sstep(sparse_state, batch, jax.random.PRNGKey(9))
+    assert float(dm['loss']) == float(sm['loss'])
+  jax.tree.map(
+      lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                 np.asarray(b)),
+      dense_state.params, sparse_state.params)
