@@ -29,13 +29,15 @@ LIST_SIZE = 200
 NUM_FEATURES = 136
 HIDDEN = (1024, 512, 256)
 WARMUP = 3
-CHUNKS = 4
-ITERS_PER_CHUNK = 10
+CHUNKS = 6
+ITERS_PER_CHUNK = 8
+SCAN_ITERS = 512  # steps per scan dispatch (amortizes tunnel latency)
 CHILD_TIMEOUT_S = 420
 
 
 def child():
   import jax
+  import jax.numpy as jnp
   import numpy as np
   import optax
 
@@ -87,6 +89,39 @@ def child():
       eps = BATCH * ITERS_PER_CHUNK / dt / n_chips
       print(f'CHUNK {tag} {eps:.2f}', flush=True)
 
+  # Scan-based multi-step dispatch (the steps_per_execution production
+  # path): one host dispatch per ITERS_PER_CHUNK steps, hiding the
+  # tunnel's per-dispatch latency. Runs LAST because fetching a scan
+  # result has been observed to hang this environment's tunnel — the
+  # per-step results above are already banked; a hang here just ends the
+  # child and the parent reports the best completed chunk.
+  for tag, use_bn in (('bnoff', False), ('bnon', True)):
+    model = models.RankingModel(
+        scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
+                                use_batch_norm=use_bn),
+        transform_name='log1p')
+    state = train.create_train_state(
+        model, optax.adam(1e-3), jax.random.PRNGKey(0),
+        batch.context, batch.examples, batch.mask)
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
+    step = train.make_train_step(loss_fn)
+    multi = jax.jit(train.make_multi_step(step), donate_argnums=0)
+    # Broadcast on device: uploading a [K, B, ...] stack through the
+    # tunnel is minutes of transfer; the steps' compute is identical.
+    stacked = jax.jit(lambda b: jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (SCAN_ITERS,) + x.shape),
+        b))(batch)
+    state, metrics = multi(state, stacked, key)  # compile + warm
+    float(metrics['loss'][-1])
+    for _ in range(CHUNKS):
+      t0 = time.perf_counter()
+      state, metrics = multi(state, stacked, key)
+      float(metrics['loss'][-1])
+      dt = time.perf_counter() - t0
+      eps = BATCH * SCAN_ITERS / dt / n_chips
+      print(f'CHUNK {tag} {eps:.2f}', flush=True)
+
 
 def main():
   proc = subprocess.Popen(
@@ -107,8 +142,8 @@ def main():
       if line.startswith('CHUNK '):
         _, tag, val = line.split()
         (results if tag == 'bnoff' else bn_results).append(float(val))
-        if len(results) >= CHUNKS and len(bn_results) >= CHUNKS:
-          break
+        # Keep reading until the child exits: the scan-dispatch chunks
+        # stream after the per-step ones and usually raise the best.
   finally:
     if proc.poll() is None:
       proc.kill()
