@@ -62,13 +62,24 @@ def main():
 
   vocabs = [30_000, 300_000]
   DIM = 64
+  zipf = False  # realistic skewed token frequencies (uniform = worst case)
   for a in sys.argv[1:]:
     if a.startswith('--vocabs'):
       vocabs = [int(v) for v in a.split('=', 1)[1].split(',')]
     if a.startswith('--dim'):
       DIM = int(a.split('=', 1)[1])
+    if a == '--zipf':
+      zipf = True
 
   B, L, T = 128, 50, 8
+
+  def draw_ids(rng, vocab, shape):
+    if not zipf:
+      return rng.randint(0, vocab, size=shape).astype(np.int32)
+    # Zipf(1.1) truncated to the vocab: the head dominates, so far fewer
+    # distinct rows are touched per batch than under uniform ids.
+    ids = rng.zipf(1.1, size=shape)
+    return np.minimum(ids - 1, vocab - 1).astype(np.int32)
   rng = np.random.RandomState(0)
   labels = rng.randint(0, 5, size=(B, L)).astype(np.float32)
   loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
@@ -77,10 +88,8 @@ def main():
   for vocab in vocabs:
     batch = batch_from_labels(
         labels=labels,
-        examples={'document_tokens': rng.randint(
-            0, vocab, size=(B, L, T)).astype(np.int32)},
-        context={'query_tokens': rng.randint(
-            0, vocab, size=(B, T)).astype(np.int32)})
+        examples={'document_tokens': draw_ids(rng, vocab, (B, L, T))},
+        context={'query_tokens': draw_ids(rng, vocab, (B, T))})
     model = models.RankingModel(scorer=models.EmbeddingDNNScorer(
         hidden_layer_dims=(256, 128),
         vocab_sizes={'query_tokens': vocab, 'document_tokens': vocab},
