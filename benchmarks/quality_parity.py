@@ -42,7 +42,16 @@ NUM_FEATURES = 136
 HIDDEN = (64, 32)
 BATCH = 16
 LR = 0.005
-LOSSES = ('softmax_loss', 'pairwise_logistic_loss', 'approx_ndcg_loss')
+# (display name, loss key, use NDCG lambda weight). 'lambdarank' is the
+# canonical LambdaRank recipe: pairwise logistic loss x NDCG lambda weight
+# (reference: python/losses.py:450 create_ndcg_lambda_weight, docstring
+# examples at python/losses.py:86-92).
+LOSSES = (
+    ('softmax_loss', 'softmax_loss', False),
+    ('pairwise_logistic_loss', 'pairwise_logistic_loss', False),
+    ('approx_ndcg_loss', 'approx_ndcg_loss', False),
+    ('lambdarank', 'pairwise_logistic_loss', True),
+)
 
 
 def load_reference_modules():
@@ -99,7 +108,7 @@ def batch_stream(n, batch, steps, seed):
 # --- TF-Ranking side ---------------------------------------------------------
 
 
-def train_tf(loss_key, seed, steps, data, ref):
+def train_tf(loss_key, seed, steps, data, ref, ndcg_lambda=False):
   import tensorflow as tf
   losses_impl, metrics_impl, losses = ref
   train_x, train_y, vali_x, vali_y = data
@@ -108,7 +117,10 @@ def train_tf(loss_key, seed, steps, data, ref):
   layers = [tf.keras.layers.Dense(h, activation='relu') for h in HIDDEN]
   layers.append(tf.keras.layers.Dense(1))
   tower = tf.keras.Sequential(layers)
-  loss_fn = losses.make_loss_fn(loss_key)
+  loss_fn = losses.make_loss_fn(
+      loss_key,
+      lambda_weight=losses.create_ndcg_lambda_weight() if ndcg_lambda
+      else None)
   optimizer = tf.keras.optimizers.Adam(LR)
 
   @tf.function
@@ -135,7 +147,7 @@ def train_tf(loss_key, seed, steps, data, ref):
 # --- ranking_tpu side --------------------------------------------------------
 
 
-def train_jax(loss_key, seed, steps, data):
+def train_jax(loss_key, seed, steps, data, ndcg_lambda=False):
   import jax
   import optax
   from ranking_tpu import models, ops, train
@@ -149,7 +161,10 @@ def train_jax(loss_key, seed, steps, data):
   state = train.create_train_state(
       model, optax.adam(LR), jax.random.PRNGKey(seed),
       sample.context, sample.examples, sample.mask)
-  loss_fn = ops.make_loss_fn(loss_key)
+  loss_fn = ops.make_loss_fn(
+      loss_key,
+      lambda_weight=ops.lambda_weights.create_ndcg_lambda_weight()
+      if ndcg_lambda else None)
   step = jax.jit(train.make_train_step(loss_fn), donate_argnums=0)
   key = jax.random.PRNGKey(seed + 1)
 
@@ -199,6 +214,9 @@ def main():
   ap = argparse.ArgumentParser()
   ap.add_argument('--seeds', type=int, default=3)
   ap.add_argument('--steps', type=int, default=200)
+  ap.add_argument('--losses', type=str, default='',
+                  help='comma-separated display names to (re)run; '
+                       'results merge into any existing QUALITY_PARITY.json')
   args = ap.parse_args()
 
   import jax
@@ -208,12 +226,15 @@ def main():
   data = load_data()
   _, _, vali_x, vali_y = data
 
+  selected = [c for c in LOSSES
+              if not args.losses or c[0] in args.losses.split(',')]
   results = {}
-  for loss_key in LOSSES:
+  for name, loss_key, ndcg_lambda in selected:
     rows = {'tf': [], 'jax': []}
     for seed in range(args.seeds):
-      tf_logits = train_tf(loss_key, seed, args.steps, data, ref)
-      jx_logits = train_jax(loss_key, seed, args.steps, data)
+      tf_logits = train_tf(loss_key, seed, args.steps, data, ref,
+                           ndcg_lambda)
+      jx_logits = train_jax(loss_key, seed, args.steps, data, ndcg_lambda)
       tf_row = eval_ref_metrics(vali_y, tf_logits, ref)
       jx_row = eval_jax_metrics(vali_y, jx_logits)
       # Cross-check: the JAX model's scores under the REFERENCE metrics.
@@ -221,7 +242,7 @@ def main():
       jx_row = {**jx_row, **{f'ref_{k}': v for k, v in jx_row_ref.items()}}
       rows['tf'].append(tf_row)
       rows['jax'].append(jx_row)
-    results[loss_key] = rows
+    results[name] = rows
 
   summary = {}
   all_pass = True
@@ -247,12 +268,18 @@ def main():
           'delta': round(delta, 4), 'tol': round(tol, 4), 'pass': ok}
     summary[loss_key] = entry
 
+  path = os.path.join(REPO, 'QUALITY_PARITY.json')
   out = {'workload': (f'bundled LIBSVM {REF_DATA}, L={LIST_SIZE}, '
                       f'F={NUM_FEATURES}, DNN{HIDDEN}, Adam({LR}), '
                       f'B={BATCH}, steps={args.steps}, '
                       f'seeds={args.seeds}'),
          'results': summary, 'all_pass': all_pass}
-  with open(os.path.join(REPO, 'QUALITY_PARITY.json'), 'w') as f:
+  if args.losses and os.path.exists(path):
+    with open(path) as f:
+      prior = json.load(f)
+    out['results'] = {**prior.get('results', {}), **summary}
+    out['all_pass'] = all_pass and bool(prior.get('all_pass', True))
+  with open(path, 'w') as f:
     json.dump(out, f, indent=2)
 
   print(f"{'loss':<26} {'metric':<8} {'tf (ref impl)':<18} "
