@@ -11,6 +11,7 @@ from ranking_tpu.parallel.list_sharding import sharded_pairwise_loss
 from ranking_tpu.parallel.mesh import (
     DATA_AXIS,
     DEFAULT_RULES,
+    ENCODER_TP_RULES,
     MODEL_AXIS,
     batch_sharding,
     local_batch_to_global,
@@ -24,6 +25,7 @@ from ranking_tpu.parallel.mesh import (
 __all__ = [
     'DATA_AXIS',
     'DEFAULT_RULES',
+    'ENCODER_TP_RULES',
     'MODEL_AXIS',
     'ShardedEmbeddingEncoder',
     'batch_sharding',

@@ -34,6 +34,25 @@ DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
     (r'.*\bembedding\b$', P(MODEL_AXIS, None)),
 )
 
+# Tensor parallelism for the transformer encoder scorer (models/encoder.py,
+# the TFR-BERT analog — a capability the reference never had: its only
+# parallelism is data parallel, keras/strategy_utils.py:45-116). Megatron
+# layout: q/k/v projections split over the heads axis and the MLP up-proj
+# split over its output axis (both produce activations sharded on 'model'
+# with no communication), while the attention out-projection and the MLP
+# down-proj contract over the sharded axis — XLA's SPMD partitioner inserts
+# exactly one all-reduce per half-block from these annotations alone.
+# Non-divisible shapes (heads or mlp_dim % model != 0) fall back to
+# replication per-param via the param_shardings min-size check.
+ENCODER_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r'.*/(query|key|value)/kernel$', P(None, MODEL_AXIS, None)),
+    (r'.*/(query|key|value)/bias$', P(MODEL_AXIS, None)),
+    (r'.*/out/kernel$', P(MODEL_AXIS, None, None)),
+    (r'.*block_\d+/Dense_0/kernel$', P(None, MODEL_AXIS)),
+    (r'.*block_\d+/Dense_0/bias$', P(MODEL_AXIS)),
+    (r'.*block_\d+/Dense_1/kernel$', P(MODEL_AXIS, None)),
+) + DEFAULT_RULES
+
 
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,

@@ -185,3 +185,94 @@ def test_sharded_pairwise_loss_data_axis():
         reduction=reduction))
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6,
                                err_msg=str(reduction))
+
+
+def test_encoder_tp_rules_specs():
+  """ENCODER_TP_RULES shard attention heads / MLP Megatron-style."""
+  import optax
+  from ranking_tpu import models, train
+  from ranking_tpu.data.batch import batch_from_labels
+  from ranking_tpu.models import encoder as enc
+
+  mesh = parallel.make_mesh(model=2)
+  model = models.RankingModel(scorer=enc.EncoderScorer(
+      encoder=enc.TransformerEncoder(vocab_size=48, hidden_dim=16,
+                                     num_layers=1, num_heads=4, mlp_dim=32,
+                                     max_len=8, dropout=0.0),
+      dropout=0.0))
+  rng = np.random.RandomState(0)
+  batch = batch_from_labels(
+      labels=rng.randint(0, 3, size=(8, 3)).astype(np.float32),
+      examples={'input_ids': rng.randint(0, 48, size=(8, 3, 8))
+                .astype(np.int32)})
+  state = train.create_train_state(
+      model, optax.adam(1e-2), jax.random.PRNGKey(0),
+      batch.context, batch.examples, batch.mask)
+  sh = parallel.param_shardings(state.params, mesh,
+                                rules=parallel.ENCODER_TP_RULES)
+  p = sh['scorer']['encoder']
+  blk = p['block_0']['MultiHeadDotProductAttention_0']
+  assert blk['query']['kernel'].spec == P(None, 'model', None)
+  assert blk['query']['bias'].spec == P('model', None)
+  assert blk['out']['kernel'].spec == P('model', None, None)
+  assert p['block_0']['Dense_0']['kernel'].spec == P(None, 'model')
+  assert p['block_0']['Dense_0']['bias'].spec == P('model')
+  assert p['block_0']['Dense_1']['kernel'].spec == P('model', None)
+  assert p['token_embed']['embedding'].spec == P('model', None)
+  assert p['pooler']['kernel'].spec == P()
+
+
+def test_encoder_tp_train_step_matches_replicated():
+  """One TP+DP train step on the encoder scorer == single-device step."""
+  import optax
+  from ranking_tpu import models, ops, train
+  from ranking_tpu.data.batch import batch_from_labels
+  from ranking_tpu.models import encoder as enc
+
+  def build():
+    model = models.RankingModel(scorer=enc.EncoderScorer(
+        encoder=enc.TransformerEncoder(vocab_size=48, hidden_dim=16,
+                                       num_layers=2, num_heads=4,
+                                       mlp_dim=32, max_len=8, dropout=0.0),
+        dropout=0.0))
+    return train.create_train_state(
+        model, optax.adam(1e-2), jax.random.PRNGKey(0),
+        batch.context, batch.examples, batch.mask)
+
+  rng = np.random.RandomState(1)
+  labels = rng.randint(0, 3, size=(8, 3)).astype(np.float32)
+  labels[:, -1] = -1.0
+  batch = batch_from_labels(
+      labels=labels,
+      examples={'input_ids': rng.randint(0, 48, size=(8, 3, 8))
+                .astype(np.int32)})
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  step = jax.jit(train.make_train_step(loss_fn))
+  key = jax.random.PRNGKey(2)
+
+  ref_state, ref_metrics = step(build(), batch, key)
+
+  mesh = parallel.make_mesh(model=2)  # 4-way data x 2-way tensor parallel
+  state = build()
+  state = state.replace(
+      params=parallel.shard_params(state.params, mesh,
+                                   rules=parallel.ENCODER_TP_RULES),
+      opt_state=parallel.shard_params(state.opt_state, mesh,
+                                      rules=parallel.ENCODER_TP_RULES))
+  tp_state, tp_metrics = step(state, parallel.shard_batch(batch, mesh), key)
+
+  np.testing.assert_allclose(float(tp_metrics['loss']),
+                             float(ref_metrics['loss']),
+                             rtol=1e-5, atol=1e-6)
+  # Attention logits are invariant to the key-projection bias (softmax over
+  # keys removes a per-query constant), so its true gradient is exactly 0
+  # and Adam's g/(|g|+eps) amplifies reduction-order float noise into
+  # arbitrary updates — skip that one degenerate leaf.
+  ref_leaves = jax.tree_util.tree_flatten_with_path(ref_state.params)[0]
+  tp_leaves = jax.tree_util.tree_flatten_with_path(tp_state.params)[0]
+  for (path, a), (_, b) in zip(ref_leaves, tp_leaves):
+    name = '/'.join(str(getattr(p, 'key', p)) for p in path)
+    if name.endswith('key/bias'):
+      continue
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-5, err_msg=name)
