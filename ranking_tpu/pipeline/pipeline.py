@@ -160,11 +160,17 @@ class SimplePipeline:
       metric_fns: Optional[Mapping[str, Callable]] = None,
       loss_fn: Optional[Callable] = None,
       mesh: Optional[Any] = None,
+      sharding_rules: Optional[Any] = None,
   ):
     self.model = model
     self.dataset_builder = dataset_builder
     self.hparams = hparams
     self._given_mesh = mesh  # e.g. shared with a ShardedEmbeddingEncoder
+    # Param-placement rules (path-regex -> PartitionSpec). Default: embedding
+    # tables row-sharded over 'model'; pass parallel.ENCODER_TP_RULES for
+    # tensor-parallel transformer-encoder scoring.
+    self._sharding_rules = (tuple(sharding_rules) if sharding_rules
+                            else parallel.DEFAULT_RULES)
     self.metric_fns = dict(metric_fns) if metric_fns else (
         self._default_metrics())
     loss_kwargs = dict(
@@ -216,16 +222,18 @@ class SimplePipeline:
         sparse_tx=sparse_tx)
 
     def _place(s):
+      rules = self._sharding_rules
       s = s.replace(
           step=jax.device_put(s.step, parallel.replicated(self.mesh)),
-          params=parallel.shard_params(s.params, self.mesh),
-          opt_state=parallel.shard_params(s.opt_state, self.mesh),
+          params=parallel.shard_params(s.params, self.mesh, rules=rules),
+          opt_state=parallel.shard_params(s.opt_state, self.mesh,
+                                          rules=rules),
           batch_stats=jax.tree.map(
               lambda x: jax.device_put(x, parallel.replicated(self.mesh)),
               s.batch_stats))
       if s.sparse_opt_state is not None:
         s = s.replace(sparse_opt_state=parallel.shard_params(
-            s.sparse_opt_state, self.mesh))
+            s.sparse_opt_state, self.mesh, rules=rules))
       return s
 
     state = _place(state)

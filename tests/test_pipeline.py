@@ -584,3 +584,27 @@ def test_exported_artifact_bucket_overflow(tmp_path):
   lp = export_lib.load_predictor(path)
   with pytest.raises(ValueError, match='largest exported bucket'):
     lp.predict(recs)  # bundled lists have 2 docs; only bucket 1 exported
+
+
+def test_pipeline_tensor_parallel_encoder(tmp_path):
+  """SimplePipeline(sharding_rules=ENCODER_TP_RULES) trains dp x tp."""
+  from jax.sharding import PartitionSpec as P
+  from ranking_tpu import parallel
+  from ranking_tpu.models import encoder as enc
+
+  model = models.RankingModel(scorer=enc.EncoderScorer(
+      encoder=enc.TransformerEncoder(vocab_size=100, hidden_dim=8,
+                                     num_layers=1, num_heads=2, mlp_dim=16,
+                                     max_len=20, dropout=0.0),
+      dropout=0.0, ids_feature_name='document_tokens'))
+  pipe = pipeline.SimplePipeline(
+      model, _builder(), _hparams(tmp_path, mesh_model=2),
+      sharding_rules=parallel.ENCODER_TP_RULES)
+  history = pipe.train_and_validate()
+  assert np.isfinite(history['loss'])
+  blk = pipe.final_state.params['scorer']['encoder']['block_0']
+  # jit normalizes away trailing Nones in the spec.
+  q_spec = blk['MultiHeadDotProductAttention_0']['query']['kernel'] \
+      .sharding.spec
+  assert tuple(q_spec) == (None, 'model'), q_spec
+  assert tuple(blk['Dense_0']['kernel'].sharding.spec) == (None, 'model')
