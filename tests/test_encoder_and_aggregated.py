@@ -288,3 +288,29 @@ def test_bert_warm_start_fine_tune():
   # (D=2 LN collapses to +-[1,-1]), so loss movement is not asserted;
   # the tokenizing example e2e (test_examples.py) covers learning.
   assert np.isfinite([warm_first, warm_last, cold_first, cold_last]).all()
+
+
+def test_encoder_remat_matches_plain():
+  """remat=True recomputes activations but is numerically identical."""
+  rng = np.random.RandomState(0)
+  ids = jnp.asarray(rng.randint(0, 48, size=(6, 8)), jnp.int32)
+
+  def run(remat):
+    enc = enc_lib.TransformerEncoder(
+        vocab_size=48, hidden_dim=16, num_layers=2, num_heads=4,
+        mlp_dim=32, max_len=8, dropout=0.1, remat=remat)
+    params = enc.init({'params': jax.random.PRNGKey(0)}, ids)
+    out = enc.apply(params, ids, training=False)
+    grads = jax.grad(lambda v: jnp.sum(enc.apply(
+        v, ids, training=True,
+        rngs={'dropout': jax.random.PRNGKey(3)}) ** 2))(params)
+    return out, grads
+
+  out_plain, g_plain = run(False)
+  out_remat, g_remat = run(True)
+  np.testing.assert_allclose(np.asarray(out_remat), np.asarray(out_plain),
+                             rtol=1e-6, atol=1e-7)
+  jax.tree.map(
+      lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                              rtol=1e-5, atol=1e-6),
+      g_remat, g_plain)
