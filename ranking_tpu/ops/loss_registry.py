@@ -52,7 +52,9 @@ class RankingLossKey:
   MULTI_CLASS_LOSS = 'multi_class_loss'
   CLICK_EM_LOSS = 'click_em_loss'
   MIXTURE_EM_LOSS = 'mixture_em_loss'
-  COUPLED_RANK_DISTIL_LOSS = 'coupled_rank_distil_loss'
+  # The reference's public string has no underscore between rank/distil
+  # (keras/losses.py RankingLossKey.COUPLED_RANKDISTIL_LOSS).
+  COUPLED_RANK_DISTIL_LOSS = 'coupled_rankdistil_loss'
 
   @classmethod
   def all_keys(cls):

@@ -785,3 +785,52 @@ def test_list_mle_lambda_weight_parity(ref):
   ours = jl.ListMLELoss(name='pmle', lambda_weight=our_lw)
   got = float(ours(labels, logits, reduction=SBNW))
   np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_reference_key_strings_all_accepted():
+  """Every public key string in the reference registries builds here.
+
+  Parses the literal key constants out of the reference's RankingLossKey
+  (python/losses.py:29-54 and python/keras/losses.py:25) and
+  RankingMetricKey (python/metrics.py:37-76) classes and asserts our
+  factories accept each — guarding against misnamed or missing keys that
+  per-key tests (which iterate OUR registry) cannot catch."""
+  import re
+  import numpy as np
+  from ranking_tpu import ops
+
+  def key_strings(path, cls):
+    with open(os.path.join(_REF_ROOT, path)) as f:
+      src = f.read()
+    body = re.search(rf'class {cls}\b.*?\n(.*?)(?=\nclass |\Z)',
+                     src, re.S).group(1)
+    return set(re.findall(r"^\s+[A-Z_0-9]+ = '([a-z0-9_@]+)'", body, re.M))
+
+  loss_keys = (key_strings('python/losses.py', 'RankingLossKey')
+               | key_strings('python/keras/losses.py', 'RankingLossKey'))
+  metric_keys = key_strings('python/metrics.py', 'RankingMetricKey')
+  assert len(loss_keys) >= 19 and len(metric_keys) >= 13
+
+  rng = np.random.RandomState(0)
+  labels = rng.randint(0, 3, size=(2, 6)).astype(np.float32)
+  logits = rng.randn(2, 6).astype(np.float32)
+  import jax
+  key = jax.random.PRNGKey(0)
+  for k in sorted(loss_keys):
+    kwargs = {'params': {'ordinal_size': 3}} if k == 'ordinal_loss' else {}
+    fn = ops.make_loss_fn(k, **kwargs)
+    lab = labels
+    if k == 'ordinal_loss':
+      pass
+    out = float(fn(lab, np.repeat(logits[:, :, None], 3, -1)
+                   if k == 'ordinal_loss' else logits, {}, key=key))
+    assert np.isfinite(out), k
+  for k in sorted(metric_keys):
+    fn = ops.make_ranking_metric_fn(k, topn=3)
+    sub = (np.abs(rng.randn(2, 6, 2)) if k in ('alpha_dcg', 'precision_ia')
+           else None)
+    if sub is not None:
+      v, w = fn((sub > 1).astype(np.float32), logits)
+    else:
+      v, w = fn(labels, logits)
+    assert np.isfinite(float(np.sum(np.asarray(v)))), k
