@@ -32,7 +32,7 @@ WARMUP = 3
 CHUNKS = 6
 ITERS_PER_CHUNK = 8
 SCAN_ITERS = 512  # steps per scan dispatch (amortizes tunnel latency)
-CHILD_TIMEOUT_S = 420
+CHILD_TIMEOUT_S = 540
 
 
 def child():
@@ -95,10 +95,15 @@ def child():
   # result has been observed to hang this environment's tunnel — the
   # per-step results above are already banked; a hang here just ends the
   # child and the parent reports the best completed chunk.
-  for tag, use_bn in (('bnoff', False), ('bnon', True)):
+  # 'bf16': same tower with bfloat16 compute (params stay f32) — the
+  # MXU-native configuration; reported alongside, not as the headline
+  # (the TF baseline is f32).
+  for tag, use_bn, dtype in (('bnoff', False, jnp.float32),
+                             ('bnon', True, jnp.float32),
+                             ('bf16', False, jnp.bfloat16)):
     model = models.RankingModel(
         scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
-                                use_batch_norm=use_bn),
+                                use_batch_norm=use_bn, dtype=dtype),
         transform_name='log1p')
     state = train.create_train_state(
         model, optax.adam(1e-3), jax.random.PRNGKey(0),
@@ -128,8 +133,7 @@ def main():
       [sys.executable, os.path.abspath(__file__), '--child'],
       stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
       cwd=os.path.dirname(os.path.abspath(__file__)))
-  results = []
-  bn_results = []
+  by_tag = {'bnoff': [], 'bnon': [], 'bf16': []}
   deadline = time.time() + CHILD_TIMEOUT_S
   try:
     while time.time() < deadline:
@@ -141,12 +145,15 @@ def main():
         continue
       if line.startswith('CHUNK '):
         _, tag, val = line.split()
-        (results if tag == 'bnoff' else bn_results).append(float(val))
+        by_tag.setdefault(tag, []).append(float(val))
         # Keep reading until the child exits: the scan-dispatch chunks
         # stream after the per-step ones and usually raise the best.
   finally:
     if proc.poll() is None:
       proc.kill()
+  results = by_tag['bnoff']
+  bn_results = by_tag['bnon']
+  bf16_results = by_tag['bf16']
 
   if not results:
     print(json.dumps({
@@ -175,6 +182,9 @@ def main():
   if bn_results:
     # Reference-default tower (batch norm on, fused masked-BN kernel).
     out['bn_on_value'] = round(max(bn_results), 2)
+  if bf16_results:
+    # Same tower, bfloat16 compute (MXU-native; TF baseline is f32).
+    out['bf16_value'] = round(max(bf16_results), 2)
   print(json.dumps(out))
 
 
