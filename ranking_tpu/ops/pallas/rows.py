@@ -12,8 +12,10 @@ independent of vocabulary size (the DMA-issue rate, ~50 rows/us, is the
 bound; block size is capped by DMA-semaphore space at 256).
 
 Semantics (jnp reference ``scatter_rows_reference``): rows with
-``valid == 0`` are skipped; valid ids must be unique and in range — the
-sparse step's ``compact_unique`` guarantees both.
+``valid == 0`` are skipped, and ids outside ``[0, V)`` are dropped (the
+kernel masks them itself — a raw-address DMA must never trust its
+indices). Valid ids must be unique — the sparse step's
+``compact_unique`` guarantees that.
 
 Width constraint: Mosaic's memref slicer only accepts height-1 row
 slices that cover exactly one full (8, 128) tile's lanes, so the DMA
@@ -44,8 +46,11 @@ BLOCK_ROWS = 256
 def scatter_rows_reference(table: Array, ids: Array, valid: Array,
                            updates: Array) -> Array:
   """jnp semantics: table with ``updates[i]`` written at row ``ids[i]``
-  for every ``valid[i] != 0``; invalid slots dropped."""
-  dest = jnp.where(valid != 0, ids, table.shape[0])
+  for every ``valid[i] != 0``; invalid slots and ids outside ``[0, V)``
+  are dropped (no NumPy negative-index wrapping — a raw-address DMA has
+  no such notion, so neither path may)."""
+  ok = (valid != 0) & (ids >= 0) & (ids < table.shape[0])
+  dest = jnp.where(ok, ids, table.shape[0])
   return table.at[dest].set(updates, mode='drop')
 
 
@@ -89,7 +94,8 @@ def scatter_rows(table: Array, ids: Array, valid: Array, updates: Array,
 
   Args:
     table: ``[V, D]`` table.
-    ids: ``[K]`` int32 row ids, unique among valid entries, in ``[0, V)``.
+    ids: ``[K]`` int32 row ids, unique among valid entries; out-of-range
+      ids are dropped like the reference's ``mode='drop'``.
     valid: ``[K]`` int32/bool; zero entries are skipped.
     updates: ``[K, D]`` rows, same dtype as ``table``.
     interpret: run the Pallas interpreter (CPU tests).
@@ -100,6 +106,12 @@ def scatter_rows(table: Array, ids: Array, valid: Array, updates: Array,
   k, d = updates.shape
   if not supported_width(d):
     return scatter_rows_reference(table, ids, valid, updates)
+  # The DMA writes raw HBM addresses; an out-of-range id would corrupt
+  # whatever lives next to the table. Drop such rows here — the same
+  # semantics as the reference's mode='drop' scatter.
+  ok = (valid != 0) & (ids >= 0) & (ids < table.shape[0])
+  ids = jnp.where(ok, ids, 0)
+  valid = ok
   pad = (-k) % BLOCK_ROWS
   if pad:
     ids = jnp.pad(ids, (0, pad))

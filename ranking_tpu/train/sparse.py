@@ -58,7 +58,10 @@ def compact_unique(flat_ids: Array) -> Tuple[Array, Array, Array]:
   batch-bounded and vocab-independent) are deduplicated with one 1-D sort.
 
   Args:
-    flat_ids: ``[N]`` integer ids; ids < 0 are padding.
+    flat_ids: ``[N]`` integer ids; ids < 0 are padding. Ids must be
+      strictly below ``int32`` max (that value is the internal padding
+      sentinel; the sparse step guarantees this by reducing ids modulo
+      the table's row count before deduplication).
 
   Returns:
     ``(uids, remap, filled)``, all ``[N]``:
@@ -185,15 +188,21 @@ class LazyAdam:
     state['dropped'] = jnp.zeros((), jnp.int32)
     return state
 
+  def _lr(self, count: Array) -> Any:
+    # A callable schedule receives the pre-increment (0-based) count —
+    # the optax scale_by_schedule convention, so one schedule can be
+    # shared verbatim between the dense optax chain and LazyAdam.
+    return (self.learning_rate(count) if callable(self.learning_rate)
+            else self.learning_rate)
+
   def update(
       self,
       sparse_grads: Mapping[str, Array],
       state: Mapping[str, Any],
       sparse_params: Mapping[str, Array],
   ) -> Tuple[Dict[str, Array], Dict[str, Any]]:
+    lr = self._lr(state['count'])
     count = state['count'] + 1
-    lr = (self.learning_rate(count) if callable(self.learning_rate)
-          else self.learning_rate)
     new_params: Dict[str, Array] = {}
     new_state: Dict[str, Any] = {'count': count}
     dropped = state.get('dropped', jnp.zeros((), jnp.int32))
@@ -231,9 +240,8 @@ class LazyAdam:
     values are irrelevant (their scatter is dropped).
     """
     from ranking_tpu.ops.pallas import rows as rows_lib
+    lr = self._lr(state['count'])
     count = state['count'] + 1
-    lr = (self.learning_rate(count) if callable(self.learning_rate)
-          else self.learning_rate)
     t = count.astype(jnp.float32)
     bc1 = 1.0 - self.b1 ** t
     bc2 = 1.0 - self.b2 ** t
@@ -242,11 +250,15 @@ class LazyAdam:
     use_dma = self.dma_scatter and rows_lib.use_kernel()
 
     def _scatter(buf, uids, touched, rows):
+      # The Adam math above may promote to f32 (bias corrections are f32
+      # arrays); the table's dtype is authoritative for both paths.
+      rows = rows.astype(buf.dtype)
       # Auto domain: the DMA kernel costs O(rows) (~20 ns/row issue
       # rate), XLA's scatter O(table) (full rewrite). Crossover measured
       # at table.size ≈ 2000 × rows (PARITY.md); the kernel itself
       # additionally requires width-128 rows (rows_lib.supported_width).
       if (use_dma and rows.ndim == 2
+          and not _visibly_partitioned(buf)
           and rows_lib.supported_width(rows.shape[-1])
           and buf.size > 2000 * rows.shape[0]):
         return rows_lib.scatter_rows(buf, uids, touched, rows)
@@ -274,8 +286,20 @@ class LazyAdam:
     return new_params, new_state
 
 
+def _visibly_partitioned(buf: Array) -> bool:
+  """True when a *concrete* array is sharded over a mesh axis (eager use
+  of update_rows). Inside jit, tracers carry no sharding and this returns
+  False — there the ``dma_scatter`` flag stays authoritative (the
+  pipeline sets it from ``mesh_model``)."""
+  try:
+    spec = getattr(getattr(buf, 'sharding', None), 'spec', None)
+  except Exception:
+    return False
+  return bool(spec) and any(axes is not None for axes in spec)
+
+
 def _lazy_update(spec: LazyAdam, g: Array, p: Array, m: Array, v: Array,
-                 count: Array, lr) -> Tuple[Array, Array, Array]:
+                 count: Array, lr) -> Tuple[Array, Array, Array, Array]:
   if p.ndim < 2:
     raise ValueError(
         f'LazyAdam table must be >= 2-D, got shape {p.shape}')
@@ -285,7 +309,6 @@ def _lazy_update(spec: LazyAdam, g: Array, p: Array, m: Array, v: Array,
   t = count.astype(jnp.float32)
   bc1 = 1.0 - spec.b1 ** t
   bc2 = 1.0 - spec.b2 ** t
-  expand = (slice(None),) + (None,) * (g.ndim - 1)
 
   def adam_rows(g_r, m_r, v_r):
     new_m = spec.b1 * m_r + (1.0 - spec.b1) * g_r
@@ -293,7 +316,6 @@ def _lazy_update(spec: LazyAdam, g: Array, p: Array, m: Array, v: Array,
     step = lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + spec.eps)
     return new_m, new_v, step
 
-  del expand  # row selection below is 1-D
   n = rownorm.shape[0]
   nz = rownorm > 0
   # Compact the touched row ids into the first slots of a [k] buffer:
@@ -314,9 +336,9 @@ def _lazy_update(spec: LazyAdam, g: Array, p: Array, m: Array, v: Array,
   # Rows beyond max_rows (misconfigured bound) lose this step's gradient;
   # the 'dropped' counter in the optimizer state surfaces it.
   n_dropped = jnp.maximum(n_rows - k, 0)
-  return (p.at[dest].set(p_r - step, mode='drop'),
-          m.at[dest].set(new_m, mode='drop'),
-          v.at[dest].set(new_v, mode='drop'),
+  return (p.at[dest].set((p_r - step).astype(p.dtype), mode='drop'),
+          m.at[dest].set(new_m.astype(m.dtype), mode='drop'),
+          v.at[dest].set(new_v.astype(v.dtype), mode='drop'),
           n_dropped)
 
 

@@ -220,8 +220,15 @@ def make_sparse_train_step(
     for ef in embed_features:
       src = context if ef.source == 'context' else examples
       ids = src[ef.feature]
-      if ef.num_buckets is not None:
-        ids = jnp.where(ids >= 0, jnp.mod(ids, ef.num_buckets), ids)
+      # Ids must index the table: reduce modulo num_buckets (hash
+      # encoders), defaulting to the table's own row count — for
+      # HashEmbeddingEncoder the table IS [num_buckets, dim], so this
+      # reproduces its jnp.mod exactly even when EmbedFeature was
+      # derived without bucket info; for direct-index tables valid ids
+      # are already < rows and the mod is a no-op. This also keeps every
+      # deduplicated id in range for the slab gather and the row scatter.
+      modulus = ef.num_buckets or sp_params[ef.param_path].shape[0]
+      ids = jnp.where(ids >= 0, jnp.mod(ids, modulus), ids)
       uids, remap, filled = sparse_lib.compact_unique(ids.reshape(-1))
       src[ef.feature] = remap.reshape(ids.shape)
       rows[ef.param_path] = jnp.take(sp_params[ef.param_path], uids, axis=0)

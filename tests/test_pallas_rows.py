@@ -67,3 +67,20 @@ def test_lazy_adam_update_rows_same_on_and_off_kernel(monkeypatch):
                                 np.asarray(k_state['t']['m']))
   np.testing.assert_array_equal(np.asarray(ref_state['t']['v']),
                                 np.asarray(k_state['t']['v']))
+
+
+def test_scatter_out_of_range_ids_dropped():
+  """Ids outside [0, V) must be dropped, not DMA'd past the table."""
+  rng = np.random.RandomState(5)
+  table = jnp.asarray(rng.randn(8, 128).astype(np.float32))
+  ids = jnp.asarray([0, 7, 8, 200, -3], jnp.int32)  # 3 invalid
+  valid = jnp.asarray([1, 1, 1, 1, 1], jnp.int32)
+  updates = jnp.asarray(rng.randn(5, 128).astype(np.float32))
+  ref = rows_lib.scatter_rows_reference(table, ids, valid, updates)
+  out = rows_lib.scatter_rows(table, ids, valid, updates, interpret=True)
+  np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+  # Rows 0 and 7 updated, everything else untouched.
+  np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(updates[0]))
+  np.testing.assert_array_equal(np.asarray(out[7]), np.asarray(updates[1]))
+  np.testing.assert_array_equal(np.asarray(out[1:7]),
+                                np.asarray(table[1:7]))

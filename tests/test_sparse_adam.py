@@ -123,11 +123,33 @@ def test_all_rows_touched_matches_optax_adam():
 def test_schedule_learning_rate():
   p0 = np.ones((4, 2), np.float32)
   g = np.ones((4, 2), np.float32)
-  spec = train.LazyAdam(learning_rate=lambda count: 0.1 / count,
+  # Schedules receive the 0-based pre-increment count (optax convention).
+  spec = train.LazyAdam(learning_rate=lambda count: 0.1 / (count + 1),
                         max_rows=4)
   p, _, _ = _run_spec_steps(spec, [g, g], p0)
   # Step sizes ~0.1 then ~0.05 (Adam-normalized |update| = lr).
   assert p0[0, 0] - p[0, 0] == pytest.approx(0.15, rel=0.05)
+
+
+def test_schedule_matches_optax_adam_trajectory():
+  """One schedule shared between optax.adam and LazyAdam steps
+  identically — schedules see the same (0-based) count on both sides."""
+  rng = np.random.RandomState(7)
+  vocab, dim = 6, 4
+  p0 = rng.randn(vocab, dim).astype(np.float32)
+  grads = [rng.randn(vocab, dim).astype(np.float32) for _ in range(3)]
+  sched = lambda count: 0.05 / (1.0 + 0.5 * count)
+
+  spec = train.LazyAdam(learning_rate=sched, max_rows=vocab)
+  p, _, _ = _run_spec_steps(spec, grads, p0)
+
+  tx = optax.adam(sched)
+  op = {'w': jnp.asarray(p0)}
+  ostate = tx.init(op)
+  for g in grads:
+    updates, ostate = tx.update({'w': jnp.asarray(g)}, ostate, op)
+    op = optax.apply_updates(op, updates)
+  np.testing.assert_allclose(p, np.asarray(op['w']), rtol=1e-5, atol=1e-6)
 
 
 def test_partition_and_merge_roundtrip():

@@ -324,3 +324,62 @@ def test_sparse_step_encoder_token_table():
       lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                  np.asarray(b)),
       dense_state.params, sparse_state.params)
+
+
+def test_sparse_step_hash_encoder_without_declared_buckets():
+  """derive_embed_features can't know num_buckets; the step defaults the
+  modulus to the table's own row count, which for HashEmbeddingEncoder IS
+  num_buckets — raw ids beyond the table stay bitwise-equal to dense."""
+
+  class HashScorer(models.scorers.nn.Module):  # type: ignore[name-defined]
+
+    @models.scorers.nn.compact
+    def __call__(self, context, examples, mask, training=False):
+      from ranking_tpu.models import embeddings as emb_lib
+      emb = emb_lib.HashEmbeddingEncoder(
+          num_buckets=16, embedding_dim=4, name='embed_document_tokens')(
+              examples['document_tokens'])
+      return models.DNNScorer(hidden_layer_dims=(8,), dropout=0.0,
+                              use_batch_norm=False, name='dnn')(
+          {}, {'emb': emb}, mask, training=training)
+
+  rng = np.random.RandomState(4)
+  labels = rng.randint(0, 3, size=(4, 6)).astype(np.float32)
+  docs = rng.randint(-1, 200, size=(4, 6, 3)).astype(np.int32)  # > buckets
+  batch = batch_from_labels(labels=labels,
+                            examples={'document_tokens': docs})
+  model = models.RankingModel(scorer=HashScorer())
+  dense_state = _mkstate(model, batch)
+  sparse_state = _mkstate(model, batch)
+  efs = sparse_lib.derive_embed_features(
+      sparse_state.params, batch.context, batch.examples)
+  assert [ef.num_buckets for ef in efs] == [None]
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  dstep = jax.jit(train.make_train_step(loss_fn))
+  sstep = jax.jit(train.make_sparse_train_step(loss_fn, efs))
+  for _ in range(3):
+    dense_state, dm = dstep(dense_state, batch, jax.random.PRNGKey(5))
+    sparse_state, sm = sstep(sparse_state, batch, jax.random.PRNGKey(5))
+    assert float(dm['loss']) == float(sm['loss'])
+    assert np.isfinite(float(sm['loss']))
+  jax.tree.map(
+      lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                 np.asarray(b)),
+      dense_state.params, sparse_state.params)
+
+
+def test_update_rows_bf16_table_keeps_dtype():
+  """Adam math promotes to f32; the scattered rows must come back in the
+  table's dtype (the DMA kernel requires same-dtype src/dst)."""
+  import jax.numpy as jnp
+  spec = train.LazyAdam(learning_rate=1e-2, max_rows=8)
+  table = jnp.ones((8, 4), jnp.bfloat16)
+  state = spec.init({'t': table})
+  uids = jnp.arange(8, dtype=jnp.int32)
+  g = jnp.ones((8, 4), jnp.bfloat16)
+  filled = jnp.ones((8,), bool)
+  new_p, new_s = spec.update_rows({'t': (uids, g, filled)}, state,
+                                  {'t': table})
+  assert new_p['t'].dtype == jnp.bfloat16
+  assert new_s['t']['m'].dtype == jnp.bfloat16
+  assert float(jnp.abs(new_p['t'].astype(jnp.float32) - 1.0).max()) > 0
