@@ -27,7 +27,7 @@ Checkpoint layout (official.nlp BertEncoder saved as
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -51,7 +51,7 @@ def _read_checkpoint(path: str) -> Dict[str, np.ndarray]:
 def load_tf2_bert_checkpoint(
     ckpt_path: str,
     config_path: str,
-    dropout: float = 0.1,
+    dropout: Optional[float] = None,
 ) -> Tuple[TransformerEncoder, Dict[str, Any]]:
   """Builds a TransformerEncoder from a BERT config + TF2 checkpoint.
 
@@ -62,6 +62,10 @@ def load_tf2_bert_checkpoint(
   """
   with open(config_path) as f:
     cfg = json.load(f)
+  if dropout is None:
+    # The BERT config's own dropout (tfrbert warm-start fidelity);
+    # explicit dropout= overrides for fine-tune recipes.
+    dropout = cfg.get('hidden_dropout_prob', 0.1)
   encoder = TransformerEncoder(
       vocab_size=cfg['vocab_size'],
       hidden_dim=cfg['hidden_size'],

@@ -177,7 +177,7 @@ def _layer_forward(x, mask_col, s_in, t_in, w, b, *, relu_in: bool,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_stats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, s1_ref, s2_ref):
+def _bwd_stats_kernel(g_ref, y_ref, s_ref, t_ref, s1_ref, s2_ref):
   """One-pass BN reduction terms for the topmost layer only."""
   i = pl.program_id(1)
   g = g_ref[:].astype(jnp.float32)
@@ -197,7 +197,9 @@ def _bwd_stats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, s1_ref, s2_ref):
   s2_ref[:] += jnp.sum(dyhat * y, axis=0, keepdims=True)
 
 
-def _bwd_stats(g, y, mask_col, s, t):
+def _bwd_stats(g, y, s, t):
+  # Note: the reductions are deliberately unmasked (every row's yhat
+  # depends on the masked statistics), so no mask operand is streamed.
   n_pad, f = y.shape
   tf = min(f, MAX_TILE_F)
   grid = (_cdiv(f, tf), _cdiv(n_pad, TILE_N_BWD))
@@ -208,8 +210,6 @@ def _bwd_stats(g, y, mask_col, s, t):
           pl.BlockSpec((TILE_N_BWD, tf), lambda j, i: (i, j),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((TILE_N_BWD, tf), lambda j, i: (i, j),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((TILE_N_BWD, 1), lambda j, i: (i, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, tf), lambda j, i: (0, j),
                        memory_space=pltpu.VMEM),
@@ -227,7 +227,7 @@ def _bwd_stats(g, y, mask_col, s, t):
           jax.ShapeDtypeStruct((1, f), jnp.float32),
       ],
       interpret=_interpret(),
-  )(g, y, mask_col, s.reshape(1, f), t.reshape(1, f))
+  )(g, y, s.reshape(1, f), t.reshape(1, f))
   return s1[0], s2[0]
 
 
@@ -581,7 +581,7 @@ def _fused_bwd(eps, act_dtype_name, residuals, cotangents):
   # arrive from the _bwd_mats epilogue of the layer above.
   top = num_layers - 1
   mu, var, sig_inv, s, t = folds[top]
-  s1, s2 = _bwd_stats(g, ys[top], mask_col, s, t)
+  s1, s2 = _bwd_stats(g, ys[top], s, t)
 
   for l in range(top, -1, -1):
     fold = folds[l]

@@ -51,7 +51,10 @@ def spec_to_json(spec: parsers.FeatureSpec) -> dict:
     vocab = None
     if spec.vocab is not None:
       inv = sorted(spec.vocab._map.items(), key=lambda kv: kv[1])
-      vocab = {'tokens': [t.decode() for t, _ in inv],
+      # surrogateescape round-trips arbitrary (non-UTF-8) token bytes
+      # through JSON; spec_from_json re-encodes with the same handler.
+      vocab = {'tokens': [t.decode('utf-8', 'surrogateescape')
+                          for t, _ in inv],
                'num_oov_buckets': spec.vocab.num_oov_buckets}
     return {'kind': 'varlen', 'dtype': spec.dtype, 'max_len': spec.max_len,
             'pad_value': spec.pad_value, 'hash_buckets': spec.hash_buckets,
@@ -66,7 +69,7 @@ def spec_from_json(d: Mapping[str, Any]) -> parsers.FeatureSpec:
   vocab = None
   if d.get('vocab'):
     vocab = parsers.Vocabulary(
-        d['vocab']['tokens'],
+        [t.encode('utf-8', 'surrogateescape') for t in d['vocab']['tokens']],
         num_oov_buckets=d['vocab']['num_oov_buckets'])
   return parsers.VarLenFeature(dtype=d['dtype'], max_len=d['max_len'],
                                pad_value=d['pad_value'], vocab=vocab,
@@ -76,6 +79,31 @@ def spec_from_json(d: Mapping[str, Any]) -> parsers.FeatureSpec:
 # ---------------------------------------------------------------------------
 # Pytree <-> npz
 # ---------------------------------------------------------------------------
+
+
+def _as_plain_dicts(tree, where='variables'):
+  """Validates/normalizes the variables pytree to nested str-keyed dicts
+  (the only structure ``_unflatten_vars`` can rebuild at load time) —
+  anything else must fail at EXPORT, not at first serving call."""
+  from typing import Mapping as _Mapping
+  if isinstance(tree, _Mapping):
+    out = {}
+    for k, v in tree.items():
+      if not isinstance(k, str):
+        raise TypeError(
+            f'export_predictor requires str-keyed dict variables; got key '
+            f'{k!r} at {where}')
+      if _SEP in k:
+        raise TypeError(f'variable key {k!r} contains the reserved '
+                        f'separator {_SEP!r} (at {where})')
+      out[k] = _as_plain_dicts(v, f'{where}/{k}')
+    return out
+  if isinstance(tree, (list, tuple)):
+    raise TypeError(
+        f'export_predictor requires nested dict variables (flax style); '
+        f'got {type(tree).__name__} at {where} — restructure or wrap the '
+        f'sequence in a dict with string keys')
+  return tree
 
 
 def _flatten_vars(variables) -> dict:
@@ -144,9 +172,10 @@ def export_predictor(
 
   os.makedirs(path, exist_ok=True)
 
+  variables = _as_plain_dicts(dict(variables))
   var_avals = jax.tree.map(
       lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
-      dict(variables))
+      variables)
 
   def _apply(variables, context, examples, mask):
     return model.apply(variables, context, examples, mask, training=False)
@@ -164,7 +193,7 @@ def export_predictor(
     with open(os.path.join(path, f'apply_L{bucket}.bin'), 'wb') as f:
       f.write(exported.serialize())
 
-  np.savez(os.path.join(path, _PARAMS), **_flatten_vars(dict(variables)))
+  np.savez(os.path.join(path, _PARAMS), **_flatten_vars(variables))
 
   manifest = {
       'format_version': 1,
@@ -228,7 +257,8 @@ class ExportedPredictor:
   def predict(self, serialized_elwcs: Sequence[bytes]) -> np.ndarray:
     """[B, bucket] scores from serialized ELWC protos (bucketed shapes)."""
     if not serialized_elwcs:
-      return np.zeros((0, self.buckets[0]), np.float32)
+      # Widest exported bucket: buckets[0] is the regress-signature 1.
+      return np.zeros((0, self.buckets[-1]), np.float32)
     longest = max(1, int(parsers.elwc_list_sizes(serialized_elwcs).max()))
     bucket = self._bucket_for(longest)
     parsed = self._parse_elwc(serialized_elwcs, bucket)
@@ -242,6 +272,10 @@ class ExportedPredictor:
             list(serialized), bucket, self.context_feature_spec,
             self.example_feature_spec)
     except (ValueError, RuntimeError):
+      # Capability fallback (spec kinds the native decoder rejects). The
+      # Python parser below is the strict semantics reference, so a
+      # genuinely corrupt record still raises — from there, with a
+      # better message; the double parse only costs on failures.
       pass
     return parsers.parse_example_list(
         serialized, self.context_feature_spec, self.example_feature_spec,
@@ -274,8 +308,14 @@ class ExportedPredictor:
           f'score_batch requires an exported bucket size; got list size '
           f'{np.shape(batch.mask)[1]}, buckets {self.buckets}')
     fn = self._fns[bucket]
-    return np.asarray(fn.call(self.variables, dict(batch.context),
-                              dict(batch.examples), batch.mask))
+    # Restrict to the exported calling convention: training batches may
+    # carry extra columns (e.g. the label feature) the artifact never saw.
+    context = {k: v for k, v in dict(batch.context).items()
+               if k in self.context_feature_spec}
+    examples = {k: v for k, v in dict(batch.examples).items()
+                if k in self.example_feature_spec}
+    return np.asarray(fn.call(self.variables, context, examples,
+                              batch.mask))
 
 
 def load_predictor(path: str) -> ExportedPredictor:

@@ -608,3 +608,70 @@ def test_pipeline_tensor_parallel_encoder(tmp_path):
       .sharding.spec
   assert tuple(q_spec) == (None, 'model'), q_spec
   assert tuple(blk['Dense_0']['kernel'].sharding.spec) == (None, 'model')
+
+
+def test_exported_artifact_edge_contracts(tmp_path):
+  """Empty predict returns the widest bucket; score_batch filters to the
+  exported specs; non-dict variable pytrees fail at export time."""
+  from ranking_tpu.data import parsers, tfrecord
+  from ranking_tpu.data.batch import RankingBatch
+  from ranking_tpu.pipeline import export as export_lib
+  import dataclasses
+  import jax.random as jr
+
+  context_spec, example_spec = _specs()
+  model = _model()
+  recs = list(tfrecord.read_records(f'{REF_DATA}/train_elwc.tfrecord'))[:2]
+  parsed = parsers.parse_example_list(
+      recs, context_spec,
+      {k: v for k, v in example_spec.items() if k != 'relevance'},
+      list_size=4)
+  batch = RankingBatch(context=parsed.context, examples=parsed.examples,
+                       labels=np.zeros(parsed.mask.shape, np.float32),
+                       mask=parsed.mask)
+  variables = model.init(jr.PRNGKey(0), batch.context, batch.examples,
+                         batch.mask, training=False)
+  path = str(tmp_path / 'artifact_edge')
+  export_lib.export_predictor(
+      model, variables, context_spec, example_spec, path,
+      sample_batch=batch, list_size_buckets=(4,),
+      label_feature_name='relevance')
+  lp = export_lib.load_predictor(path)
+
+  # Empty request: widest exported bucket, stacking with full requests.
+  empty = lp.predict([])
+  assert empty.shape == (0, 4)
+  full = lp.predict(recs)
+  assert np.vstack([empty, full]).shape == full.shape
+
+  # score_batch tolerates extra (training-only) feature columns.
+  noisy = dataclasses.replace(
+      batch, examples={**batch.examples,
+                       'relevance': np.zeros(batch.mask.shape + (1,),
+                                             np.float32)})
+  scores = lp.score_batch(noisy)
+  assert scores.shape == batch.mask.shape
+
+  # Non-dict nodes in variables must fail at export, not at load/serve.
+  bad = {'params': {'heads': [np.zeros((2, 2), np.float32)]}}
+  with pytest.raises(TypeError, match='nested dict'):
+    export_lib.export_predictor(
+        model, bad, context_spec, example_spec,
+        str(tmp_path / 'artifact_bad'), sample_batch=batch,
+        list_size_buckets=(4,), label_feature_name='relevance')
+
+
+def test_export_vocab_non_utf8_tokens_roundtrip(tmp_path):
+  """Vocabulary tokens that are not valid UTF-8 survive the JSON manifest."""
+  from ranking_tpu.data import parsers
+  from ranking_tpu.pipeline import export as export_lib
+
+  vocab = parsers.Vocabulary([b'plain', b'\xe9\xff\x00binary', b'caf\xc3\xa9'],
+                             num_oov_buckets=2)
+  spec = parsers.VarLenFeature(dtype='string', max_len=4, vocab=vocab)
+  d = export_lib.spec_to_json(spec)
+  json_text = __import__('json').dumps(d)  # must be JSON-serializable
+  back = export_lib.spec_from_json(__import__('json').loads(json_text))
+  assert back.vocab._map == vocab._map
+  assert back.vocab.lookup(b'\xe9\xff\x00binary') == vocab.lookup(
+      b'\xe9\xff\x00binary')
