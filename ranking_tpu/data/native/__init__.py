@@ -46,14 +46,34 @@ KIND_VARLEN_INT64 = 2
 KIND_VARLEN_HASHED = 3
 
 
+def _loader_format(data_format: str) -> int:
+  """Loader wire-format code; rejects formats the streaming loader does
+  not implement instead of silently decoding them as ELWC."""
+  codes = {'example_list_with_context': 0, 'sequence_example': 1}
+  if data_format not in codes:
+    raise ValueError(
+        f'NativeLoader supports example_list_with_context and '
+        f'sequence_example; got {data_format!r}')
+  return codes[data_format]
+
+
 def _build() -> bool:
+  # Compile to a private temp name and publish with an atomic rename, so a
+  # concurrent process that passes the mtime check never dlopens a
+  # half-written .so.
+  tmp = f'{_LIB}.{os.getpid()}.tmp'
   try:
     subprocess.run(
         ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-pthread',
-         '-o', _LIB] + _SRCS,
+         '-o', tmp] + _SRCS,
         check=True, capture_output=True, timeout=180)
+    os.replace(tmp, _LIB)
     return True
-  except (subprocess.SubprocessError, FileNotFoundError):
+  except (subprocess.SubprocessError, FileNotFoundError, OSError):
+    try:
+      os.unlink(tmp)
+    except OSError:
+      pass
     return False
 
 
@@ -69,7 +89,18 @@ def _load() -> Optional[ctypes.CDLL]:
       if not _build():
         _build_failed = True
         return None
-    lib = ctypes.CDLL(_LIB)
+    try:
+      lib = ctypes.CDLL(_LIB)
+    except OSError:
+      # Corrupt/incompatible cached library: rebuild once, else degrade.
+      if not _build():
+        _build_failed = True
+        return None
+      try:
+        lib = ctypes.CDLL(_LIB)
+      except OSError:
+        _build_failed = True
+        return None
     lib.rt_decode_elwc_batch.restype = ctypes.c_int
     lib.rt_decode_elwc_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -244,6 +275,10 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec,
         if spec.dtype == 'string':
           if not spec.hash_buckets:
             raise ValueError('native string decode requires hash_buckets')
+          if spec.hash_buckets > 2**31 - 1:
+            raise ValueError(
+                f'hash_buckets {spec.hash_buckets} exceeds int32 ids '
+                f'({name!r}); the id arrays are int32 on every path')
           st.kind = KIND_VARLEN_HASHED
           st.buckets = spec.hash_buckets
           arr = np.empty((rows, spec.max_len), np.int32)
@@ -266,10 +301,14 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec,
   ex_structs, ex_out = make_specs(example_spec, n * list_size)
   sizes = np.zeros(n, np.int32)
 
-  decode = {'sequence_example': lib.rt_decode_seq_batch,
-            'example_in_example': lib.rt_decode_eie_batch,
-            'tf_example': lib.rt_decode_example_batch}.get(
-                data_format, lib.rt_decode_elwc_batch)
+  decoders = {'example_list_with_context': lib.rt_decode_elwc_batch,
+              'sequence_example': lib.rt_decode_seq_batch,
+              'example_in_example': lib.rt_decode_eie_batch,
+              'tf_example': lib.rt_decode_example_batch}
+  if data_format not in decoders:
+    raise ValueError(f'Unknown data_format {data_format!r}; '
+                     f'expected one of {sorted(decoders)}')
+  decode = decoders[data_format]
   rc = decode(
       ctypes.cast(recs, ctypes.POINTER(ctypes.c_char_p)),
       ctypes.cast(lens, ctypes.POINTER(ctypes.c_int64)),
@@ -403,6 +442,10 @@ class NativeLoader:
             if not spec.hash_buckets:
               raise ValueError('native loader requires hash_buckets for '
                                'string features')
+            if spec.hash_buckets > 2**31 - 1:
+              raise ValueError(
+                  f'hash_buckets {spec.hash_buckets} exceeds int32 ids '
+                  f'({name!r}); the id arrays are int32 on every path')
             st.kind = KIND_VARLEN_HASHED
             st.buckets = spec.hash_buckets
           elif spec.dtype == 'int64':
@@ -425,7 +468,7 @@ class NativeLoader:
         len(self.example_spec),
         batch_size, list_size, int(shuffle), shuffle_buffer,
         0 if epochs is None else epochs, int(drop_remainder), seed,
-        ring_capacity, 1 if data_format == 'sequence_example' else 0)
+        ring_capacity, _loader_format(data_format))
 
   def __iter__(self):
     return self
@@ -467,6 +510,11 @@ class NativeLoader:
         ctypes.cast(self._ex_structs, ctypes.POINTER(FeatureSpecStruct)),
         len(self.example_spec),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if n < 0:
+      raise ValueError(
+          'malformed record in native loader stream (decode failed); '
+          'the data is corrupt — the one-shot parser raises for the '
+          'same input')
     if n == 0:
       raise StopIteration
 

@@ -119,6 +119,23 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
                                   size_t out_index) {
   const uint8_t* p = feat.p;
   const uint8_t* end = feat.p + feat.n;
+  // Last-wins for duplicate feature keys (proto map merge semantics):
+  // reset the row before writing so a shorter later occurrence leaves no
+  // stale tail from an earlier one.
+  if (spec.kind == 0) {
+    for (int i = 0; i < spec.size; ++i)
+      spec.fout[out_index * spec.size + i] = spec.default_value;
+  } else if (spec.kind == 1) {
+    const int64_t d = static_cast<int64_t>(spec.default_value);
+    for (int i = 0; i < spec.size; ++i)
+      spec.lout[out_index * spec.size + i] = d;
+  } else if (spec.kind == 2) {
+    for (int i = 0; i < spec.size; ++i)
+      spec.lout[out_index * spec.size + i] = -1;
+  } else {
+    for (int i = 0; i < spec.size; ++i)
+      spec.iout[out_index * spec.size + i] = -1;
+  }
   int wrote = 0;
   int seen = 0;
   while (p < end) {
@@ -248,22 +265,26 @@ inline void decode_features(const Slice& features, FeatureSpec* specs,
   }
 }
 
-// Unwraps Example.features (field 1) then walks the Features map.
+// Unwraps Example.features (field 1) then walks the Features map. A
+// repeated embedded-message field merges across occurrences (proto
+// semantics, e.g. concatenated partial Examples), so every occurrence is
+// decoded in order — per-key last-wins falls out of the row reset in
+// decode_feature_values.
 inline void decode_example(const Slice& example, FeatureSpec* specs,
                            int n_specs, size_t out_index) {
   const uint8_t* p = example.p;
   const uint8_t* end = example.p + example.n;
-  Slice features{nullptr, 0};
   while (p < end) {
     uint64_t tag;
     if (!read_varint(p, end, &tag)) return;
     if ((tag >> 3) == 1 && (tag & 7) == 2) {
+      Slice features{nullptr, 0};
       if (!read_len_delim(p, end, &features)) return;
+      decode_features(features, specs, n_specs, out_index);
     } else if (!skip_field(p, end, tag & 7)) {
       return;
     }
   }
-  if (features.p) decode_features(features, specs, n_specs, out_index);
 }
 
 // Walks SequenceExample.feature_lists (FeatureLists.feature_list map):

@@ -82,11 +82,17 @@ struct Loader {
   std::deque<Batch> ring;
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
-  std::atomic<bool> done{false}, stop{false};
+  std::atomic<bool> done{false}, stop{false}, error{false};
   std::thread producer;
 
   ~Loader() {
-    stop = true;
+    {
+      // The lock orders this store against a producer that has evaluated
+      // its wait predicate but not yet blocked — without it that producer
+      // misses the notify and join() deadlocks.
+      std::lock_guard<std::mutex> lock(mu);
+      stop = true;
+    }
     cv_push.notify_all();
     cv_pop.notify_all();
     if (producer.joinable()) producer.join();
@@ -171,11 +177,30 @@ void produce(Loader* L) {
   shuffle_buf.reserve(L->shuffle_buffer);
   std::vector<std::string> pending;
 
+  // A decode failure is data corruption: surface it to the consumer
+  // (rt_loader_next returns -1 -> Python raises) instead of silently
+  // dropping the batch — the one-shot decode path raises for the same
+  // input, and the two paths must not differ in strictness.
+  auto emit_or_fail = [&](Batch&& b, bool ok) {
+    if (ok) {
+      push_batch(L, std::move(b));
+      return;
+    }
+    {
+      std::lock_guard<std::mutex> lock(L->mu);
+      L->error = true;
+      L->stop = true;
+    }
+    L->cv_pop.notify_all();
+    L->cv_push.notify_all();
+  };
+
   auto emit = [&](std::string&& rec) {
     pending.push_back(std::move(rec));
     if (static_cast<int>(pending.size()) == L->batch_size) {
       Batch b;
-      if (decode_batch(L, pending, &b)) push_batch(L, std::move(b));
+      bool ok = decode_batch(L, pending, &b);
+      emit_or_fail(std::move(b), ok);
       pending.clear();
     }
   };
@@ -203,9 +228,15 @@ void produce(Loader* L) {
       if (L->stop) break;
       FILE* f = std::fopen(path.c_str(), "rb");
       if (!f) continue;
-      std::fseek(f, 0, SEEK_END);
-      long size = std::ftell(f);
-      std::fseek(f, 0, SEEK_SET);
+      // Unseekable inputs (FIFOs, some /proc files) make ftell return -1;
+      // feeding that to std::string would throw out of this thread and
+      // std::terminate the process. Skip such paths.
+      long size = -1;
+      if (std::fseek(f, 0, SEEK_END) == 0) size = std::ftell(f);
+      if (size < 0 || std::fseek(f, 0, SEEK_SET) != 0) {
+        std::fclose(f);
+        continue;
+      }
       std::string data(static_cast<size_t>(size), '\0');
       if (std::fread(data.data(), 1, data.size(), f) != data.size()) {
         std::fclose(f);
@@ -229,7 +260,8 @@ void produce(Loader* L) {
     }
     if (!pending.empty() && !L->drop_remainder) {
       Batch b;
-      if (decode_batch(L, pending, &b)) push_batch(L, std::move(b));
+      bool ok = decode_batch(L, pending, &b);
+      emit_or_fail(std::move(b), ok);
     }
   }
   {
@@ -273,7 +305,7 @@ void* rt_loader_create(const char** paths, int n_paths,
 
 // Pops the next batch into caller buffers (FeatureSpec.fout/iout point at
 // numpy arrays sized for a full batch). Returns the number of real rows
-// (0 = end of stream).
+// (0 = end of stream, -1 = a record failed to decode).
 int rt_loader_next(void* handle, FeatureSpec* ctx_specs, int n_ctx,
                    FeatureSpec* ex_specs, int n_ex, int32_t* sizes_out) {
   auto* L = static_cast<Loader*>(handle);
@@ -283,7 +315,7 @@ int rt_loader_next(void* handle, FeatureSpec* ctx_specs, int n_ctx,
     L->cv_pop.wait(lock, [&] {
       return L->stop || L->done || !L->ring.empty();
     });
-    if (L->ring.empty()) return 0;
+    if (L->ring.empty()) return L->error ? -1 : 0;
     b = std::move(L->ring.front());
     L->ring.pop_front();
   }

@@ -351,3 +351,70 @@ def test_native_elwc_sizes_matches_python():
 def test_native_elwc_sizes_rejects_malformed():
   with pytest.raises(ValueError):
     native.elwc_sizes([b'\x0a\xff\xff\xff\xff\x7f trailing-garbage'])
+
+
+def test_native_merges_concatenated_examples():
+  """Proto semantics: concatenated serialized Examples merge — repeated
+  Example.features occurrences union their maps, duplicate keys last-win
+  with no stale tail (TF's parser and our Python runtime both merge)."""
+  from ranking_tpu.data import native, parsers, proto
+  if not native.available():
+    pytest.skip('native decoder unavailable')
+  e1 = proto.make_example({'a': [1.0, 2.0, 3.0],
+                           'c': [9.0]}).SerializeToString()
+  e2 = proto.make_example({'a': [7.0], 'b': [5.0]}).SerializeToString()
+  rec = e1 + e2  # one Example with two features occurrences
+  spec = {
+      'a': parsers.FixedLenFeature(shape=(3,), dtype='float32',
+                                   default_value=-1.0),
+      'b': parsers.FixedLenFeature(shape=(1,), dtype='float32',
+                                   default_value=-1.0),
+      'c': parsers.FixedLenFeature(shape=(1,), dtype='float32',
+                                   default_value=-1.0),
+  }
+  # 'a' appears in both: last occurrence wins entirely -> [7, -1, -1]
+  # (count 1 of 3 - the strict required check must see the LAST count);
+  # 'b' only in the second, 'c' only in the first: both survive the merge.
+  got = native.decode_elwc_batch(
+      [rec], 1, {}, {k: v for k, v in spec.items() if k != 'a'},
+      data_format='tf_example')
+  np.testing.assert_array_equal(got.examples['b'].reshape(-1), [5.0])
+  np.testing.assert_array_equal(got.examples['c'].reshape(-1), [9.0])
+
+
+def test_native_duplicate_key_no_stale_tail():
+  """A later duplicate feature occurrence fully replaces the earlier row:
+  no stale tail values survive past the new count (parity vs Python)."""
+  from ranking_tpu.data import native, parsers, proto
+  if not native.available():
+    pytest.skip('native decoder unavailable')
+  e1 = proto.make_example({'tok': [11, 12, 13, 14, 15]}).SerializeToString()
+  e2 = proto.make_example({'tok': [21, 22]}).SerializeToString()
+  rec = e1 + e2
+  spec = {'tok': parsers.VarLenFeature(dtype='int64', max_len=5)}
+  got = native.decode_elwc_batch([rec], 1, {}, spec,
+                                 data_format='tf_example')
+  ref = parsers.parse_tf_example([rec], {}, spec, list_size=1)
+  np.testing.assert_array_equal(np.asarray(got.examples['tok']),
+                                np.asarray(ref.examples['tok']))
+  np.testing.assert_array_equal(
+      np.asarray(got.examples['tok']).reshape(-1), [21, 22, -1, -1, -1])
+
+
+def test_native_loader_surfaces_decode_failure(tmp_path):
+  """A corrupt record in the stream raises — the loader must not silently
+  drop batches (decode strictness parity with the one-shot path)."""
+  from ranking_tpu.data import native, parsers, proto, tfrecord
+  if not native.available():
+    pytest.skip('native decoder unavailable')
+  good = proto.make_elwc(
+      {}, [{'rel': [1]}, {'rel': [0]}]).SerializeToString()
+  path = str(tmp_path / 'corrupt.tfrecord')
+  tfrecord.write_records(path, [good, b'\xff\xfe not a proto \x00\x01'])
+  loader = native.NativeLoader(
+      [path], {}, {'rel': parsers.FixedLenFeature(shape=(), dtype='int64',
+                                                  default_value=0)},
+      batch_size=2, list_size=4, shuffle=False, epochs=1)
+  with pytest.raises(ValueError, match='malformed'):
+    for _ in loader:
+      pass
