@@ -115,26 +115,30 @@ struct FeatureSpec {
 // `seen` counts every value of the matching list type (even past the write
 // cap) so the binding can detect wrong-count required features the same way
 // the Python parser does.
+// `reset` re-initializes the row before writing — required when the same
+// (spec, row) was already decoded in this record (duplicate feature keys /
+// merged Features occurrences: proto map merge is last-wins, and a shorter
+// later occurrence must leave no stale tail). First decodes skip it — the
+// batch-level prefill already initialized the row.
 inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
-                                  size_t out_index) {
+                                  size_t out_index, bool reset) {
   const uint8_t* p = feat.p;
   const uint8_t* end = feat.p + feat.n;
-  // Last-wins for duplicate feature keys (proto map merge semantics):
-  // reset the row before writing so a shorter later occurrence leaves no
-  // stale tail from an earlier one.
-  if (spec.kind == 0) {
-    for (int i = 0; i < spec.size; ++i)
-      spec.fout[out_index * spec.size + i] = spec.default_value;
-  } else if (spec.kind == 1) {
-    const int64_t d = static_cast<int64_t>(spec.default_value);
-    for (int i = 0; i < spec.size; ++i)
-      spec.lout[out_index * spec.size + i] = d;
-  } else if (spec.kind == 2) {
-    for (int i = 0; i < spec.size; ++i)
-      spec.lout[out_index * spec.size + i] = -1;
-  } else {
-    for (int i = 0; i < spec.size; ++i)
-      spec.iout[out_index * spec.size + i] = -1;
+  if (reset) {
+    if (spec.kind == 0) {
+      for (int i = 0; i < spec.size; ++i)
+        spec.fout[out_index * spec.size + i] = spec.default_value;
+    } else if (spec.kind == 1) {
+      const int64_t d = static_cast<int64_t>(spec.default_value);
+      for (int i = 0; i < spec.size; ++i)
+        spec.lout[out_index * spec.size + i] = d;
+    } else if (spec.kind == 2) {
+      for (int i = 0; i < spec.size; ++i)
+        spec.lout[out_index * spec.size + i] = -1;
+    } else {
+      for (int i = 0; i < spec.size; ++i)
+        spec.iout[out_index * spec.size + i] = -1;
+    }
   }
   int wrote = 0;
   int seen = 0;
@@ -225,8 +229,12 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
 }
 
 // Walks a Features message's map entries; dispatches matching specs.
+// `seen_mask` (nullable) tracks which spec indices were already decoded
+// for this row — across repeated Features occurrences of one Example —
+// so only re-decodes pay the row reset. Specs past bit 63 always reset.
 inline void decode_features(const Slice& features, FeatureSpec* specs,
-                            int n_specs, size_t out_index) {
+                            int n_specs, size_t out_index,
+                            uint64_t* seen_mask = nullptr) {
   const uint8_t* p = features.p;
   const uint8_t* end = features.p + features.n;
   while (p < end) {
@@ -258,7 +266,13 @@ inline void decode_features(const Slice& features, FeatureSpec* specs,
       const FeatureSpec& spec = specs[s];
       size_t name_len = std::strlen(spec.name);
       if (name_len == key.n && std::memcmp(spec.name, key.p, key.n) == 0) {
-        decode_feature_values(value, spec, out_index);
+        bool reset = true;
+        if (seen_mask && s < 64) {
+          const uint64_t bit = uint64_t{1} << s;
+          reset = (*seen_mask & bit) != 0;
+          *seen_mask |= bit;
+        }
+        decode_feature_values(value, spec, out_index, reset);
         break;
       }
     }
@@ -274,13 +288,14 @@ inline void decode_example(const Slice& example, FeatureSpec* specs,
                            int n_specs, size_t out_index) {
   const uint8_t* p = example.p;
   const uint8_t* end = example.p + example.n;
+  uint64_t seen_mask = 0;
   while (p < end) {
     uint64_t tag;
     if (!read_varint(p, end, &tag)) return;
     if ((tag >> 3) == 1 && (tag & 7) == 2) {
       Slice features{nullptr, 0};
       if (!read_len_delim(p, end, &features)) return;
-      decode_features(features, specs, n_specs, out_index);
+      decode_features(features, specs, n_specs, out_index, &seen_mask);
     } else if (!skip_field(p, end, tag & 7)) {
       return;
     }
@@ -292,10 +307,15 @@ inline void decode_example(const Slice& example, FeatureSpec* specs,
 // Returns the max frame count seen across matching lists.
 inline int decode_feature_lists(const Slice& flists, FeatureSpec* specs,
                                 int n_specs, size_t base_index,
-                                int list_size) {
+                                int list_size,
+                                uint64_t* seen_mask_in = nullptr) {
   const uint8_t* p = flists.p;
   const uint8_t* end = flists.p + flists.n;
   int max_frames = 0;
+  // Spec indices already decoded (duplicate keys / repeated FeatureLists
+  // occurrences); caller-owned when occurrences must share it.
+  uint64_t local_mask = 0;
+  uint64_t& seen_mask = seen_mask_in ? *seen_mask_in : local_mask;
   while (p < end) {
     uint64_t tag;
     if (!read_varint(p, end, &tag)) return max_frames;
@@ -325,6 +345,10 @@ inline int decode_feature_lists(const Slice& flists, FeatureSpec* specs,
       size_t name_len = std::strlen(spec.name);
       if (name_len != key.n || std::memcmp(spec.name, key.p, key.n) != 0)
         continue;
+      // A duplicate feature_list key re-decodes frames: reset those rows
+      // (map merge is last-wins). First decodes ride the batch prefill.
+      const bool dup = s < 64 && (seen_mask & (uint64_t{1} << s)) != 0;
+      if (s < 64) seen_mask |= uint64_t{1} << s;
       // value is a FeatureList: repeated Feature feature = 1.
       const uint8_t* r = value.p;
       const uint8_t* rend = value.p + value.n;
@@ -339,7 +363,8 @@ inline int decode_feature_lists(const Slice& flists, FeatureSpec* specs,
         Slice feat;
         if (!read_len_delim(r, rend, &feat)) break;
         if (frame < list_size)
-          decode_feature_values(feat, spec, base_index + frame);
+          decode_feature_values(feat, spec, base_index + frame,
+                                dup || s >= 64);
         ++frame;
       }
       if (frame > max_frames) max_frames = frame;
@@ -540,6 +565,7 @@ int rt_decode_seq_batch(const uint8_t** recs, const int64_t* lens, int n,
     const uint8_t* p = recs[i];
     const uint8_t* end = recs[i] + lens[i];
     int frames = 0;
+    uint64_t ctx_mask = 0, ex_mask = 0;  // shared across occurrences
     while (p < end) {
       uint64_t tag;
       if (!read_varint(p, end, &tag)) return -1;
@@ -552,11 +578,12 @@ int rt_decode_seq_batch(const uint8_t** recs, const int64_t* lens, int n,
       Slice msg;
       if (!read_len_delim(p, end, &msg)) return -1;
       if (field == 1) {  // context Features
-        decode_features(msg, ctx_specs, n_ctx, static_cast<size_t>(i));
+        decode_features(msg, ctx_specs, n_ctx, static_cast<size_t>(i),
+                        &ctx_mask);
       } else if (field == 2) {  // FeatureLists
         int f = decode_feature_lists(
             msg, ex_specs, n_ex, static_cast<size_t>(i) * list_size,
-            list_size);
+            list_size, &ex_mask);
         if (f > frames) frames = f;
       }
     }
