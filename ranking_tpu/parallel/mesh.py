@@ -31,7 +31,10 @@ MODEL_AXIS = 'model'
 # parallel/embedding.py name the table param 'embedding') shard rows over
 # the model axis — vocab is the only axis worth sharding in this model class.
 DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
-    (r'.*\bembedding\b$', P(MODEL_AXIS, None)),
+    # Tables AND their LazyAdam moment buffers (sparse_opt_state paths are
+    # '<table path>/m' and '<table path>/v' — full-vocab rows that must
+    # shard exactly like the table or every device replicates them).
+    (r'.*\bembedding\b(?:/(?:m|v))?$', P(MODEL_AXIS, None)),
 )
 
 # Tensor parallelism for the transformer encoder scorer (models/encoder.py,

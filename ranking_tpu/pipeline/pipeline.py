@@ -184,6 +184,12 @@ class SimplePipeline:
           for task, key in hparams.loss.items()}
     else:
       self.loss_fn = ops.make_loss_fn(hparams.loss, **loss_kwargs)
+      if isinstance(hparams.loss_weights, (int, float)):
+        # A scalar loss_weights scales the single loss (the dict form is
+        # consumed per-task by the train/eval steps) — it must not be
+        # silently ignored.
+        base_fn, w = self.loss_fn, float(hparams.loss_weights)
+        self.loss_fn = lambda *a, **kw: w * base_fn(*a, **kw)
 
   def _default_metrics(self):
     hp = self.hparams
@@ -209,10 +215,20 @@ class SimplePipeline:
     else:
       data = hp.mesh_data
       if data is None:
-        # Largest data-axis size that divides both the device pool and the
-        # global batch (batch must shard evenly over the data axis).
+        # Largest divisor of the global batch that fits the device pool
+        # (the batch must shard evenly over the data axis; a gcd here
+        # would idle devices whenever batch and pool share a small
+        # factor, e.g. batch 100 on 8 devices -> 4 instead of 5).
         avail = max(1, len(jax.devices()) // hp.mesh_model)
-        data = math.gcd(avail, sample.batch_size)
+        data = max(d for d in range(1, avail + 1)
+                   if sample.batch_size % d == 0)
+        if data < avail:
+          import warnings
+          warnings.warn(
+              f'train_batch_size {sample.batch_size} does not divide over '
+              f'{avail} devices; using a {data}-way data axis '
+              f'({avail - data} devices idle). Pick a batch size with a '
+              f'larger divisor or set mesh_data explicitly.')
       self.mesh = parallel.make_mesh(data=data, model=hp.mesh_model)
     tx = optimizer_from_hparams(hp)
     sparse_tx = sparse_optimizer_from_hparams(hp)
@@ -328,6 +344,7 @@ class SimplePipeline:
                                       parallel.batch_sharding(self.mesh))
     key = jax.random.PRNGKey((hp.seed or 0) + 1)
 
+    from ranking_tpu.data.batch import stack_numpy_batches
     best = -math.inf if hp.best_exporter_metric_higher_better else math.inf
     patience_left = hp.early_stopping_patience
     # ReduceLROnPlateau analog (keras defaults: factor 0.1, patience 10,
@@ -339,7 +356,6 @@ class SimplePipeline:
     start_step = int(state.step)
     step = start_step
     total_steps = hp.num_epochs * hp.steps_per_epoch
-    pending = None
     t0 = time.perf_counter()
     examples_seen = 0
 
@@ -353,34 +369,35 @@ class SimplePipeline:
                    and epoch_index == hp.profile_epoch)
       if profiling:
         jax.profiler.start_trace(hp.profile_dir)
-      losses = []
+      losses = []  # device arrays; fetched once per epoch (below)
       while step < epoch_end:
         chunk = min(spe, epoch_end - step)
-        if chunk > 1 and pending is None:
+        if chunk > 1:
           # One dispatch for `chunk` steps: stack host batches on a new
-          # leading axis and scan on-device.
+          # leading axis and scan on-device. The [chunk] loss array stays
+          # on device — fetching a scan result per dispatch would block
+          # the host on every dispatch and defeat steps_per_execution.
           host_batches = [next(train_iter) for _ in range(chunk)]
           stacked = jax.tree.map(
-              lambda *xs: jax.device_put(np.stack([np.asarray(x)
-                                                   for x in xs]),
-                                         stacked_sharding), *host_batches)
+              lambda x: jax.device_put(x, stacked_sharding),
+              stack_numpy_batches([
+                  jax.tree.map(np.asarray, b) for b in host_batches]))
           state, metrics = self._multi_step(state, stacked, key)
           examples_seen += sum(b.batch_size for b in host_batches)
-          losses.extend(np.asarray(metrics['loss']).tolist())
+          losses.append(metrics['loss'])
           step += chunk
           continue
-        if pending is None:
-          pending = next(train_iter)
-        state, metrics = self._train_step(state, pending, key)
-        examples_seen += pending.batch_size
-        pending = None
+        batch = next(train_iter)
+        state, metrics = self._train_step(state, batch, key)
+        examples_seen += batch.batch_size
         losses.append(metrics['loss'])
         step += 1
       if profiling:
         jax.block_until_ready(metrics['loss'])
         jax.profiler.stop_trace()
       epoch_metrics = self._run_eval(state)
-      epoch_metrics['loss'] = float(np.mean([float(l) for l in losses]))
+      epoch_metrics['loss'] = float(np.mean(np.concatenate(
+          [np.atleast_1d(np.asarray(l)) for l in losses])))
       dt = time.perf_counter() - t0
       epoch_metrics['examples_per_sec'] = examples_seen / dt if dt else 0.0
       train.checkpoint.write_metrics_log(hp.model_dir, step, epoch_metrics)

@@ -217,22 +217,38 @@ def make_sparse_train_step(
     examples = dict(batch.examples)
     rows: Dict[str, Array] = {}
     info: Dict[str, Tuple[Array, Array]] = {}
+    # Features sharing one table (several id columns over one vocabulary)
+    # must share one dedup + slab: per-feature slabs would overwrite each
+    # other in rows[param_path] and silently cross their slot ids.
+    by_path: Dict[str, list] = {}
     for ef in embed_features:
-      src = context if ef.source == 'context' else examples
-      ids = src[ef.feature]
-      # Ids must index the table: reduce modulo num_buckets (hash
-      # encoders), defaulting to the table's own row count — for
-      # HashEmbeddingEncoder the table IS [num_buckets, dim], so this
-      # reproduces its jnp.mod exactly even when EmbedFeature was
-      # derived without bucket info; for direct-index tables valid ids
-      # are already < rows and the mod is a no-op. This also keeps every
-      # deduplicated id in range for the slab gather and the row scatter.
-      modulus = ef.num_buckets or sp_params[ef.param_path].shape[0]
-      ids = jnp.where(ids >= 0, jnp.mod(ids, modulus), ids)
-      uids, remap, filled = sparse_lib.compact_unique(ids.reshape(-1))
-      src[ef.feature] = remap.reshape(ids.shape)
-      rows[ef.param_path] = jnp.take(sp_params[ef.param_path], uids, axis=0)
-      info[ef.param_path] = (uids, filled)
+      by_path.setdefault(ef.param_path, []).append(ef)
+    for path, group in by_path.items():
+      ids_list = []
+      for ef in group:
+        src = context if ef.source == 'context' else examples
+        ids = src[ef.feature]
+        # Ids must index the table: reduce modulo num_buckets (hash
+        # encoders), defaulting to the table's own row count — for
+        # HashEmbeddingEncoder the table IS [num_buckets, dim], so this
+        # reproduces its jnp.mod exactly even when EmbedFeature was
+        # derived without bucket info; for direct-index tables valid ids
+        # are already < rows and the mod is a no-op. This also keeps
+        # every deduplicated id in range for the slab gather and the row
+        # scatter.
+        modulus = ef.num_buckets or sp_params[path].shape[0]
+        ids_list.append(jnp.where(ids >= 0, jnp.mod(ids, modulus), ids))
+      flat = jnp.concatenate([i.reshape(-1) for i in ids_list])
+      uids, remap, filled = sparse_lib.compact_unique(flat)
+      offset = 0
+      for ef, ids in zip(group, ids_list):
+        src = context if ef.source == 'context' else examples
+        n = ids.size
+        src[ef.feature] = jax.lax.dynamic_slice_in_dim(
+            remap, offset, n).reshape(ids.shape)
+        offset += n
+      rows[path] = jnp.take(sp_params[path], uids, axis=0)
+      info[path] = (uids, filled)
     batch2 = _dc.replace(batch, context=context, examples=examples)
 
     def _loss(dparams, rows_in):
@@ -343,8 +359,13 @@ def make_eval_step(
       else:
         loss = loss_fn(batch.labels, logits, features=batch.features,
                        key=None)
+      # Weight by the batch's valid-list count so a ragged final batch
+      # (drop_remainder=False) contributes proportionally, not equally —
+      # the streamed value is then the exact global mean the callbacks
+      # (plateau LR, early stop, best export) should see.
+      n_lists = jnp.sum(jnp.any(batch.mask, axis=-1).astype(jnp.float32))
       out['loss'] = metric_states['loss'].update(
-          loss[None], jnp.ones((1,), jnp.float32))
+          loss[None], jnp.maximum(n_lists, 1.0)[None])
     return out, logits
 
   return eval_step

@@ -186,3 +186,26 @@ def test_groupwise_multi_shuffle_trains():
       ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)), donate_argnums=0)
   state, metrics = step(state, batch, jax.random.PRNGKey(1))
   assert np.isfinite(float(metrics['loss']))
+
+
+def test_eval_loss_weights_ragged_batches():
+  """Streamed val_loss is the list-weighted global mean: a small final
+  batch (drop_remainder=False) contributes proportionally, not equally."""
+  rng = np.random.RandomState(9)
+  big = _synthetic_batch(rng, batch=8)
+  small = _synthetic_batch(rng, batch=2)
+  _, state = _make_state(big)
+  metric_fns = {'mrr': ops.make_ranking_metric_fn(ops.RankingMetricKey.MRR)}
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  eval_step = jax.jit(train.make_eval_step(metric_fns, loss_fn=loss_fn))
+  states = train.init_metric_states(metric_fns, with_loss=True)
+  for b in (big, small):
+    states, _ = eval_step(state, b, states)
+  streamed = float(train.metric_results(states)['loss'])
+
+  per = []
+  for b in (big, small):
+    logits, _ = train.steps._forward(state, b, training=False)
+    per.append(float(loss_fn(b.labels, logits, features=b.features)))
+  expected = (per[0] * 8 + per[1] * 2) / 10
+  np.testing.assert_allclose(streamed, expected, rtol=1e-5)
