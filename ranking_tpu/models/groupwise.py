@@ -134,11 +134,19 @@ class GroupwiseDNNScorer(nn.Module):
       scores = scores.reshape(batch, list_size, g)
       return scatter_group_scores(scores, indices, group_mask, list_size)
 
+    if self.num_shuffles < 1:
+      # The legacy reference asserts this at build time (model.py:326);
+      # silently looping zero times would emit 0/0 = NaN logits.
+      raise ValueError(f'num_shuffles must be >= 1, got {self.num_shuffles}')
     num_shuffles = self.num_shuffles if (training and g > 1) else 1
     total = jnp.zeros((batch, list_size), jnp.float32)
     for shuffle_idx in range(num_shuffles):
       key = None
-      if training and self.num_shuffles > 1 and g > 1:
+      # The reference shuffles valid items for ANY non-predict pass with
+      # group_size > 1, even at num_shuffles == 1 (model.py:313-339) —
+      # without it every document is grouped with the same list-order
+      # neighbors on every step (window-composition bias).
+      if training and g > 1:
         key = jax.random.fold_in(self.make_rng('shuffle'), shuffle_idx)
       indices, group_mask = rolling_group_indices(mask, g, key=key)
       total = total + score_groups(indices, group_mask)

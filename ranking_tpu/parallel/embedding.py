@@ -20,7 +20,7 @@ Two paths share identical semantics with ``models.embeddings.pooled_lookup``:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -37,7 +37,6 @@ def local_pooled_partial(
     ids: Array,
     shard_index: Array,
     rows_per_shard: int,
-    combiner: str = 'mean',
 ) -> Array:
   """Partial pooled lookup over one row shard (runs inside shard_map).
 
@@ -58,7 +57,6 @@ def local_pooled_partial(
   # Count owned tokens only, so the psum over shards yields the global valid
   # count exactly once per token.
   counts = jnp.sum(mine.astype(summed.dtype), axis=-1, keepdims=True)
-  del combiner  # normalization happens post-psum
   return jnp.concatenate([summed, counts], axis=-1)
 
 

@@ -28,7 +28,6 @@ from ranking_tpu.ops.reductions import Reduction
 
 Array = jax.Array
 
-_LOSS_FNS = {}
 
 
 def _pair_loss(kind: str, d: Array) -> Array:

@@ -183,7 +183,11 @@ def evaluate_dataset(
   acc = agg_lib.PredictionAccumulator() if query_id_feature else None
   for batch in batches:
     model_batch = batch
-    if query_id_feature and query_id_feature in batch.context:
+    if acc is not None:
+      if query_id_feature not in batch.context:
+        raise ValueError(
+            f'query_id_feature {query_id_feature!r} not in batch context '
+            f'(features: {sorted(batch.context)})')
       # The query id keys aggregation; it is never a model input.
       ctx = {k: v for k, v in batch.context.items()
              if k != query_id_feature}
@@ -191,6 +195,11 @@ def evaluate_dataset(
                                  labels=batch.labels, mask=batch.mask)
     states, logits = eval_step(state, model_batch, states)
     if acc is not None:
+      if isinstance(logits, dict):
+        raise ValueError(
+            'aggregated metrics need single-task logits; evaluate one '
+            'task at a time (wrap the model to return that task\'s '
+            f'logits) — got tasks {sorted(logits)}')
       qids = np.asarray(batch.context[query_id_feature]).reshape(-1)
       acc.add_batch(qids, np.asarray(batch.labels), np.asarray(logits),
                     np.asarray(batch.mask))

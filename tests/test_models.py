@@ -212,3 +212,37 @@ class TestTraining:
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     assert any(np.abs(np.asarray(g)).sum() > 0 for g in flat)
+
+
+class TestGroupwiseShuffles:
+
+  def test_num_shuffles_zero_raises(self):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='num_shuffles'):
+      _run_scorer(GroupwiseDNNScorer(group_size=2, hidden_layer_dims=(8,),
+                                     num_shuffles=0, dropout=0.0,
+                                     use_batch_norm=False))
+
+  def test_training_shuffles_even_at_one_shuffle(self):
+    """Reference semantics (model.py:313-339): any non-predict pass with
+    group_size > 1 shuffles valid items — num_shuffles=1 included."""
+    context, examples = make_features()
+    scorer = GroupwiseDNNScorer(group_size=2, hidden_layer_dims=(8,),
+                                num_shuffles=1, dropout=0.0,
+                                use_batch_norm=False)
+    variables = scorer.init({'params': jax.random.PRNGKey(0),
+                             'shuffle': jax.random.PRNGKey(1)},
+                            context, examples, MASK, training=False)
+    out = []
+    for seed in (1, 2):
+      out.append(np.asarray(scorer.apply(
+          variables, context, examples, MASK, training=True,
+          rngs={'shuffle': jax.random.PRNGKey(seed)})))
+    # Different shuffle keys -> different group compositions -> logits.
+    assert not np.allclose(out[0][MASK], out[1][MASK])
+    # Predict stays deterministic (original order, no rng needed).
+    p1 = np.asarray(scorer.apply(variables, context, examples, MASK,
+                                 training=False))
+    p2 = np.asarray(scorer.apply(variables, context, examples, MASK,
+                                 training=False))
+    np.testing.assert_array_equal(p1, p2)
