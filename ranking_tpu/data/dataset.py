@@ -134,8 +134,10 @@ def parsed_to_batch(
   if mask_feature_name:
     examples[mask_feature_name] = mask
 
-  if padded_batch_size and labels.shape[0] < padded_batch_size:
-    pad = padded_batch_size - labels.shape[0]
+  n_rows = (next(iter(labels.values())).shape[0]
+            if isinstance(labels, dict) else labels.shape[0])
+  if padded_batch_size and n_rows < padded_batch_size:
+    pad = padded_batch_size - n_rows
 
     def _pad(a):
       widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
@@ -231,14 +233,18 @@ def build_ranking_dataset(
     except (ValueError, RuntimeError):
       return None
 
-  def _parse(records: List[bytes]) -> RankingBatch:
+  def _parse(records: List[bytes],
+             shuffle_seed: Optional[int] = None) -> RankingBatch:
     parsed = _native_parse(records)
     if parsed is None:
       kwargs = {}
       if data_format in ('example_list_with_context', 'example_in_example'):
+        # The shuffle rng seed is drawn in the FILLER thread (submit
+        # time), not here: parser-pool threads must never touch the
+        # shared RandomState or seeded runs lose reproducibility.
         kwargs = dict(shuffle_examples=shuffle_examples,
-                      rng=np.random.RandomState(rng.randint(1 << 31))
-                      if shuffle_examples else None)
+                      rng=np.random.RandomState(shuffle_seed)
+                      if shuffle_seed is not None else None)
       parsed = parse_fn(records, context_feature_spec, example_feature_spec,
                         list_size=list_size, **kwargs)
     return parsed_to_batch(
@@ -253,28 +259,49 @@ def build_ranking_dataset(
     # in flight, so the raw-record stream is consumed lazily.
     pending: 'queue.Queue' = queue.Queue(maxsize=prefetch_batches)
     it = iter(batches)
+    stop = threading.Event()  # consumer abandoned the generator
+
+    def _offer(item) -> bool:
+      # Blocks until queue space or the consumer is gone — a full queue is
+      # the steady state of a healthy pipeline, so nothing (least of all
+      # the end-of-stream sentinel) may ever be dropped on queue.Full.
+      while not stop.is_set():
+        try:
+          pending.put(item, timeout=0.1)
+          return True
+        except queue.Full:
+          continue
+      return False
 
     def _fill():
       try:
         for recs in it:
-          pending.put(pool.submit(_parse, recs))
-      except RuntimeError:
-        # Pool shut down mid-stream: the consumer abandoned the generator
-        # (early break / GC). Nothing left to feed.
-        return
+          seed = (int(rng.randint(1 << 31))
+                  if shuffle_examples else None)
+          try:
+            fut = pool.submit(_parse, recs, seed)
+          except RuntimeError:
+            return  # pool shut down: consumer abandoned the generator
+          if not _offer(fut):
+            return
       finally:
-        try:
-          pending.put_nowait(None)
-        except queue.Full:
-          pass  # consumer gone; sentinel unnecessary
+        _offer(None)
 
     filler = threading.Thread(target=_fill, daemon=True)
     filler.start()
-    while True:
-      item = pending.get()
-      if item is None:
-        return
-      yield item.result()
+    try:
+      while True:
+        item = pending.get()
+        if item is None:
+          return
+        yield item.result()
+    finally:
+      stop.set()
+      try:  # unblock a filler parked in put()
+        while True:
+          pending.get_nowait()
+      except queue.Empty:
+        pass
 
 
 def native_ranking_dataset(

@@ -48,7 +48,9 @@ class Vocabulary:
                 for t in path_or_tokens]
     else:
       with open(path_or_tokens, 'rb') as f:
-        tokens = [line.rstrip(b'\n') for line in f if line.rstrip(b'\n')]
+        # rstrip \r too: a CRLF vocab file would otherwise store
+        # b'token\r' and send every lookup to the OOV bucket.
+        tokens = [line.rstrip(b'\r\n') for line in f if line.rstrip(b'\r\n')]
     self.num_oov_buckets = max(1, num_oov_buckets)
     self._map = {t: i + self.num_oov_buckets for i, t in enumerate(tokens)}
     self.size = len(tokens) + self.num_oov_buckets
@@ -110,18 +112,34 @@ def _encode_strings(values: List[bytes], spec: VarLenFeature) -> List[int]:
   raise ValueError('string VarLenFeature needs vocab or hash_buckets')
 
 
+def _wrong_type(feature, dtype: str) -> bool:
+  """True when the stored Feature holds values of a DIFFERENT list type
+  than the spec asks for — a schema error, not an absent feature."""
+  kinds = {'float32': feature.float_list.value,
+           'int64': feature.int64_list.value,
+           'string': feature.bytes_list.value}
+  return any(len(v) > 0 for k, v in kinds.items() if k != dtype)
+
+
 def _extract(features_msg, name: str, spec: FeatureSpec):
   """Feature proto -> python list of scalars for one example."""
   fmap = features_msg.feature
   present = name in fmap
   if isinstance(spec, FixedLenFeature):
+    if spec.dtype == 'string':
+      raise ValueError(
+          f"FixedLenFeature dtype='string' is not supported ({name!r}); "
+          'strings become int ids host-side — use VarLenFeature with '
+          'vocab= or hash_buckets=')
     size = int(np.prod(spec.shape)) if spec.shape else 1
     if not present or not _feature_values(fmap[name], spec.dtype):
+      if present and _wrong_type(fmap[name], spec.dtype):
+        raise ValueError(
+            f'Feature {name!r}: stored value type does not match spec '
+            f'dtype {spec.dtype!r} (tf.io.parse_example raises here too)')
       if spec.default_value is None:
         raise ValueError(f'Missing required feature {name!r}')
       d = spec.default_value
-      if spec.dtype == 'string':
-        d = d.encode() if isinstance(d, str) else d
       return [d] * size
     vals = _feature_values(fmap[name], spec.dtype)
     if len(vals) != size:

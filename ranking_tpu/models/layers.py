@@ -368,6 +368,12 @@ class GAMLayer(nn.Module):
         w = jax.nn.softmax(tower(feat, training=training), axis=-1)
         weights.append(w)
       feature_weights = sum(weights)
+      # Context features lead with [B, ...] while example sub-scores may
+      # carry a list axis ([B, L, F_e]): insert singleton axes before the
+      # feature dim so per-query weights broadcast over the list instead
+      # of misaligning batch with list positions.
+      while feature_weights.ndim < sub_scores.ndim:
+        feature_weights = feature_weights[..., None, :]
       scores = jnp.sum(sub_scores * feature_weights, axis=-1, keepdims=True)
     else:
       scores = jnp.sum(sub_scores, axis=-1, keepdims=True)

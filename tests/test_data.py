@@ -256,3 +256,64 @@ def test_interleave_files_round_robins(tmp_path):
   assert sorted(out[:3]) == [0.0, 10.0, 20.0]
   assert sorted(out) == sorted([f * 10 + r for f in range(3)
                                 for r in range(3)])
+
+
+def test_pad_final_batch_multitask_labels(tmp_path):
+  """pad_final_batch with dict (multi-task) label_feature_name (the guard
+  used to call .shape on the dict)."""
+  recs = [_elwc_bytes({}, [{'f': [float(i)], 'rel': [1], 'click': [0]}])
+          for i in range(3)]
+  path = str(tmp_path / 'mt.tfrecord')
+  tfrecord.write_records(path, recs)
+  batches = list(build_ranking_dataset(
+      path, data_format='example_list_with_context', batch_size=2,
+      context_feature_spec={},
+      example_feature_spec={
+          'f': FixedLenFeature(shape=(1,), dtype='float32',
+                               default_value=0.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0),
+          'click': FixedLenFeature(shape=(), dtype='int64',
+                                   default_value=0)},
+      label_feature_name={'rel': 'rel', 'click': 'click'},
+      list_size=2, epochs=1, shuffle=False, drop_remainder=False,
+      pad_final_batch=True))
+  assert all(b.mask.shape[0] == 2 for b in batches)
+  last = batches[-1]
+  assert set(last.labels) == {'rel', 'click'}
+  # Padded row: mask off, labels at the padding sentinel.
+  assert not last.mask[1].any()
+  np.testing.assert_allclose(last.labels['rel'][1], -1.0)
+
+
+def test_prefetch_sentinel_survives_full_queue(tmp_path):
+  """End-of-stream must terminate the iterator even when the prefetch
+  queue is full when the record stream ends (regression: the sentinel
+  was dropped on queue.Full and the consumer hung forever)."""
+  import threading
+  import time as time_lib
+  recs = [_elwc_bytes({}, [{'f': [float(i)], 'rel': [1]}])
+          for i in range(6)]
+  path = str(tmp_path / 'q.tfrecord')
+  tfrecord.write_records(path, recs)
+  it = build_ranking_dataset(
+      path, data_format='example_list_with_context', batch_size=2,
+      context_feature_spec={},
+      example_feature_spec={
+          'f': FixedLenFeature(shape=(1,), dtype='float32',
+                               default_value=0.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)},
+      label_feature_name='rel', list_size=1, epochs=1, shuffle=False,
+      drop_remainder=False, prefetch_batches=1)
+  time_lib.sleep(0.7)  # let the filler finish the stream with a full queue
+
+  got = []
+  done = threading.Event()
+
+  def consume():
+    got.extend(b.mask.shape[0] for b in it)
+    done.set()
+
+  t = threading.Thread(target=consume, daemon=True)
+  t.start()
+  assert done.wait(timeout=30), 'dataset iterator hung at end of stream'
+  assert sum(got) == 6

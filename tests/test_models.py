@@ -246,3 +246,22 @@ class TestGroupwiseShuffles:
     p2 = np.asarray(scorer.apply(variables, context, examples, MASK,
                                  training=False))
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_gam_layer_context_weights_broadcast_over_list():
+  """Public GAMLayer API: [B, L, .] example features with [B, F_c]
+  context features (the documented shapes) — per-query weights must
+  broadcast over the list axis, not misalign batch with list."""
+  from ranking_tpu.models import layers as layers_lib
+  gam = layers_lib.GAMLayer(
+      example_feature_num=2, example_hidden_layer_dims=(4,),
+      context_feature_num=1, context_hidden_layer_dims=(4,),
+      use_batch_norm=False, dropout=0.0)
+  rng = np.random.RandomState(0)
+  ex = [jnp.asarray(rng.randn(3, 5, 2).astype(np.float32))
+        for _ in range(2)]
+  ctx = [jnp.asarray(rng.randn(3, 2).astype(np.float32))]
+  variables = gam.init(jax.random.PRNGKey(0), ex, ctx)
+  scores, sub = gam.apply(variables, ex, ctx)
+  assert scores.shape == (3, 5, 1)
+  assert sub.shape == (3, 5, 2)
