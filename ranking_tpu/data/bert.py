@@ -10,6 +10,8 @@ encoder masks ids < 0), shaped ``[B, L, seq_len]`` for
 
 from __future__ import annotations
 
+import unicodedata
+
 import numpy as np
 
 
@@ -64,37 +66,57 @@ class WordPieceTokenizer:
       tokens = list(vocab_path_or_tokens)
     else:
       with open(vocab_path_or_tokens) as f:
-        tokens = [line.rstrip('\n') for line in f if line.rstrip('\n')]
+        # Strip \r too (CRLF files), and keep EVERY line — dropping blank
+        # lines would shift every later token id off the checkpoint's
+        # embedding rows (BERT's load_vocab indexes by line number).
+        tokens = [line.rstrip('\r\n') for line in f]
+      while tokens and not tokens[-1]:
+        tokens.pop()  # trailing newline only
     self.vocab = {t: i for i, t in enumerate(tokens)}
     self.inv_vocab = tokens
     self.lowercase = lowercase
     self.unk_token = unk_token
     self.max_chars_per_word = max_chars_per_word
-    for special in ('[CLS]', '[SEP]', '[PAD]'):
+    for special in ('[CLS]', '[SEP]', '[PAD]', unk_token):
       if special not in self.vocab:
         raise ValueError(f'vocab is missing {special}')
     self.cls_id = self.vocab['[CLS]']
     self.sep_id = self.vocab['[SEP]']
     self.pad_id = self.vocab['[PAD]']
-    self.unk_id = self.vocab.get(unk_token, 0)
+    self.unk_id = self.vocab[unk_token]
+
+  @staticmethod
+  def _is_cjk(ch: str) -> bool:
+    # BERT's _is_chinese_char ranges (tokenization.py): CJK ideographs.
+    cp = ord(ch)
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF or
+            0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2CEAF or
+            0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
 
   @staticmethod
   def _basic_split(text: str):
+    # BERT basic tokenization: whitespace-split, punctuation split as
+    # single tokens ('_' IS punctuation to BERT — \\p{P} covers it), CJK
+    # ideographs split per character.
     out, word = [], []
+
+    def flush():
+      if word:
+        out.append(''.join(word))
+        word.clear()
+
     for ch in text:
       if ch.isspace():
-        if word:
-          out.append(''.join(word))
-          word = []
-      elif not (ch.isalnum() or ch == '_'):
-        if word:
-          out.append(''.join(word))
-          word = []
+        flush()
+      elif WordPieceTokenizer._is_cjk(ch):
+        flush()
+        out.append(ch)
+      elif not ch.isalnum():
+        flush()
         out.append(ch)
       else:
         word.append(ch)
-    if word:
-      out.append(''.join(word))
+    flush()
     return out
 
   def _wordpiece(self, word: str):
@@ -121,7 +143,10 @@ class WordPieceTokenizer:
   def tokenize(self, text: str):
     """Text -> list of WordPiece ids (no special tokens)."""
     if self.lowercase:
-      text = text.lower()
+      # BERT's do_lower_case also strips accents (NFD + drop Mn), so
+      # 'café' matches the uncased checkpoint's 'cafe'.
+      text = ''.join(c for c in unicodedata.normalize('NFD', text.lower())
+                     if unicodedata.category(c) != 'Mn')
     ids = []
     for word in self._basic_split(text):
       ids.extend(self._wordpiece(word))
@@ -138,7 +163,8 @@ class WordPieceTokenizer:
     b = self.tokenize(text_b)
     budget = seq_len - 3
     while len(a) + len(b) > budget:
-      if len(a) >= len(b) and len(a) > 1:
+      # BERT's _truncate_seq_pair pops B on ties (strict > for A).
+      if len(a) > len(b) and len(a) > 1:
         a.pop()
       elif len(b) > 1:
         b.pop()

@@ -133,6 +133,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rt_libsvm_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.rt_libsvm_num_queries.restype = ctypes.c_int64
     lib.rt_libsvm_num_queries.argtypes = [ctypes.c_void_p]
+    lib.rt_libsvm_num_bad.restype = ctypes.c_int64
+    lib.rt_libsvm_num_bad.argtypes = [ctypes.c_void_p]
     lib.rt_libsvm_fill.restype = None
     lib.rt_libsvm_fill.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
@@ -158,6 +160,12 @@ def load_libsvm_lists(path: str, list_size: int, num_features: int,
     data = f.read()
   handle = lib.rt_libsvm_parse(data, len(data))
   try:
+    n_bad = lib.rt_libsvm_num_bad(handle)
+    if n_bad:
+      # Same strictness as the Python loader, which raises per row.
+      raise ValueError(
+          f'{n_bad} malformed LIBSVM row(s) in {path} (missing qid or '
+          f'bad feature token)')
     nq = lib.rt_libsvm_num_queries(handle)
     features = np.empty((nq, list_size, num_features), np.float32)
     labels = np.empty((nq, list_size), np.float32)

@@ -655,6 +655,7 @@ struct LibsvmRow {
 struct LibsvmData {
   std::vector<std::vector<LibsvmRow>> queries;  // first-seen qid order
   std::vector<std::string> qids;
+  int64_t n_bad = 0;  // rows missing qid / with malformed feature tokens
 };
 
 inline const char* skip_ws(const char* p, const char* end) {
@@ -719,6 +720,11 @@ void* rt_libsvm_parse(const char* buf, int64_t len) {
           qi = it->second;
         }
         data->queries[qi].push_back(std::move(row));
+      } else {
+        // Counted, not dropped silently: the Python loader raises for
+        // these rows, and the fast path must not be laxer (the binding
+        // raises when n_bad > 0).
+        ++data->n_bad;
       }
     }
     p = line_end + 1;
@@ -728,6 +734,10 @@ void* rt_libsvm_parse(const char* buf, int64_t len) {
 
 int64_t rt_libsvm_num_queries(void* handle) {
   return static_cast<LibsvmData*>(handle)->queries.size();
+}
+
+int64_t rt_libsvm_num_bad(void* handle) {
+  return static_cast<LibsvmData*>(handle)->n_bad;
 }
 
 // Fills features [Q, list_size, num_features] (zero default) and labels

@@ -442,9 +442,16 @@ class SimplePipeline:
           break
 
     self.ckpt.wait()
-    # Export latest (and best, tracked inside the manager) params.
+    # Export latest, and — like the reference's latest_model /
+    # best_model_by_metric pair (keras/pipeline.py:634-650) — the
+    # best-by-metric params, which under early stopping are NOT the
+    # final (post-patience) weights.
     train.checkpoint.export_params(
         state, os.path.join(hp.model_dir, 'export', 'latest'))
+    if hp.export_best_model:
+      best_state = self.ckpt.restore_best(state)
+      train.checkpoint.export_params(
+          best_state, os.path.join(hp.model_dir, 'export', 'best'))
     self.final_state = state
     return history
 

@@ -19,7 +19,14 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-  """Latest + best-by-metric checkpointing of a TrainState."""
+  """Latest + best-by-metric checkpointing of a TrainState.
+
+  Two Orbax managers, because a single one cannot express both retention
+  policies at once: with ``best_fn`` set, Orbax's ``max_to_keep`` keeps
+  the best-N and garbage-collects the LATEST checkpoints — a preempted
+  run would silently resume from the old best step, repeating epochs.
+  Here ``<dir>`` keeps the latest N (resume always from the true latest)
+  and ``<dir>/best`` keeps the single best-by-metric (for export)."""
 
   def __init__(self, directory: str, max_to_keep: int = 3,
                best_metric: Optional[str] = None,
@@ -31,9 +38,15 @@ class CheckpointManager:
     self._mgr = ocp.CheckpointManager(
         self.directory,
         options=ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True,
-            best_fn=(lambda m: m[best_metric]) if best_metric else None,
-            best_mode=best_mode))
+            max_to_keep=max_to_keep, create=True))
+    self._best = None
+    if best_metric:
+      self._best = ocp.CheckpointManager(
+          os.path.join(self.directory, 'best'),
+          options=ocp.CheckpointManagerOptions(
+              max_to_keep=1, create=True,
+              best_fn=lambda m: m[best_metric],
+              best_mode=best_mode))
 
   def save(self, state: Any, metrics: Optional[Mapping[str, float]] = None,
            force: bool = False) -> None:
@@ -41,9 +54,14 @@ class CheckpointManager:
     metrics = {k: float(v) for k, v in (metrics or {}).items()}
     self._mgr.save(step, args=ocp.args.StandardSave(_savable(state)),
                    metrics=metrics or None, force=force)
+    if self._best is not None and metrics:
+      self._best.save(step, args=ocp.args.StandardSave(_savable(state)),
+                      metrics=metrics, force=force)
 
   def wait(self) -> None:
     self._mgr.wait_until_finished()
+    if self._best is not None:
+      self._best.wait_until_finished()
 
   def restore(self, state: Any, step: Optional[int] = None) -> Any:
     """Restores into the structure of ``state`` (a freshly-built template)."""
@@ -51,7 +69,26 @@ class CheckpointManager:
       step = self._mgr.latest_step()
     if step is None:
       return state
-    restored = self._mgr.restore(
+    try:
+      restored = self._mgr.restore(
+          step, args=ocp.args.StandardRestore(_savable(state)))
+    except (ValueError, KeyError) as e:
+      raise ValueError(
+          f'Checkpoint at {self.directory} step {step} does not match the '
+          f'current TrainState structure — commonly a sparse/dense '
+          f'optimizer toggle (sparse_opt_state present on one side only). '
+          f'Use a fresh model_dir or the original optimizer. '
+          f'Original error: {e}') from e
+    return _merge(state, restored)
+
+  def restore_best(self, state: Any) -> Any:
+    """Restores the best-by-metric checkpoint (template = ``state``)."""
+    if self._best is None:
+      return state
+    step = self._best.best_step()
+    if step is None:
+      return state
+    restored = self._best.restore(
         step, args=ocp.args.StandardRestore(_savable(state)))
     return _merge(state, restored)
 
@@ -59,11 +96,13 @@ class CheckpointManager:
     return self._mgr.latest_step()
 
   def best_step(self) -> Optional[int]:
-    return self._mgr.best_step()
+    return self._best.best_step() if self._best is not None else None
 
   def close(self) -> None:
-    self._mgr.wait_until_finished()
+    self.wait()
     self._mgr.close()
+    if self._best is not None:
+      self._best.close()
 
 
 def _savable(state: Any) -> Mapping[str, Any]:

@@ -37,7 +37,14 @@ def _build():
       syntax='proto3')
   value = f.message_type.add(name='SummaryValue')
   value.field.add(name='tag', number=1, type=_T.TYPE_STRING)
-  value.field.add(name='simple_value', number=2, type=_T.TYPE_FLOAT)
+  # Explicit presence (synthetic oneof): the real summary.proto declares
+  # simple_value inside a oneof, and TensorBoard gates on
+  # HasField('simple_value') — a plain proto3 float elides 0.0 from the
+  # wire, silently dropping any data point whose value is exactly zero.
+  value.oneof_decl.add(name='_simple_value')
+  value.field.add(name='simple_value', number=2, type=_T.TYPE_FLOAT,
+                  label=_T.LABEL_OPTIONAL, proto3_optional=True,
+                  oneof_index=0)
   summary = f.message_type.add(name='Summary')
   summary.field.add(name='value', number=1, type=_T.TYPE_MESSAGE,
                     label=_T.LABEL_REPEATED,
@@ -62,8 +69,10 @@ class SummaryWriter:
 
   def __init__(self, log_dir: str):
     os.makedirs(log_dir, exist_ok=True)
+    # The pid suffix (as TF's writer uses) keeps two writers created in
+    # the same second on one host from interleaving one event file.
     fname = (f'events.out.tfevents.{int(time.time())}.'
-             f'{socket.gethostname()}')
+             f'{socket.gethostname()}.{os.getpid()}')
     self._path = os.path.join(log_dir, fname)
     self._file = open(self._path, 'ab')
     first = Event()

@@ -317,3 +317,19 @@ def test_prefetch_sentinel_survives_full_queue(tmp_path):
   t.start()
   assert done.wait(timeout=30), 'dataset iterator hung at end of stream'
   assert sum(got) == 6
+
+
+def test_libsvm_native_rejects_malformed_rows(tmp_path):
+  """The native LIBSVM fast path must raise on malformed rows, exactly
+  like the Python loader — not silently drop them."""
+  from ranking_tpu.data import libsvm, native
+  path = str(tmp_path / 'bad.txt')
+  with open(path, 'w') as f:
+    f.write('1 qid:1 1:0.5 2:0.3\n')
+    f.write('2 1:0.1 2:0.2\n')  # missing qid
+  with pytest.raises(ValueError):
+    libsvm.load_libsvm_lists(path, list_size=4, num_features=2,
+                             use_native=False)
+  if native.available():
+    with pytest.raises(ValueError, match='malformed LIBSVM'):
+      native.load_libsvm_lists(path, 4, 2, -1.0)

@@ -314,3 +314,29 @@ def test_encoder_remat_matches_plain():
       lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                               rtol=1e-5, atol=1e-6),
       g_remat, g_plain)
+
+
+def test_wordpiece_bert_basic_tokenization_fidelity():
+  """BERT-convention details: '_' splits as punctuation, accents strip
+  under lowercasing (NFD, drop Mn), CJK splits per character, missing
+  [UNK] raises, and pair truncation pops B on length ties."""
+  from ranking_tpu.data import bert
+  vocab = ['[PAD]', 'foo', 'bar', '[UNK]', '[CLS]', '[SEP]', 'cafe',
+           '今', '天', 'a', 'b', 'c', 'd']
+  tok = bert.WordPieceTokenizer(vocab)
+  foo, bar, unk, cafe = 1, 2, 3, 6
+  # '_' is punctuation to BERT: foo_bar -> foo / _ / bar (the '_' itself
+  # is OOV in this vocab).
+  assert tok.tokenize('foo_bar') == [foo, unk, bar]
+  # Accent stripping: 'café' -> 'cafe'.
+  assert tok.tokenize('café') == [cafe]
+  # CJK ideographs split per character.
+  assert tok.tokenize('今天') == [7, 8]
+  # Missing [UNK] is an error, not a silent fallback to id 0 ([PAD]).
+  import pytest as _pytest
+  with _pytest.raises(ValueError, match='UNK'):
+    bert.WordPieceTokenizer(['[PAD]', '[CLS]', '[SEP]', 'x'])
+  # Tie truncation pops B (reference _truncate_seq_pair: strict > for A).
+  ids, mask, _ = tok.encode_pair('a b c', 'b c d', 8)  # budget 5, tie 3/3
+  a_ids = ids.tolist()[1:ids.tolist().index(tok.sep_id)]
+  assert a_ids == [9, 10, 11]  # A intact; B lost its tail token

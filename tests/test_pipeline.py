@@ -675,3 +675,47 @@ def test_export_vocab_non_utf8_tokens_roundtrip(tmp_path):
   assert back.vocab._map == vocab._map
   assert back.vocab.lookup(b'\xe9\xff\x00binary') == vocab.lookup(
       b'\xe9\xff\x00binary')
+
+
+def test_best_tracking_keeps_latest_for_resume(tmp_path):
+  """Best-by-metric tracking must not garbage-collect the latest
+  checkpoints (regression: Orbax's best_fn retention replaced LatestN,
+  so preemption resume rolled training back to the old best step)."""
+  hp = _hparams(tmp_path, num_epochs=3, export_best_model=True,
+                best_exporter_metric='ndcg@5',
+                best_exporter_metric_higher_better=True)
+  pipe = pipeline.SimplePipeline(_model(), _builder(), hp)
+  pipe.train_and_validate()
+  assert pipe.ckpt.latest_step() == 9
+  # A fresh pipeline resumes from the true latest step, not the best.
+  pipe2 = pipeline.SimplePipeline(
+      _model(), _builder(),
+      _hparams(tmp_path, num_epochs=4, export_best_model=True,
+               best_exporter_metric='ndcg@5',
+               best_exporter_metric_higher_better=True))
+  pipe2.train_and_validate()
+  assert int(pipe2.final_state.step) == 12
+  # Both exports exist: latest (final weights) and best (by metric).
+  assert (tmp_path / 'model' / 'export' / 'latest').exists()
+  assert (tmp_path / 'model' / 'export' / 'best').exists()
+
+
+def test_tensorboard_zero_valued_scalar_survives(tmp_path):
+  """A metric equal to exactly 0.0 must serialize (explicit presence);
+  plain proto3 floats elide zero and TensorBoard drops the point."""
+  from ranking_tpu.utils import tensorboard as tb
+  w = tb.SummaryWriter(str(tmp_path))
+  w.scalars(3, {'loss': 0.0, 'ndcg': 0.5})
+  w.flush()
+  import glob
+  events = glob.glob(str(tmp_path / 'events.out.tfevents.*'))
+  try:
+    import tensorflow as tf
+  except ImportError:
+    return
+  got = {}
+  for rec in tf.compat.v1.train.summary_iterator(events[0]):
+    for v in rec.summary.value:
+      if v.HasField('simple_value'):
+        got[v.tag] = v.simple_value
+  assert got.get('loss') == 0.0 and abs(got['ndcg'] - 0.5) < 1e-6
