@@ -15,9 +15,13 @@ Three kernel families, three measured wins on TPU v5e (PARITY.md):
 
 ``set_enabled`` policy: None (default) = auto — each fast path engages
 on TPU only in its measured-win domain: pairwise at list size >=
-``MIN_LIST_SIZE``, sort within its VMEM domain (L <= 512, gated in
-``utils.list_ops._pallas_sort_ok``). True forces both for any shape
-(incl. interpret mode off-TPU, for tests); False disables.
+``MIN_LIST_SIZE``, sort within its VMEM domain. True forces the
+pairwise/approx kernels for any shape and lifts the sort kernel's
+TPU requirement (interpret mode for tests) — the sort kernel's hard
+VMEM bound (L <= 512, ``utils.list_ops._pallas_sort_ok``) and its
+float-channel requirement still apply even when forced; False
+disables everything. Forcing True off-TPU without interpret mode is
+ignored for the pairwise/approx kernels (no backend to run them on).
 """
 
 from __future__ import annotations
@@ -56,6 +60,12 @@ def enabled(list_size: Optional[int] = None) -> bool:
   when the list size is large enough to win; callers that cannot supply
   a list size get the forced value only."""
   if _ENABLED is not None:
+    if _ENABLED and jax.default_backend() != 'tpu':
+      # Forcing on without a TPU only works in interpret mode (tests);
+      # otherwise fall back rather than crash in Mosaic lowering.
+      from ranking_tpu.ops.pallas import approx as _ax
+      from ranking_tpu.ops.pallas import pairwise as _pw
+      return bool(_pw._INTERPRET or _ax._INTERPRET)
     return _ENABLED
   if list_size is None:
     return False
@@ -104,6 +114,7 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
   lamw = loss.lambda_weight
   lambda_mode, gain, ranks, scale = LAMBDA_NONE, None, None, None
   discount_kind, topn = DISCOUNT_LOG2_INVERSE, 1e9
+  explicit_mask = mask is not None
   if mask is None:
     mask = list_ops.is_label_valid(labels)
   logits = loss.get_logits(logits)
@@ -113,6 +124,13 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
   elif type(lamw) is lw.LabelDiffLambdaWeight:
     lambda_mode = LAMBDA_LABELDIFF
   elif type(lamw) is lw.DCGLambdaWeightV2:
+    if explicit_mask:
+      # The lambda pair gains are zeroed by LABEL-validity pairs in the
+      # jnp path (lambda_weights.py _valid_pairs_and_clean_labels) while
+      # the kernel's pair mask comes from the caller's mask — identical
+      # when the mask IS label validity (the production path passes
+      # mask=None), potentially different otherwise: fall back.
+      return None
     if lamw.rank_discount_fn is fns.log2_inverse:
       discount_kind = DISCOUNT_LOG2_INVERSE
     elif lamw.rank_discount_fn is fns.inverse:
@@ -120,7 +138,9 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
     else:
       return None
     lambda_mode = LAMBDA_DCG_V2
-    clean = jnp.where(mask, labels, 0.0)
+    # pair_weights cleans labels via is_label_valid (lambda_weights.py),
+    # independent of any caller-supplied mask.
+    clean = jnp.where(list_ops.is_label_valid(labels), labels, 0.0)
     gain = lamw.gain_fn(clean)
     ranks = sorting.compute_ranks(logits, mask, key=key).astype(jnp.float32)
     list_size = labels.shape[1]
@@ -134,10 +154,13 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
   else:
     return None
 
-  # normalize_weights: left-item validity-masked weights.
+  # normalize_weights: left-item weights masked by LABEL validity (the
+  # jnp path's semantics, losses.py normalize_weights — is_label_valid,
+  # not the caller's mask, which gates only the pair mask and ranks).
   if weights is None:
     weights = 1.0
-  norm_w = jnp.where(mask, jnp.ones_like(labels) * weights, 0.0)
+  norm_w = jnp.where(list_ops.is_label_valid(labels),
+                     jnp.ones_like(labels) * weights, 0.0)
 
   sums = fused_pairwise_sums(
       labels, logits, mask, norm_w, loss_type,

@@ -142,4 +142,4 @@ def _bwd(residual_logits, ct):
   return (dlog[:b, :l],)
 
 
-approx_ranks_fused.defvjp(lambda logits: _fwd(logits), _bwd)
+approx_ranks_fused.defvjp(_fwd, _bwd)

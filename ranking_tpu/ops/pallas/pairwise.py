@@ -75,8 +75,11 @@ def _loss_and_grad(loss_type: int, d: Array) -> Tuple[Array, Array]:
     return (jnp.maximum(-d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d))),
             -jax.nn.sigmoid(-d))
   if loss_type == LOSS_HINGE:
-    return (jnp.maximum(1.0 - d, 0.0),
-            -(d < 1.0).astype(jnp.float32))
+    # At the hinge point d == 1, jax.grad of jnp.maximum splits the tie
+    # (-0.5); match it exactly so the fused VJP never forks from autodiff.
+    grad = jnp.where(d < 1.0, -1.0,
+                     jnp.where(d == 1.0, -0.5, 0.0)).astype(jnp.float32)
+    return jnp.maximum(1.0 - d, 0.0), grad
   if loss_type == LOSS_SOFT_ZERO_ONE:
     s = jax.nn.sigmoid(-d)
     return s, -s * (1.0 - s)

@@ -37,10 +37,13 @@ def _rank_kernel(scores_ref, mask_ref, vals_ref, ranks_ref, sorted_ref, *,
   msk = mask_ref[:]               # [TB, L] float 0/1
   tb, l = scores.shape
   # Invalid scores -> row min so they can never outrank a valid item on
-  # score; the validity term below settles exact ties.
+  # score; the validity term below settles exact ties. Only the
+  # all-invalid row (min over empty = +inf) needs a finite stand-in; a
+  # -inf row min must stay -inf — replacing it with 0.0 would let
+  # invalid items outrank every negative-scored valid item.
   row_min = jnp.min(jnp.where(msk > 0, scores, jnp.inf), axis=1,
                     keepdims=True)
-  row_min = jnp.where(jnp.isfinite(row_min), row_min, 0.0)
+  row_min = jnp.where(row_min == jnp.inf, 0.0, row_min)
   s = jnp.where(msk > 0, scores, row_min)
 
   pos = jax.lax.broadcasted_iota(jnp.int32, (tb, l), 1)

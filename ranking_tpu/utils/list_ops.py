@@ -87,8 +87,12 @@ def _pallas_sort_ok(scores, features_list) -> bool:
     return False
   if scores.shape[1] > 512:
     return False
+  # Channels travel as float32 through the kernel's permutation matmuls:
+  # exact for floats and for ints < 2^24, but a large int id (doc ids,
+  # hashes) would silently round — keep integer channels on the XLA
+  # gather path.
   return all(
-      f.ndim == 2 and jnp.issubdtype(f.dtype, jnp.number)
+      f.ndim == 2 and jnp.issubdtype(f.dtype, jnp.floating)
       for f in features_list)
 
 

@@ -141,3 +141,51 @@ def test_tile_rows_variants_match(tile_rows, monkeypatch):
   expected = _jnp_loss(loss, labels, logits, weights,
                        Reduction.SUM_BY_NONZERO_WEIGHTS)
   np.testing.assert_allclose(float(got), float(expected), rtol=1e-5)
+
+
+def test_explicit_mask_with_negative_labels_matches_jnp():
+  """The fused path's weight/gain masking uses is_label_valid(labels)
+  (the jnp normalize_weights semantics), not the caller's mask."""
+  labels, logits, weights = _data(seed=9)
+  mask = jnp.ones_like(labels, bool)  # all-true mask; labels have -1s
+  for loss in (losses_lib.PairwiseLogisticLoss(),
+               losses_lib.PairwiseLogisticLoss(
+                   lambda_weight=lw.DCGLambdaWeightV2(
+                       gain_fn=fns.pow_minus_1,
+                       rank_discount_fn=fns.log2_inverse))):
+    fused = loss(labels, logits, weights=weights, mask=mask)
+    pallas_ops.set_enabled(False)
+    try:
+      ref = loss(labels, logits, weights=weights, mask=mask)
+    finally:
+      pallas_ops.set_enabled(True)
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_hinge_gradient_at_boundary_matches_autodiff():
+  """dl/dd at exactly d == 1 must match jax.grad of jnp.maximum (-0.5)."""
+  labels = jnp.asarray([[1.0, 0.0]])
+  logits = jnp.asarray([[1.0, 0.0]])  # the (0,1) pair has d exactly 1.0
+  loss = losses_lib.PairwiseHingeLoss()
+
+  g_fused = jax.grad(lambda s: loss(labels, s))(logits)
+  pallas_ops.set_enabled(False)
+  try:
+    g_ref = jax.grad(lambda s: loss(labels, s))(logits)
+  finally:
+    pallas_ops.set_enabled(True)
+  np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                             rtol=1e-6, atol=1e-7)
+
+
+def test_force_on_cpu_without_interpret_falls_back():
+  """set_enabled(True) off-TPU without interpret mode must not crash —
+  the kernel silently defers to the jnp path."""
+  pk._INTERPRET = False
+  try:
+    labels, logits, weights = _data(seed=3)
+    out = losses_lib.PairwiseLogisticLoss()(labels, logits, weights=weights)
+    assert np.isfinite(float(out))
+  finally:
+    pk._INTERPRET = True

@@ -119,3 +119,15 @@ def test_metric_path_with_pallas_sort_matches(monkeypatch):
                                  err_msg=str(k))
   finally:
     ops.pallas.set_enabled(None)
+
+
+def test_neg_inf_valid_score_keeps_invalid_last():
+  """A -inf VALID score (log-prob outputs) must still outrank padding:
+  the all-invalid-row stand-in must never resurrect -inf row minima."""
+  scores = jnp.asarray([[-1.0, -jnp.inf, -3.0, 0.5]])
+  mask = jnp.asarray([[True, True, True, False]])
+  labels = jnp.asarray([[1.0, 2.0, 3.0, 9.0]])[..., None]
+  sorted_vals, _ = psort.sorted_values_and_ranks(scores, labels, mask=mask)
+  sorted_labels = np.asarray(sorted_vals).reshape(-1)
+  # Valid order by score: -1.0, -3.0, -inf; padding (label 9) last.
+  np.testing.assert_array_equal(sorted_labels, [1.0, 3.0, 2.0, 9.0])
