@@ -86,6 +86,23 @@ def softmax_cross_entropy(label_dist: Array, logits: Array) -> Array:
   return -jnp.sum(label_dist * jax.nn.log_softmax(logits, axis=-1), axis=-1)
 
 
+def _label_distribution(labels: Array, mask: Optional[Array]):
+  """Masked per-list label distribution with the reference's EPSILON
+  padding for all-zero lists (losses_impl.py:1122-1137); shared by the
+  softmax-family losses. Returns ``(label_dist, label_sum)``."""
+  if mask is None:
+    mask = list_ops.is_label_valid(labels)
+  label_sum = jnp.sum(labels, axis=1, keepdims=True)
+  nonzero = label_sum > 0.0
+  padded_labels = jnp.where(nonzero, labels, EPSILON)
+  padded_labels = jnp.where(mask, padded_labels, 0.0)
+  padded_sum = jnp.sum(padded_labels, axis=1, keepdims=True)
+  label_dist = jnp.where(padded_sum > 0,
+                         padded_labels / jnp.maximum(padded_sum, 1e-38),
+                         0.0)
+  return label_dist, label_sum
+
+
 @dataclasses.dataclass(frozen=True)
 class RankingLoss:
   """Base ranking loss; see module docstring."""
@@ -343,16 +360,7 @@ class SoftmaxLoss(_ListwiseLoss):
     return labels, logits
 
   def unreduced(self, labels, logits, mask=None, key=None):
-    if mask is None:
-      mask = list_ops.is_label_valid(labels)
-    label_sum = jnp.sum(labels, axis=1, keepdims=True)
-    nonzero = label_sum > 0.0
-    padded_labels = jnp.where(nonzero, labels, EPSILON)
-    padded_labels = jnp.where(mask, padded_labels, 0.0)
-    padded_sum = jnp.sum(padded_labels, axis=1, keepdims=True)
-    label_dist = jnp.where(padded_sum > 0,
-                           padded_labels / jnp.maximum(padded_sum, 1e-38),
-                           0.0)
+    label_dist, label_sum = _label_distribution(labels, mask)
     losses = softmax_cross_entropy(label_dist, logits)
     return losses, jnp.reshape(label_sum, (-1,))
 
@@ -455,16 +463,7 @@ class PolyOneSoftmaxLoss(SoftmaxLoss):
   epsilon: float = 1.0
 
   def unreduced(self, labels, logits, mask=None, key=None):
-    if mask is None:
-      mask = list_ops.is_label_valid(labels)
-    label_sum = jnp.sum(labels, axis=1, keepdims=True)
-    nonzero = label_sum > 0.0
-    padded_labels = jnp.where(nonzero, labels, EPSILON)
-    padded_labels = jnp.where(mask, padded_labels, 0.0)
-    padded_sum = jnp.sum(padded_labels, axis=1, keepdims=True)
-    label_dist = jnp.where(padded_sum > 0,
-                           padded_labels / jnp.maximum(padded_sum, 1e-38),
-                           0.0)
+    label_dist, label_sum = _label_distribution(labels, mask)
     pt = jnp.sum(label_dist * jax.nn.softmax(logits, axis=-1), axis=-1)
     ce = softmax_cross_entropy(label_dist, logits)
     return ce + self.epsilon * (1.0 - pt), jnp.reshape(label_sum, (-1,))

@@ -79,6 +79,12 @@ def build_metric(
   if metric_key not in builders:
     raise ValueError(f'Invalid metric_key: {metric_key!r}. '
                      f'Valid keys: {RankingMetricKey.all_keys()}')
+  if metric_key in (RankingMetricKey.ARP,
+                    RankingMetricKey.ORDERED_PAIR_ACCURACY):
+    # Full-list metrics: the reference factory accepts-and-ignores topn
+    # for these keys (python/metrics.py); the metric classes themselves
+    # raise if constructed with one directly.
+    return builders[metric_key](name=name)
   return builders[metric_key](name=name, topn=topn)
 
 

@@ -144,6 +144,12 @@ class HitsMetric(RankingMetric):
 class ARPMetric(RankingMetric):
   """Average relevance position (metrics_impl.py:509-536)."""
 
+  def __post_init__(self):
+    if self.topn is not None:
+      # The reference never exposes a cutoff on ARP; accepting one and
+      # ignoring it would be a silent no-op parameter.
+      raise ValueError('ARP has no topn cutoff (full-list metric)')
+
   def compute(self, labels, predictions, weights, mask, key=None):
     list_size = predictions.shape[1]
     sorted_labels, sorted_weights = list_ops.sort_by_scores(
@@ -226,8 +232,12 @@ class NDCGMetric(RankingMetric):
     dcg = discounted_cumulative_gain(
         sorted_labels, sorted_weights, self.gain_fn, self.rank_discount_fn)
     weighted_gains = weights * self.gain_fn(labels)
+    # Independent tie-shuffle for the ideal sort: reusing `key` would
+    # correlate numerator and denominator tie-breaks.
+    ideal_key = None if key is None else jax.random.split(key)[1]
     ideal_labels, ideal_weights = list_ops.sort_by_scores(
-        weighted_gains, [labels, weights], topn=self.topn, mask=mask, key=key)
+        weighted_gains, [labels, weights], topn=self.topn, mask=mask,
+        key=ideal_key)
     ideal_dcg = discounted_cumulative_gain(
         ideal_labels, ideal_weights, self.gain_fn, self.rank_discount_fn)
     per_list_ndcg = _div_no_nan(dcg, ideal_dcg)
@@ -256,6 +266,10 @@ class DCGMetric(RankingMetric):
 @dataclasses.dataclass(frozen=True)
 class OPAMetric(RankingMetric):
   """Ordered pair accuracy (metrics_impl.py:708-743)."""
+
+  def __post_init__(self):
+    if self.topn is not None:
+      raise ValueError('OPA has no topn cutoff (all-pairs metric)')
 
   def compute(self, labels, predictions, weights, mask, key=None):
     valid_pair = mask[:, :, None] & mask[:, None, :]
@@ -387,5 +401,20 @@ class PWAMetric(RankingMetric):
     pwa = _div_no_nan(
         jnp.sum(sorted_labels * masked_pw, axis=1, keepdims=True),
         jnp.sum(masked_pw, axis=1, keepdims=True))
-    per_list_weights = jnp.mean(weights, axis=1, keepdims=True)
+    per_list_weights = weights[:, :1]
     return pwa, per_list_weights
+
+  def __call__(self, labels, predictions, weights=None, mask=None,
+               key=None):
+    # The reference validates PWA weights are per-list [batch_size, 1]
+    # (metrics_impl.py:901-965 raises); silently averaging per-example
+    # weights would diverge without a diagnostic. Static shape check,
+    # before the base prepare broadcasts to [B, L].
+    if weights is not None:
+      shape = jnp.shape(weights)
+      if len(shape) >= 2 and shape[-1] != 1:
+        raise ValueError(
+            'PWA weights must be per-list [batch_size, 1] '
+            f'(got shape {shape})')
+    return super().__call__(labels, predictions, weights=weights,
+                            mask=mask, key=key)
