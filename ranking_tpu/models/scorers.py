@@ -107,9 +107,17 @@ class GAMScorer(nn.Module):
   @nn.compact
   def __call__(self, context: FeatureDict, examples: FeatureDict,
                mask: Array, training: bool = False) -> Array:
+    from ranking_tpu.utils import list_ops
     batch, list_size = mask.shape
+    # Circularly pad invalid slots with valid rows (the FlattenList trick,
+    # keras/model.py:713-777) so padding garbage never reaches the
+    # batch-norm statistics of the per-feature towers; padded positions'
+    # scores are discarded by the output mask regardless.
+    gather_idx, _ = list_ops.padded_gather_indices(mask)
     example_inputs = [
-        examples[name].reshape(batch, list_size, -1).astype(jnp.float32)
+        jnp.take_along_axis(
+            examples[name].reshape(batch, list_size, -1).astype(jnp.float32),
+            gather_idx[:, :, None], axis=1)
         for name in sorted(examples)
     ]
     context_inputs = [
@@ -206,27 +214,29 @@ class EmbeddingDNNScorer(nn.Module):
   dropout: float = 0.5
   dtype: Any = jnp.float32
 
-  def _encode(self, name: str, ids: Array) -> Array:
+  def _encoder(self, name: str):
     from ranking_tpu.models import embeddings as emb_lib
     vocab = dict(self.vocab_sizes or {})[name]
     if self.mesh is not None:
       from ranking_tpu.parallel import embedding as sharded_emb
-      enc = sharded_emb.ShardedEmbeddingEncoder(
+      return sharded_emb.ShardedEmbeddingEncoder(
           vocab_size=vocab, embedding_dim=self.embedding_dim, mesh=self.mesh,
           combiner=self.combiner, name=f'embed_{name}')
-    else:
-      enc = emb_lib.EmbeddingEncoder(
-          vocab_size=vocab, embedding_dim=self.embedding_dim,
-          combiner=self.combiner, name=f'embed_{name}')
-    return enc(ids)
+    return emb_lib.EmbeddingEncoder(
+        vocab_size=vocab, embedding_dim=self.embedding_dim,
+        combiner=self.combiner, name=f'embed_{name}')
 
   @nn.compact
   def __call__(self, context: FeatureDict, examples: FeatureDict,
                mask: Array, training: bool = False) -> Array:
     vocabs = dict(self.vocab_sizes or {})
-    context = {k: (self._encode(k, v) if k in vocabs else v)
+    # One encoder module per vocab name, shared across context AND
+    # examples — a feature present in both groups shares one table
+    # (two submodules with the same name would fail to build).
+    encs = {name: self._encoder(name) for name in sorted(vocabs)}
+    context = {k: (encs[k](v) if k in vocabs else v)
                for k, v in context.items()}
-    examples = {k: (self._encode(k, v) if k in vocabs else v)
+    examples = {k: (encs[k](v) if k in vocabs else v)
                 for k, v in examples.items()}
     return DNNScorer(
         hidden_layer_dims=self.hidden_layer_dims,
@@ -275,6 +285,8 @@ class MultiTaskScorer(nn.Module):
           dropout=self.dropout,
           dtype=self.dtype)
     logits = scorer(context, examples, mask, training=training)
+    if logits.ndim == 2:  # a 1-unit body returns [B, L]
+      logits = logits[..., None]
     return {name: logits[:, :, i]
             for i, name in enumerate(self.task_names)}
 
@@ -291,7 +303,10 @@ class RankingModel(nn.Module):
   transform_name: str = 'none'  # 'none' | 'log1p'
 
   def _transform(self, t: Array) -> Array:
-    if self.transform_name == 'log1p':
+    # Dense (floating) features only: integer token ids must pass through
+    # untouched or downstream embedding lookups break.
+    if (self.transform_name == 'log1p'
+        and jnp.issubdtype(jnp.asarray(t).dtype, jnp.floating)):
       return jnp.log1p(jnp.abs(t)) * jnp.sign(t)
     return t
 

@@ -247,8 +247,16 @@ def make_loss_metric_fn(
     predictions = jnp.asarray(predictions, jnp.float32)
     weights = None
     if weights_feature_name:
+      if features is None or weights_feature_name not in features:
+        raise ValueError(
+            f'features must contain {weights_feature_name!r}.')
       weights = list_ops.reshape_to_2d(
           jnp.asarray(features[weights_feature_name], jnp.float32))
+    if isinstance(loss_obj, losses_lib.CalibratedSoftmaxLoss):
+      # The virtual-anchor augmentation lives in per_list/__call__;
+      # going through precompute/unreduced directly would silently score
+      # plain softmax — a different objective than the one trained.
+      return loss_obj.per_list(labels, predictions, weights=weights)
     if isinstance(loss_obj, losses_lib.SoftmaxLoss):
       logits = loss_obj.get_logits(predictions)
       mask = list_ops.is_label_valid(labels)

@@ -6,6 +6,7 @@ import numpy as np
 
 from ranking_tpu.models import (
     DINScorer,
+    EmbeddingDNNScorer,
     DNNScorer,
     GAMScorer,
     GroupwiseDNNScorer,
@@ -265,3 +266,74 @@ def test_gam_layer_context_weights_broadcast_over_list():
   scores, sub = gam.apply(variables, ex, ctx)
   assert scores.shape == (3, 5, 1)
   assert sub.shape == (3, 5, 2)
+
+
+def test_multi_task_scorer_single_task():
+  """A one-task list must build (the 1-unit body returns [B, L])."""
+  scorer = MultiTaskScorer(task_names=('click',),
+                                  hidden_layer_dims=(4,),
+                                  dropout=0.0, use_batch_norm=False)
+  logits, _ = _run_scorer(scorer)
+  assert set(logits) == {'click'}
+  assert logits['click'].shape == (B, L)
+
+
+def test_ranking_model_log1p_skips_integer_features():
+  """transform_name='log1p' must leave token-id features intact so
+  embedding lookups still work (the web30k dense transform + sparse
+  tokens combo)."""
+  model = RankingModel(
+      scorer=EmbeddingDNNScorer(
+          hidden_layer_dims=(4,), vocab_sizes={'tok': 10},
+          embedding_dim=2, dropout=0.0, use_batch_norm=False),
+      transform_name='log1p')
+  rng = np.random.RandomState(0)
+  examples = {'tok': jnp.asarray(rng.randint(-1, 10, size=(2, 3, 4)),
+                                 jnp.int32),
+              'dense': jnp.asarray(rng.randn(2, 3, 2).astype(np.float32))}
+  mask = jnp.ones((2, 3), bool)
+  variables = model.init(jax.random.PRNGKey(0), {}, examples, mask)
+  out = model.apply(variables, {}, examples, mask)
+  assert out.shape == (2, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_embedding_scorer_shared_vocab_context_and_examples():
+  """A vocab feature name in BOTH context and examples shares one table."""
+  scorer = EmbeddingDNNScorer(
+      hidden_layer_dims=(4,), vocab_sizes={'tok': 12}, embedding_dim=2,
+      dropout=0.0, use_batch_norm=False)
+  rng = np.random.RandomState(1)
+  ctx = {'tok': jnp.asarray(rng.randint(0, 12, size=(2, 3)), jnp.int32)}
+  ex = {'tok': jnp.asarray(rng.randint(0, 12, size=(2, 3, 4)), jnp.int32)}
+  mask = jnp.ones((2, 3), bool)
+  variables = scorer.init(jax.random.PRNGKey(0), ctx, ex, mask)
+  tables = [p for p in jax.tree_util.tree_flatten_with_path(variables)[0]
+            if 'embed_tok' in '/'.join(str(getattr(q, 'key', q))
+                                       for q in p[0])]
+  assert len(tables) == 1  # one shared table, not two submodules
+  out = scorer.apply(variables, ctx, ex, mask)
+  assert out.shape == (2, 3)
+
+
+def test_gam_scorer_bn_stats_ignore_padding():
+  """Padded-slot features must not leak into GAM tower BN statistics."""
+  scorer = GAMScorer(example_hidden_layer_dims=(4,),
+                            use_batch_norm=True, dropout=0.0)
+  rng = np.random.RandomState(2)
+  x = rng.randn(2, 3, 2).astype(np.float32)
+  mask = jnp.asarray([[True, True, False], [True, True, True]])
+
+  def run(pad_value):
+    xs = x.copy()
+    xs[0, 2, :] = pad_value
+    examples = {'f': jnp.asarray(xs)}
+    variables = scorer.init(jax.random.PRNGKey(0), {}, examples, mask,
+                            training=False)
+    out, _ = scorer.apply(variables, {}, examples, mask, training=True,
+                          mutable=['batch_stats'],
+                          rngs={'dropout': jax.random.PRNGKey(1)})
+    return np.asarray(out)
+
+  a, b = run(0.0), run(1000.0)
+  np.testing.assert_allclose(a[np.asarray(mask)], b[np.asarray(mask)],
+                             rtol=1e-5, atol=1e-6)
