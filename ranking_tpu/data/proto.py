@@ -149,9 +149,12 @@ def make_example(features: dict) -> 'Example':
   for name, values in features.items():
     if not isinstance(values, (list, tuple)):
       values = [values]
-    feat = ex.features.feature[name]
     if not values:
+      # Skip BEFORE touching the map: the [] access would create a
+      # present-but-kindless Feature, which strict parsers treat
+      # differently from an absent key.
       continue
+    feat = ex.features.feature[name]
     v0 = values[0]
     if isinstance(v0, bytes):
       feat.bytes_list.value.extend(values)

@@ -85,6 +85,11 @@ class TransformerEncoder(nn.Module):
           f'sequence length {ids.shape[-1]} exceeds max_len '
           f'{self.max_len} (position table size); re-tokenize or raise '
           f'max_len')
+    if segment_ids is not None and not self.type_vocab_size:
+      raise ValueError(
+          'segment_ids were provided but type_vocab_size is 0 — the '
+          'segment information would be silently dropped; set '
+          'type_vocab_size (BERT uses 2) or remove the feature')
     mask = (ids >= 0) if attn_mask is None else (attn_mask > 0)
     safe = jnp.where(mask & (ids >= 0), ids, 0)
     x = nn.Embed(self.vocab_size, self.hidden_dim, name='token_embed',
@@ -134,11 +139,16 @@ class EncoderScorer(nn.Module):
     ids = examples[self.ids_feature_name]
     batch, list_size, seq_len = ids.shape
     flat = ids.reshape(batch * list_size, seq_len)
+    # Forward optional BERT features only to encoders that accept them —
+    # the documented swap contract is just (ids, attn_mask) -> pooled.
+    import inspect
+    accepted = inspect.signature(type(self.encoder).__call__).parameters
     kwargs = {}
-    if self.mask_feature_name in examples:
+    if self.mask_feature_name in examples and 'attn_mask' in accepted:
       kwargs['attn_mask'] = examples[self.mask_feature_name].reshape(
           batch * list_size, seq_len)
-    if self.segment_feature_name in examples:
+    if (self.segment_feature_name in examples
+        and 'segment_ids' in accepted):
       kwargs['segment_ids'] = examples[self.segment_feature_name].reshape(
           batch * list_size, seq_len)
     pooled = self.encoder(flat, training=training, **kwargs)
@@ -150,22 +160,33 @@ class EncoderScorer(nn.Module):
 
 def warm_start_from(params: Mapping[str, Any],
                     pretrained: Mapping[str, Array],
-                    verbose: bool = False) -> Dict[str, Any]:
+                    verbose: bool = False,
+                    strict: bool = False) -> Dict[str, Any]:
   """Overlays pretrained arrays onto a param tree by '/'-joined path suffix.
 
-  Shapes must match; unmatched params keep their fresh initialization —
-  the same partial-restore contract as TFR-BERT's encoder warm start
-  (tfrbert_task.py:346-361).
+  Matches respect path boundaries ('LayerNorm_0/scale' never matches
+  'block_0/LayerNorm_0/scale'-keyed params unless no longer name does)
+  and prefer the LONGEST matching pretrained name — first-match-wins over
+  plain endswith silently overlaid the wrong tensor whenever one
+  pretrained name was a suffix of another's path. Shapes must match;
+  unmatched params keep their fresh initialization — the same
+  partial-restore contract as TFR-BERT's encoder warm start
+  (tfrbert_task.py:346-361). ``strict=True`` additionally raises if any
+  pretrained entry went unused (the assert_existing_objects_matched
+  analog).
   """
   flat = jax.tree_util.tree_flatten_with_path(dict(params))
   leaves, treedef = flat
+  # Longest name first: the most specific suffix wins.
+  by_len = sorted(pretrained.items(), key=lambda kv: -len(kv[0]))
   out = []
   used = set()
   for path, leaf in leaves:
     key = '/'.join(str(getattr(p, 'key', p)) for p in path)
     match = None
-    for name, value in pretrained.items():
-      if key.endswith(name) and value.shape == leaf.shape:
+    for name, value in by_len:
+      boundary_ok = key == name or key.endswith('/' + name)
+      if boundary_ok and value.shape == leaf.shape:
         match = (name, value)
         break
     if match:
@@ -175,4 +196,11 @@ def warm_start_from(params: Mapping[str, Any],
         print(f'warm-start: {key} <- {match[0]}')
     else:
       out.append(leaf)
+  unused = set(pretrained) - used
+  if unused:
+    if strict:
+      raise ValueError(f'unused pretrained entries: {sorted(unused)}')
+    if verbose:
+      print(f'warm-start: {len(unused)} pretrained entries unused: '
+            f'{sorted(unused)[:5]}...')
   return jax.tree_util.tree_unflatten(treedef, out)

@@ -338,6 +338,11 @@ class GAMLayer(nn.Module):
       raise ValueError(
           f'Expected {self.example_feature_num} example features, got '
           f'{len(example_inputs)}.')
+    if len(context_inputs) != self.context_feature_num:
+      raise ValueError(
+          f'Expected {self.context_feature_num} context features, got '
+          f'{len(context_inputs)} — set context_feature_num (0 means the '
+          f'context weighting towers are disabled).')
     sub_scores = []
     for i, feat in enumerate(example_inputs):
       tower = Tower(
@@ -393,8 +398,14 @@ class Bilinear(nn.Module):
   @nn.compact
   def __call__(self, x: Array, y: Array) -> Array:
     dx, dy = x.shape[-1], y.shape[-1]
+    # The einsum contracts BOTH feature axes (Dx*Dy terms per output), so
+    # fan-in must cover them jointly — lecun_normal's default in_axis=-2
+    # would read fan-in off the output_units axis and blow init variance
+    # up by ~Dy (the reference uses glorot over the 3-D weight).
     kernel = self.param(
-        'bilinear_kernel', nn.initializers.lecun_normal(),
+        'bilinear_kernel',
+        nn.initializers.variance_scaling(1.0, 'fan_in', 'truncated_normal',
+                                         in_axis=(0, 2), out_axis=1),
         (dx, self.output_units, dy), jnp.float32)
     bias = self.param('bias', nn.initializers.zeros,
                       (self.output_units,), jnp.float32)
