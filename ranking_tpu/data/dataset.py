@@ -207,6 +207,17 @@ def build_ranking_dataset(
   if list_size is None and batch_size > 1:
     raise ValueError('list_size must be set for batched parsing (static '
                      'shapes are required on TPU)')
+  if shuffle_examples and data_format not in (
+      'example_list_with_context', 'example_in_example'):
+    raise ValueError(
+        f'shuffle_examples is not supported for {data_format!r} '
+        '(the parser has no within-list shuffle); it would be a silent '
+        'no-op')
+  if pad_final_batch and drop_remainder:
+    raise ValueError(
+        'pad_final_batch=True with drop_remainder=True is contradictory: '
+        'the partial batch would be dropped before padding could apply; '
+        'pass drop_remainder=False')
   rng = np.random.RandomState(seed)
   parse_fn = PARSER_FNS[data_format]
 
@@ -215,6 +226,8 @@ def build_ranking_dataset(
   if shuffle:
     stream = _shuffled(stream, shuffle_buffer_size, rng)
   batches = _batched(stream, batch_size, drop_remainder)
+
+  warned_fallback = [False]
 
   def _native_parse(records: List[bytes]):
     """C++ fast path for plain ELWC batches (data/native/decoder.cc);
@@ -230,7 +243,16 @@ def build_ranking_dataset(
       return native.decode_elwc_batch(
           records, list_size, context_feature_spec, example_feature_spec,
           data_format=data_format)
-    except (ValueError, RuntimeError):
+    except (ValueError, RuntimeError) as e:
+      # Capability fallback to the (strict, authoritative) Python parser.
+      # Warn once: a silent per-batch fallback would hide both strictness
+      # divergence and a permanent ~10x input-pipeline slowdown.
+      if not warned_fallback[0]:
+        warned_fallback[0] = True
+        import warnings
+        warnings.warn(
+            f'native decode fell back to the Python parser: {e!r} '
+            f'(reported once; subsequent batches fall back silently)')
       return None
 
   def _parse(records: List[bytes],
@@ -257,7 +279,7 @@ def build_ranking_dataset(
   with concurrent.futures.ThreadPoolExecutor(num_parser_threads) as pool:
     # Bounded queue: the filler blocks once ``prefetch_batches`` parses are
     # in flight, so the raw-record stream is consumed lazily.
-    pending: 'queue.Queue' = queue.Queue(maxsize=prefetch_batches)
+    pending: 'queue.Queue' = queue.Queue(maxsize=max(1, prefetch_batches))
     it = iter(batches)
     stop = threading.Event()  # consumer abandoned the generator
 
@@ -274,9 +296,13 @@ def build_ranking_dataset(
       return False
 
     def _fill():
+      # Stream errors (corrupt TFRecord, IO failure) must surface in the
+      # consumer, not turn into a clean end-of-stream that silently
+      # truncates the dataset: enqueue the exception itself.
+      sentinel = None
       try:
         for recs in it:
-          seed = (int(rng.randint(1 << 31))
+          seed = (int(rng.randint((1 << 31) - 1))
                   if shuffle_examples else None)
           try:
             fut = pool.submit(_parse, recs, seed)
@@ -284,8 +310,10 @@ def build_ranking_dataset(
             return  # pool shut down: consumer abandoned the generator
           if not _offer(fut):
             return
+      except BaseException as e:  # noqa: B036 — re-raised in the consumer
+        sentinel = e
       finally:
-        _offer(None)
+        _offer(sentinel)
 
     filler = threading.Thread(target=_fill, daemon=True)
     filler.start()
@@ -294,6 +322,8 @@ def build_ranking_dataset(
         item = pending.get()
         if item is None:
           return
+        if isinstance(item, BaseException):
+          raise item
         yield item.result()
     finally:
       stop.set()

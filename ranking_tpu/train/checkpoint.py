@@ -13,7 +13,6 @@ import json
 import os
 from typing import Any, Mapping, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -55,6 +54,12 @@ class CheckpointManager:
     self._mgr.save(step, args=ocp.args.StandardSave(_savable(state)),
                    metrics=metrics or None, force=force)
     if self._best is not None and metrics:
+      if self.best_metric not in metrics:
+        # Fail here with a clear message — Orbax's best_fn would raise a
+        # bare KeyError later, possibly from the async retention path.
+        raise ValueError(
+            f'best_metric {self.best_metric!r} missing from save metrics '
+            f'{sorted(metrics)}')
       self._best.save(step, args=ocp.args.StandardSave(_savable(state)),
                       metrics=metrics, force=force)
 

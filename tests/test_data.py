@@ -333,3 +333,42 @@ def test_libsvm_native_rejects_malformed_rows(tmp_path):
   if native.available():
     with pytest.raises(ValueError, match='malformed LIBSVM'):
       native.load_libsvm_lists(path, 4, 2, -1.0)
+
+
+def test_dataset_flag_conflicts_raise(tmp_path):
+  recs = [_elwc_bytes({}, [{'f': [1.0], 'rel': [1]}])]
+  path = str(tmp_path / 'c.tfrecord')
+  tfrecord.write_records(path, recs)
+  spec = {'f': FixedLenFeature(shape=(1,), dtype='float32',
+                               default_value=0.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  with pytest.raises(ValueError, match='shuffle_examples'):
+    next(iter(build_ranking_dataset(
+        path, data_format='sequence_example', batch_size=1,
+        context_feature_spec={}, example_feature_spec=spec,
+        label_feature_name='rel', list_size=2, epochs=1,
+        shuffle_examples=True)))
+  with pytest.raises(ValueError, match='pad_final_batch'):
+    next(iter(build_ranking_dataset(
+        path, data_format='example_list_with_context', batch_size=2,
+        context_feature_spec={}, example_feature_spec=spec,
+        label_feature_name='rel', list_size=2, epochs=1,
+        pad_final_batch=True, drop_remainder=True)))
+
+
+def test_dataset_stream_error_propagates(tmp_path):
+  """A corrupt TFRecord mid-stream raises in the consumer — it must not
+  become a silent clean end-of-stream (data truncation)."""
+  recs = [_elwc_bytes({}, [{'f': [1.0], 'rel': [1]}]) for _ in range(2)]
+  path = str(tmp_path / 'trunc.tfrecord')
+  tfrecord.write_records(path, recs)
+  with open(path, 'ab') as f:
+    f.write(b'\x99' * 7)  # truncated trailing record header
+  spec = {'f': FixedLenFeature(shape=(1,), dtype='float32',
+                               default_value=0.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  with pytest.raises(Exception):
+    list(build_ranking_dataset(
+        path, data_format='example_list_with_context', batch_size=1,
+        context_feature_spec={}, example_feature_spec=spec,
+        label_feature_name='rel', list_size=2, epochs=1, shuffle=False))
