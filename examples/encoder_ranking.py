@@ -78,14 +78,16 @@ def main():
         yield RankingBatch(context={}, examples={'input_ids': fused},
                            labels=b.labels, mask=b.mask)
 
-  builder = BertInputBuilder(
-      context_spec, example_spec,
-      pipeline.DatasetHparams(
-          train_input_pattern=args.train_pattern,
-          valid_input_pattern=args.valid_pattern,
-          train_batch_size=args.batch_size,
-          valid_batch_size=args.batch_size,
-          list_size=args.list_size))
+  builder = None
+  if not args.init_checkpoint:
+    builder = BertInputBuilder(
+        context_spec, example_spec,
+        pipeline.DatasetHparams(
+            train_input_pattern=args.train_pattern,
+            valid_input_pattern=args.valid_pattern,
+            train_batch_size=args.batch_size,
+            valid_batch_size=args.batch_size,
+            list_size=args.list_size))
 
   if args.init_checkpoint:
     # Pretrained-BERT mode (tfrbert_task.py:346-361 analog): encoder
@@ -114,52 +116,62 @@ def main():
         def _load(self, path):
           import glob as _glob
           lists = []
+          ls = args.list_size
           for fp in sorted(_glob.glob(path)):
             for rec in tfrecord.read_records(fp):
               elwc = proto.ExampleListWithContext()
               elwc.ParseFromString(rec)
               docs, rels, query = [], [], ''
-              for ex in elwc.examples[:args.list_size]:
+              for ex in elwc.examples[:ls]:
                 f = ex.features.feature
                 query = (f['query'].bytes_list.value or [b''])[0].decode()
                 docs.append(
                     (f['document'].bytes_list.value or [b''])[0].decode())
                 rel = f['relevance'].int64_list.value
                 rels.append(float(rel[0]) if rel else 0.0)
-              lists.append((query, docs, rels))
+              if not docs:
+                continue  # an empty list has nothing to rank (or stack)
+              # Tokenize ONCE at load — per-epoch WordPiece over the whole
+              # corpus would dominate step feed time.
+              ids = np.zeros((ls, seq_len), np.int32)
+              ams = np.zeros_like(ids)
+              segs = np.zeros_like(ids)
+              labels = np.full((ls,), -1.0, np.float32)
+              i, m, sg = bert.encode_query_documents(
+                  tokenizer, query, docs, seq_len)
+              ids[:len(docs)] = i
+              ams[:len(docs)] = m
+              segs[:len(docs)] = sg
+              labels[:len(rels)] = rels
+              lists.append((ids, ams, segs, labels))
           return lists
 
-        def _batches(self, lists, epochs):
-          ls = args.list_size
+        def _batches(self, lists, epochs, shuffle=True):
+          rng = np.random.RandomState(11)
           epoch = 0
           while epochs is None or epoch < epochs:
             epoch += 1
+            order = (rng.permutation(len(lists)) if shuffle
+                     else np.arange(len(lists)))
             for start in range(0, len(lists), args.batch_size):
-              chunk = lists[start:start + args.batch_size]
-              if len(chunk) < args.batch_size:
+              sel = order[start:start + args.batch_size]
+              if len(sel) < args.batch_size:
                 continue
-              ids = np.zeros((len(chunk), ls, seq_len), np.int32)
-              ams = np.zeros_like(ids)
-              segs = np.zeros_like(ids)
-              labels = np.full((len(chunk), ls), -1.0, np.float32)
-              for bi, (q, docs, rels) in enumerate(chunk):
-                i, m, sg = bert.encode_query_documents(
-                    tokenizer, q, docs, seq_len)
-                ids[bi, :len(docs)] = i
-                ams[bi, :len(docs)] = m
-                segs[bi, :len(docs)] = sg
-                labels[bi, :len(rels)] = rels
+              chunk = [lists[j] for j in sel]
               yield RankingBatch(
                   context={},
-                  examples={'input_ids': ids, 'input_mask': ams,
-                            'segment_ids': segs},
-                  labels=labels, mask=labels >= 0)
+                  examples={
+                      'input_ids': np.stack([c[0] for c in chunk]),
+                      'input_mask': np.stack([c[1] for c in chunk]),
+                      'segment_ids': np.stack([c[2] for c in chunk])},
+                  labels=np.stack([c[3] for c in chunk]),
+                  mask=np.stack([c[3] for c in chunk]) >= 0)
 
         def train_batches(self):
           return self._batches(self._load(self.train), None)
 
         def valid_batches(self):
-          return self._batches(self._load(self.valid), 1)
+          return self._batches(self._load(self.valid), 1, shuffle=False)
 
       builder = TokenizingBuilder(args.train_pattern, args.valid_pattern)
     else:

@@ -54,7 +54,7 @@ def parse_args():
 
 def main():
   args = parse_args()
-  from ranking_tpu import models, ops, parallel, pipeline
+  from ranking_tpu import models, parallel, pipeline
   from ranking_tpu.data import FixedLenFeature, VarLenFeature, Vocabulary
 
   vocab = Vocabulary(args.vocab_file) if args.vocab_file else None
@@ -77,15 +77,31 @@ def main():
     # Tables pad themselves to the model axis; any vocab size works.
     mesh = parallel.make_mesh(model=args.mesh_model)
 
-  model = models.RankingModel(
-      scorer=models.EmbeddingDNNScorer(
-          hidden_layer_dims=tuple(
-              int(h) for h in args.hidden_layer_dims.split(',')),
-          vocab_sizes={'query_tokens': vocab_size,
-                       'document_tokens': vocab_size},
-          embedding_dim=args.embedding_dim,
-          mesh=mesh,
-          dropout=0.5))
+  scorer = models.EmbeddingDNNScorer(
+      hidden_layer_dims=tuple(
+          int(h) for h in args.hidden_layer_dims.split(',')),
+      vocab_sizes={'query_tokens': vocab_size,
+                   'document_tokens': vocab_size},
+      embedding_dim=args.embedding_dim,
+      mesh=mesh,
+      dropout=0.5)
+  if args.weights_feature:
+    # The IPW weight reaches ONLY the loss: feeding it to the scorer
+    # would leak logged-position information into the relevance model
+    # (defeating the unbiased-LTR point) and skew train vs serve.
+    import flax.linen as nn
+
+    class _DropWeightFeature(nn.Module):
+      inner: models.scorers.nn.Module
+      drop: str
+
+      @nn.compact
+      def __call__(self, context, examples, mask, training=False):
+        examples = {k: v for k, v in examples.items() if k != self.drop}
+        return self.inner(context, examples, mask, training=training)
+
+    scorer = _DropWeightFeature(inner=scorer, drop=args.weights_feature)
+  model = models.RankingModel(scorer=scorer)
 
   builder = pipeline.SimpleDatasetBuilder(
       context_spec, example_spec,
@@ -105,16 +121,15 @@ def main():
       learning_rate=args.learning_rate,
       loss=args.loss,
       optimizer=args.optimizer,
+      # mesh_model must reach the hparams too: it selects the sharded-
+      # table-safe sparse update path (dma_scatter) for lazy_adam.
+      mesh_model=args.mesh_model,
+      weights_feature_name=args.weights_feature or None,
       export_best_model=True,
       best_exporter_metric='ndcg@5',
       best_exporter_metric_higher_better=True)
 
-  loss_fn = None
-  if args.weights_feature:
-    loss_fn = ops.make_loss_fn(
-        args.loss, weights_feature_name=args.weights_feature)
-  pipe = pipeline.SimplePipeline(model, builder, hparams, loss_fn=loss_fn,
-                                 mesh=mesh)
+  pipe = pipeline.SimplePipeline(model, builder, hparams, mesh=mesh)
   history = pipe.train_and_validate(verbose=True)
   print('final:', {k: round(v, 4) for k, v in history.items()})
 

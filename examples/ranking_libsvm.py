@@ -106,6 +106,10 @@ def main():
       args.vali_path, args.list_size, args.num_features)
   print(f'train queries: {len(train_x)}, vali queries: {len(vali_x)}')
 
+  if len(train_y) < args.batch_size:
+    raise SystemExit(
+        f'--batch_size {args.batch_size} exceeds the {len(train_y)} query '
+        f'lists in {args.train_path}; lower --batch_size')
   model = build_model(args)
   sample = next(in_memory_batches(train_x, train_y, args.batch_size,
                                   epochs=1))

@@ -95,11 +95,6 @@ def main():
                          name='position_bias')(examples['position'])
       return rel + pos_emb[..., 0]
 
-    def relevance_only(self, context, examples, mask):
-      return models.DNNScorer(hidden_layer_dims=(64, 32), dropout=0.0,
-                              use_batch_norm=False, name='relevance')(
-          {}, {'x': examples['x']}, mask, training=False)
-
   def train_model(use_position, seed):
     model = TwoTower(use_position=use_position)
     batch0 = RankingBatch(
