@@ -129,28 +129,53 @@ def child():
 
 
 def main():
+  import queue
+  import threading
+
   proc = subprocess.Popen(
       [sys.executable, os.path.abspath(__file__), '--child'],
       stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
       cwd=os.path.dirname(os.path.abspath(__file__)))
+  # A dedicated reader thread: a blocking readline() in the main loop
+  # would suspend the deadline/kill logic for exactly as long as the
+  # child hangs in a device fetch — the failure mode this parent exists
+  # to survive. The thread blocks; the main loop polls with timeouts.
+  lines: 'queue.Queue[str]' = queue.Queue()
+
+  def _read():
+    for line in proc.stdout:  # EOF on child exit
+      lines.put(line)
+
+  reader = threading.Thread(target=_read, daemon=True)
+  reader.start()
+
   by_tag = {'bnoff': [], 'bnon': [], 'bf16': []}
+
+  def _consume(line):
+    if line.startswith('CHUNK '):
+      _, tag, val = line.split()
+      by_tag.setdefault(tag, []).append(float(val))
+
   deadline = time.time() + CHILD_TIMEOUT_S
   try:
     while time.time() < deadline:
-      line = proc.stdout.readline() if proc.stdout else ''
-      if not line:
-        if proc.poll() is not None:
+      try:
+        _consume(lines.get(timeout=0.2))
+      except queue.Empty:
+        if proc.poll() is not None and lines.empty():
           break
-        time.sleep(0.1)
-        continue
-      if line.startswith('CHUNK '):
-        _, tag, val = line.split()
-        by_tag.setdefault(tag, []).append(float(val))
-        # Keep reading until the child exits: the scan-dispatch chunks
+        # Keep polling until the child exits: the scan-dispatch chunks
         # stream after the per-step ones and usually raise the best.
   finally:
     if proc.poll() is None:
       proc.kill()
+    # Drain chunks the child wrote before the deadline/kill — banked
+    # results must not be lost to the pipe buffer.
+    try:
+      while True:
+        _consume(lines.get(timeout=0.5))
+    except queue.Empty:
+      pass
   results = by_tag['bnoff']
   bn_results = by_tag['bnon']
   bf16_results = by_tag['bf16']

@@ -86,9 +86,13 @@ def train_tf_emb(loss_key, seed, steps, data, ref):
   _, _, losses = ref
   q, d, y, vq, vd, vy = data
   tf.random.set_seed(seed)
-  init = tf.keras.initializers.RandomNormal(stddev=1e-2, seed=seed)
-  q_table = tf.Variable(init((VOCAB, EDIM)))
-  d_table = tf.Variable(init((VOCAB, EDIM)))
+  # Distinct seeds: a seeded keras initializer returns the SAME values on
+  # every call, which would start the two tables bitwise-identical
+  # (correlated embeddings, understated TF-side run variance).
+  q_table = tf.Variable(tf.keras.initializers.RandomNormal(
+      stddev=1e-2, seed=seed)((VOCAB, EDIM)))
+  d_table = tf.Variable(tf.keras.initializers.RandomNormal(
+      stddev=1e-2, seed=seed + 1)((VOCAB, EDIM)))
   layers = [tf.keras.layers.Dense(h, activation='relu') for h in HIDDEN]
   layers.append(tf.keras.layers.Dense(1))
   tower = tf.keras.Sequential(layers)
@@ -219,7 +223,7 @@ def main():
     summary[loss_key] = entry
 
   out = {'workload': (f'synthetic token-overlap, L={LIST_SIZE}, '
-                      f'vocab={VOCAB} hashed, edim={EDIM}, DNN{HIDDEN}, '
+                      f'vocab={VOCAB} direct int ids, edim={EDIM}, DNN{HIDDEN}, '
                       f'Adam({LR}), B={BATCH}, steps={args.steps}, '
                       f'seeds={args.seeds}; all metrics via reference '
                       f'metrics_impl'),

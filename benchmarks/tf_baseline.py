@@ -10,12 +10,12 @@ here). Writes BASELINE_MEASURED.json used by bench.py's ``vs_baseline``.
 This benchmarks the reference code, it does not copy it.
 """
 
-import importlib.util
 import json
 import os
 import sys
 import time
-import types
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import tensorflow as tf
@@ -26,27 +26,11 @@ WARMUP, ITERS = 3, 10
 
 
 def _load_reference_losses():
-  """Imports reference losses_impl without the estimator-era package init."""
-  root = '/root/reference/tensorflow_ranking'
-  pkg = types.ModuleType('tensorflow_ranking')
-  pkg.__path__ = [root]
-  sys.modules['tensorflow_ranking'] = pkg
-  sub = types.ModuleType('tensorflow_ranking.python')
-  sub.__path__ = [os.path.join(root, 'python')]
-  sys.modules['tensorflow_ranking.python'] = sub
-
-  def load(name):
-    spec = importlib.util.spec_from_file_location(
-        f'tensorflow_ranking.python.{name}',
-        os.path.join(root, 'python', f'{name}.py'))
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[f'tensorflow_ranking.python.{name}'] = mod
-    spec.loader.exec_module(mod)
-    setattr(sub, name, mod)
-    return mod
-
-  load('utils')
-  return load('losses_impl')
+  """Imports reference losses_impl without the estimator-era package init
+  (one shared shim: benchmarks/quality_parity.load_reference_modules)."""
+  from quality_parity import load_reference_modules
+  losses_impl, _, _ = load_reference_modules()
+  return losses_impl
 
 
 def main():
@@ -96,11 +80,10 @@ def main():
       'backend': 'tensorflow-cpu ' + tf.__version__,
       'measured_loss': float(loss),
   }
+  # benchmarks/ lives in the repo root; write next to bench.py (the
+  # path bench.py reads for vs_baseline).
   path = os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), 'BASELINE_MEASURED.json')
-  # benchmarks/ lives in the repo root; write next to bench.py.
-  path = os.path.join(os.path.dirname(os.path.abspath(__file__)), '..',
-                      'BASELINE_MEASURED.json')
   with open(os.path.abspath(path), 'w') as f:
     json.dump(out, f, indent=2)
   print(json.dumps(out))
