@@ -95,12 +95,13 @@ def main():
         vocab_sizes={'query_tokens': vocab, 'document_tokens': vocab},
         embedding_dim=DIM, dropout=0.0, use_batch_norm=False))
 
-    def mkstate(sparse_tx=None):
+    def mkstate(sparse_tx=None, dense_tx=None):
       return train.create_train_state(
-          model, optax.adam(1e-3), jax.random.PRNGKey(0),
+          model, dense_tx or optax.adam(1e-3), jax.random.PRNGKey(0),
           batch.context, batch.examples, batch.mask, sparse_tx=sparse_tx)
 
-    lazy = train.LazyAdam(learning_rate=1e-3, max_rows=B * L * T + B * T)
+    max_rows = B * L * T + B * T
+    lazy = train.LazyAdam(learning_rate=1e-3, max_rows=max_rows)
 
     # Build/run/free one variant at a time: at multi-GB vocabularies the
     # three states cannot coexist in HBM.
@@ -111,14 +112,20 @@ def main():
       if name == 'lazy':
         return mkstate(lazy), jax.jit(
             train.make_train_step(loss_fn), donate_argnums=0)
-      st = mkstate(lazy)
+      if name == 'sparse_adagrad':
+        # One accumulator instead of two moments: 2 row slabs per step.
+        st = mkstate(train.LazyAdagrad(learning_rate=1e-3,
+                                       max_rows=max_rows),
+                     dense_tx=optax.adagrad(1e-3))
+      else:
+        st = mkstate(lazy)
       efs = sparse_lib.derive_embed_features(st.params, batch.context,
                                              batch.examples)
       return st, jax.jit(
           train.make_sparse_train_step(loss_fn, efs), donate_argnums=0)
 
     results[vocab] = {}
-    for name in ('dense', 'lazy', 'sparse'):
+    for name in ('dense', 'lazy', 'sparse', 'sparse_adagrad'):
       state, step = make_variant(name)
       key = jax.random.PRNGKey(1)
       for _ in range(3):  # compile + warm

@@ -37,7 +37,7 @@ def parse_args():
   p.add_argument('--loss', default='approx_ndcg_loss')
   p.add_argument('--learning_rate', type=float, default=0.05)
   p.add_argument('--optimizer', default='adam',
-                 help="adam|adagrad|sgd|adamw|lazy_adam (sparse-row "
+                 help="adam|adagrad|sgd|adamw|lazy_adam|lazy_adagrad (sparse-row "
                       "embedding updates)")
   p.add_argument('--num_epochs', type=int, default=5)
   p.add_argument('--steps_per_epoch', type=int, default=10)

@@ -5,7 +5,7 @@ from ranking_tpu.train import sparse
 from ranking_tpu.train import state as state_lib
 from ranking_tpu.train import steps
 from ranking_tpu.train.checkpoint import CheckpointManager
-from ranking_tpu.train.sparse import EmbedFeature, LazyAdam
+from ranking_tpu.train.sparse import EmbedFeature, LazyAdagrad, LazyAdam
 from ranking_tpu.train.state import TrainState, create_train_state
 from ranking_tpu.train.steps import (
     init_metric_states,
@@ -19,6 +19,7 @@ from ranking_tpu.train.steps import (
 __all__ = [
     'CheckpointManager',
     'EmbedFeature',
+    'LazyAdagrad',
     'LazyAdam',
     'TrainState',
     'checkpoint',

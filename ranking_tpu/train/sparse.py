@@ -250,19 +250,7 @@ class LazyAdam:
     use_dma = self.dma_scatter and rows_lib.use_kernel()
 
     def _scatter(buf, uids, touched, rows):
-      # The Adam math above may promote to f32 (bias corrections are f32
-      # arrays); the table's dtype is authoritative for both paths.
-      rows = rows.astype(buf.dtype)
-      # Auto domain: the DMA kernel costs O(rows) (~20 ns/row issue
-      # rate), XLA's scatter O(table) (full rewrite). Crossover measured
-      # at table.size ≈ 2000 × rows (PARITY.md); the kernel itself
-      # additionally requires width-128 rows (rows_lib.supported_width).
-      if (use_dma and rows.ndim == 2
-          and not _visibly_partitioned(buf)
-          and rows_lib.supported_width(rows.shape[-1])
-          and buf.size > 2000 * rows.shape[0]):
-        return rows_lib.scatter_rows(buf, uids, touched, rows)
-      return rows_lib.scatter_rows_reference(buf, uids, touched, rows)
+      return _scatter_rows_auto(buf, uids, touched, rows, use_dma)
     new_params: Dict[str, Array] = {}
     new_state: Dict[str, Any] = {'count': count}
     new_state['dropped'] = state.get('dropped', jnp.zeros((), jnp.int32))
@@ -286,6 +274,26 @@ class LazyAdam:
     return new_params, new_state
 
 
+def _scatter_rows_auto(buf: Array, uids: Array, touched: Array,
+                       rows: Array, use_dma: bool) -> Array:
+  """Row scatter with the measured auto domain.
+
+  The optimizer math may promote to f32 (bias corrections are f32
+  arrays); the table's dtype is authoritative for both paths. Auto
+  domain: the DMA kernel costs O(rows) (~20 ns/row issue rate), XLA's
+  scatter O(table) (full rewrite). Crossover measured at table.size ≈
+  2000 × rows (PARITY.md); the kernel additionally requires width-128
+  rows (rows_lib.supported_width)."""
+  from ranking_tpu.ops.pallas import rows as rows_lib
+  rows = rows.astype(buf.dtype)
+  if (use_dma and rows.ndim == 2
+      and not _visibly_partitioned(buf)
+      and rows_lib.supported_width(rows.shape[-1])
+      and buf.size > 2000 * rows.shape[0]):
+    return rows_lib.scatter_rows(buf, uids, touched, rows)
+  return rows_lib.scatter_rows_reference(buf, uids, touched, rows)
+
+
 def _visibly_partitioned(buf: Array) -> bool:
   """True when a *concrete* array is sharded over a mesh axis (eager use
   of update_rows). Inside jit, tracers carry no sharding and this returns
@@ -296,6 +304,124 @@ def _visibly_partitioned(buf: Array) -> bool:
   except Exception:
     return False
   return bool(spec) and any(axes is not None for axes in spec)
+
+
+@dataclasses.dataclass(frozen=True)
+class LazyAdagrad:
+  """Sparse-row Adagrad for embedding tables.
+
+  The reference's embedding-era default optimizer (the canned
+  estimators train with Adagrad, examples/tf_ranking_libsvm.py) in
+  lazy-row form: ONE accumulator buffer instead of Adam's two moments,
+  so each step moves 2 row slabs (param + accumulator) instead of 3 —
+  measured ~30% faster per sparse step at multi-million-row tables,
+  where the per-row DMA issue rate is the bound (PARITY.md). Semantics
+  match ``optax.adagrad`` exactly on the touched rows; untouched rows
+  are untouched (the lazy contract).
+  """
+
+  learning_rate: Schedule = 1e-3
+  initial_accumulator_value: float = 0.1
+  eps: float = 1e-7  # optax.adagrad's default
+  table_pattern: str = r'embedding'
+  max_rows: int = 8192
+  dma_scatter: bool = True
+
+  def matches(self, path: str) -> bool:
+    return re.search(self.table_pattern, path) is not None
+
+  def _lr(self, count: Array) -> Any:
+    # 0-based pre-increment count: the optax schedule convention.
+    return (self.learning_rate(count) if callable(self.learning_rate)
+            else self.learning_rate)
+
+  def init(self, sparse_params: Mapping[str, Array]) -> Dict[str, Any]:
+    state: Dict[str, Any] = {
+        p: {'acc': jnp.full_like(x, self.initial_accumulator_value)}
+        for p, x in sparse_params.items()}
+    state['count'] = jnp.zeros((), jnp.int32)
+    state['dropped'] = jnp.zeros((), jnp.int32)
+    return state
+
+  def update(
+      self,
+      sparse_grads: Mapping[str, Array],
+      state: Mapping[str, Any],
+      sparse_params: Mapping[str, Array],
+  ) -> Tuple[Dict[str, Array], Dict[str, Any]]:
+    lr = self._lr(state['count'])
+    count = state['count'] + 1
+    new_params: Dict[str, Array] = {}
+    new_state: Dict[str, Any] = {'count': count}
+    dropped = state.get('dropped', jnp.zeros((), jnp.int32))
+    for p, g in sparse_grads.items():
+      table, acc = sparse_params[p], state[p]['acc']
+      nt, nacc, nd = _lazy_adagrad_update(self, g, table, acc, lr)
+      new_params[p] = nt
+      new_state[p] = {'acc': nacc}
+      dropped = dropped + nd
+    new_state['dropped'] = dropped
+    return new_params, new_state
+
+  def update_rows(
+      self,
+      row_grads: Mapping[str, Tuple[Array, Array, Array]],
+      state: Mapping[str, Any],
+      sparse_params: Mapping[str, Array],
+      row_params: Optional[Mapping[str, Array]] = None,
+  ) -> Tuple[Dict[str, Array], Dict[str, Any]]:
+    """Row-level update: O(K·dim) per table — 2 gathers + 2 scatters
+    (vs LazyAdam's 3+3); see LazyAdam.update_rows for the contract."""
+    from ranking_tpu.ops.pallas import rows as rows_lib
+    lr = self._lr(state['count'])
+    count = state['count'] + 1
+    use_dma = self.dma_scatter and rows_lib.use_kernel()
+    new_params: Dict[str, Array] = {}
+    new_state: Dict[str, Any] = {'count': count}
+    new_state['dropped'] = state.get('dropped', jnp.zeros((), jnp.int32))
+    for p, (uids, g, filled) in row_grads.items():
+      table, acc = sparse_params[p], state[p]['acc']
+      reduce_axes = tuple(range(1, g.ndim))
+      touched = filled & (jnp.sum(jnp.abs(g), axis=reduce_axes) > 0)
+      safe = jnp.where(touched, uids, 0)
+      if row_params is not None and p in row_params:
+        p_r = row_params[p]
+      else:
+        p_r = table[safe]
+      acc_r = acc[safe]
+      new_acc = acc_r + g * g
+      step = lr * g / (jnp.sqrt(new_acc) + self.eps)
+      new_params[p] = _scatter_rows_auto(table, uids, touched, p_r - step,
+                                         use_dma)
+      new_state[p] = {'acc': _scatter_rows_auto(acc, uids, touched,
+                                                new_acc, use_dma)}
+    return new_params, new_state
+
+
+def _lazy_adagrad_update(spec: LazyAdagrad, g: Array, p: Array, acc: Array,
+                         lr) -> Tuple[Array, Array, Array]:
+  """Dense-gradient LazyAdagrad: compact touched rows, step, scatter."""
+  if p.ndim < 2:
+    raise ValueError(
+        f'LazyAdagrad table must be >= 2-D, got shape {p.shape}')
+  reduce_axes = tuple(range(1, g.ndim))
+  rownorm = jnp.sum(jnp.abs(g), axis=reduce_axes)
+  k = min(spec.max_rows, p.shape[0])
+  n = rownorm.shape[0]
+  nz = rownorm > 0
+  slot = jnp.where(nz, jnp.cumsum(nz.astype(jnp.int32)) - 1, k)
+  idx = jnp.zeros((k,), jnp.int32).at[slot].set(
+      jnp.arange(n, dtype=jnp.int32), mode='drop')
+  n_rows = jnp.sum(nz.astype(jnp.int32))
+  filled = jnp.arange(k, dtype=jnp.int32) < jnp.minimum(n_rows, k)
+  g_r, p_r, acc_r = g[idx], p[idx], acc[idx]
+  new_acc = acc_r + g_r * g_r
+  step = lr * g_r / (jnp.sqrt(new_acc) + spec.eps)
+  dest = jnp.where(filled, idx, n)
+  n_dropped = jnp.maximum(n_rows - k, 0)
+  return (p.at[dest].set((p_r - step).astype(p.dtype), mode='drop'),
+          acc.at[dest].set(new_acc.astype(acc.dtype), mode='drop'),
+          n_dropped)
 
 
 def _lazy_update(spec: LazyAdam, g: Array, p: Array, m: Array, v: Array,

@@ -316,3 +316,44 @@ def test_lazy_adam_rejects_reduce_lr(tmp_path):
       optimizer='lazy_adam', automatic_reduce_lr=True)
   with pytest.raises(ValueError):
     pipeline.hparams_lib.sparse_optimizer_from_hparams(hp)
+
+
+def test_lazy_adagrad_matches_optax_trajectory():
+  """All rows touched: LazyAdagrad == optax.adagrad exactly."""
+  rng = np.random.RandomState(11)
+  vocab, dim = 10, 4
+  p0 = rng.randn(vocab, dim).astype(np.float32)
+  grads = [rng.randn(vocab, dim).astype(np.float32) for _ in range(3)]
+
+  spec = train.LazyAdagrad(learning_rate=0.05, max_rows=vocab)
+  p = {'embedding': jnp.asarray(p0)}
+  state = spec.init(p)
+  for g in grads:
+    newp, state = jax.jit(spec.update)({'embedding': jnp.asarray(g)},
+                                       state, p)
+    p = newp
+
+  tx = optax.adagrad(0.05)
+  op = {'w': jnp.asarray(p0)}
+  ostate = tx.init(op)
+  for g in grads:
+    updates, ostate = tx.update({'w': jnp.asarray(g)}, ostate, op)
+    op = optax.apply_updates(op, updates)
+  np.testing.assert_allclose(np.asarray(p['embedding']),
+                             np.asarray(op['w']), rtol=1e-5, atol=1e-6)
+
+
+def test_lazy_adagrad_untouched_rows_stay():
+  spec = train.LazyAdagrad(learning_rate=0.1, max_rows=4)
+  p0 = np.ones((6, 3), np.float32)
+  g = np.zeros((6, 3), np.float32)
+  g[2] = 1.0
+  p = {'embedding': jnp.asarray(p0)}
+  state = spec.init(p)
+  newp, state = jax.jit(spec.update)({'embedding': jnp.asarray(g)}, state, p)
+  out = np.asarray(newp['embedding'])
+  np.testing.assert_array_equal(out[[0, 1, 3, 4, 5]], p0[[0, 1, 3, 4, 5]])
+  assert (out[2] < 1.0).all()
+  acc = np.asarray(state['embedding']['acc'])
+  np.testing.assert_allclose(acc[2], 0.1 + 1.0)  # accumulator updated
+  np.testing.assert_allclose(acc[0], 0.1)        # untouched keeps init

@@ -452,3 +452,69 @@ def test_default_rules_shard_lazy_adam_moments():
   assert sh['scorer/embed_q/embedding']['m'].spec == P('model', None)
   assert sh['scorer/embed_q/embedding']['v'].spec == P('model', None)
   assert sh['count'].spec == P()
+
+
+def test_sparse_step_lazy_adagrad_matches_dense_bitwise():
+  """LazyAdagrad through the sparse step == its dense-grad path, bitwise
+  (the 2-slab optimizer: param + accumulator instead of Adam's 3)."""
+  rng = np.random.RandomState(12)
+  model = _embedding_model()
+  batches = [_embedding_batch(rng) for _ in range(3)]
+
+  def mk():
+    return train.create_train_state(
+        model, optax.adagrad(1e-2), jax.random.PRNGKey(0),
+        batches[0].context, batches[0].examples, batches[0].mask,
+        sparse_tx=train.LazyAdagrad(learning_rate=1e-2, max_rows=256))
+
+  dense_state, sparse_state = mk(), mk()
+  efs = sparse_lib.derive_embed_features(
+      sparse_state.params, batches[0].context, batches[0].examples)
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  dstep = jax.jit(train.make_train_step(loss_fn))
+  sstep = jax.jit(train.make_sparse_train_step(loss_fn, efs))
+  for batch in batches:
+    dense_state, dm = dstep(dense_state, batch, jax.random.PRNGKey(7))
+    sparse_state, sm = sstep(sparse_state, batch, jax.random.PRNGKey(7))
+    assert float(dm['loss']) == float(sm['loss'])
+  jax.tree.map(
+      lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                 np.asarray(b)),
+      dense_state.params, sparse_state.params)
+  jax.tree.map(
+      lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                 np.asarray(b)),
+      dense_state.sparse_opt_state, sparse_state.sparse_opt_state)
+
+
+def test_pipeline_auto_selects_sparse_step_adagrad(tmp_path):
+  from ranking_tpu import pipeline
+  from ranking_tpu.data import FixedLenFeature, VarLenFeature
+  REF = '/root/reference/tensorflow_ranking/examples/data'
+  ctx = {'query_tokens': VarLenFeature(dtype='string', max_len=6,
+                                       hash_buckets=64)}
+  ex = {'document_tokens': VarLenFeature(dtype='string', max_len=10,
+                                         hash_buckets=64),
+        'relevance': FixedLenFeature(shape=(), dtype='int64',
+                                     default_value=0)}
+  builder = pipeline.SimpleDatasetBuilder(
+      ctx, ex, pipeline.DatasetHparams(
+          train_input_pattern=f'{REF}/train_elwc.tfrecord',
+          valid_input_pattern=f'{REF}/eval_elwc.tfrecord',
+          train_batch_size=4, valid_batch_size=4, list_size=5), seed=1)
+  model = models.RankingModel(scorer=models.EmbeddingDNNScorer(
+      hidden_layer_dims=(8,), vocab_sizes={'query_tokens': 64,
+                                           'document_tokens': 64},
+      embedding_dim=4, dropout=0.0, use_batch_norm=False))
+  pipe = pipeline.SimplePipeline(
+      model, builder,
+      pipeline.PipelineHparams(
+          model_dir=str(tmp_path / 'm'), num_epochs=1, steps_per_epoch=3,
+          validation_steps=1, learning_rate=0.05, loss='softmax_loss',
+          optimizer='lazy_adagrad'))
+  history = pipe.train_and_validate()
+  assert np.isfinite(history['loss'])
+  assert pipe.final_state.sparse_opt_state is not None
+  assert 'acc' in next(iter(
+      v for k, v in pipe.final_state.sparse_opt_state.items()
+      if k not in ('count', 'dropped')))
