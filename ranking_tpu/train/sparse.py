@@ -212,6 +212,10 @@ class LazyAdam:
       new_params[p] = nt
       new_state[p] = {'m': nm, 'v': nv}
       dropped = dropped + nd
+    for p in sparse_params:  # untouched tables keep their state verbatim
+      if p not in sparse_grads:
+        new_params[p] = sparse_params[p]
+        new_state[p] = state[p]
     new_state['dropped'] = dropped
     return new_params, new_state
 
@@ -256,6 +260,9 @@ class LazyAdam:
     new_state['dropped'] = state.get('dropped', jnp.zeros((), jnp.int32))
     for p, (uids, g, filled) in row_grads.items():
       table, m, v = sparse_params[p], state[p]['m'], state[p]['v']
+      if table.ndim < 2:  # same contract as the dense-grad path
+        raise ValueError(
+            f'LazyAdam table must be >= 2-D, got shape {table.shape}')
       reduce_axes = tuple(range(1, g.ndim))
       touched = filled & (jnp.sum(jnp.abs(g), axis=reduce_axes) > 0)
       safe = jnp.where(touched, uids, 0)
@@ -271,6 +278,10 @@ class LazyAdam:
       new_params[p] = _scatter(table, uids, touched, p_r - step)
       new_state[p] = {'m': _scatter(m, uids, touched, new_m),
                       'v': _scatter(v, uids, touched, new_v)}
+    for p in sparse_params:  # untouched tables keep their state verbatim
+      if p not in row_grads:
+        new_params[p] = sparse_params[p]
+        new_state[p] = state[p]
     return new_params, new_state
 
 
@@ -360,6 +371,10 @@ class LazyAdagrad:
       new_params[p] = nt
       new_state[p] = {'acc': nacc}
       dropped = dropped + nd
+    for p in sparse_params:  # untouched tables keep their state verbatim
+      if p not in sparse_grads:
+        new_params[p] = sparse_params[p]
+        new_state[p] = state[p]
     new_state['dropped'] = dropped
     return new_params, new_state
 
@@ -381,6 +396,9 @@ class LazyAdagrad:
     new_state['dropped'] = state.get('dropped', jnp.zeros((), jnp.int32))
     for p, (uids, g, filled) in row_grads.items():
       table, acc = sparse_params[p], state[p]['acc']
+      if table.ndim < 2:  # same contract as the dense-grad path
+        raise ValueError(
+            f'LazyAdagrad table must be >= 2-D, got shape {table.shape}')
       reduce_axes = tuple(range(1, g.ndim))
       touched = filled & (jnp.sum(jnp.abs(g), axis=reduce_axes) > 0)
       safe = jnp.where(touched, uids, 0)
@@ -390,12 +408,47 @@ class LazyAdagrad:
         p_r = table[safe]
       acc_r = acc[safe]
       new_acc = acc_r + g * g
-      step = lr * g / (jnp.sqrt(new_acc) + self.eps)
+      step = lr * g * _adagrad_inv(new_acc, self.eps)
       new_params[p] = _scatter_rows_auto(table, uids, touched, p_r - step,
                                          use_dma)
       new_state[p] = {'acc': _scatter_rows_auto(acc, uids, touched,
                                                 new_acc, use_dma)}
+    for p in sparse_params:  # untouched tables keep their state verbatim
+      if p not in row_grads:
+        new_params[p] = sparse_params[p]
+        new_state[p] = state[p]
     return new_params, new_state
+
+
+def _adagrad_inv(acc: Array, eps: float) -> Array:
+  """optax.scale_by_rss's exact inverse-root: rsqrt(acc + eps) where the
+  accumulator is positive, 0 otherwise (a zero accumulator must not turn
+  eps into a huge step)."""
+  return jnp.where(acc > 0, jax.lax.rsqrt(acc + eps), 0.0)
+
+
+def _compact_touched_rows(g: Array, max_rows: int, n_table_rows: int):
+  """Compacts the ids of rows with nonzero gradient into the first slots
+  of a [k] buffer: row r goes to slot (number of touched rows before it).
+  O(n) index work — no sort, and crucially no lax.cond: a conditional
+  here forces XLA to copy every full-size table buffer at the branch
+  boundary (measured +2.3 ms/step at BERT vocab).
+
+  Returns ``(idx [k], filled [k] bool, dest [k], n_dropped)`` where
+  ``dest`` scatters unfilled slots out of bounds (mode='drop')."""
+  reduce_axes = tuple(range(1, g.ndim))
+  rownorm = jnp.sum(jnp.abs(g), axis=reduce_axes)
+  k = min(max_rows, n_table_rows)
+  n = rownorm.shape[0]
+  nz = rownorm > 0
+  slot = jnp.where(nz, jnp.cumsum(nz.astype(jnp.int32)) - 1, k)
+  idx = jnp.zeros((k,), jnp.int32).at[slot].set(
+      jnp.arange(n, dtype=jnp.int32), mode='drop')
+  n_rows = jnp.sum(nz.astype(jnp.int32))
+  filled = jnp.arange(k, dtype=jnp.int32) < jnp.minimum(n_rows, k)
+  dest = jnp.where(filled, idx, n)
+  n_dropped = jnp.maximum(n_rows - k, 0)
+  return idx, filled, dest, n_dropped
 
 
 def _lazy_adagrad_update(spec: LazyAdagrad, g: Array, p: Array, acc: Array,
@@ -404,21 +457,11 @@ def _lazy_adagrad_update(spec: LazyAdagrad, g: Array, p: Array, acc: Array,
   if p.ndim < 2:
     raise ValueError(
         f'LazyAdagrad table must be >= 2-D, got shape {p.shape}')
-  reduce_axes = tuple(range(1, g.ndim))
-  rownorm = jnp.sum(jnp.abs(g), axis=reduce_axes)
-  k = min(spec.max_rows, p.shape[0])
-  n = rownorm.shape[0]
-  nz = rownorm > 0
-  slot = jnp.where(nz, jnp.cumsum(nz.astype(jnp.int32)) - 1, k)
-  idx = jnp.zeros((k,), jnp.int32).at[slot].set(
-      jnp.arange(n, dtype=jnp.int32), mode='drop')
-  n_rows = jnp.sum(nz.astype(jnp.int32))
-  filled = jnp.arange(k, dtype=jnp.int32) < jnp.minimum(n_rows, k)
+  idx, filled, dest, n_dropped = _compact_touched_rows(
+      g, spec.max_rows, p.shape[0])
   g_r, p_r, acc_r = g[idx], p[idx], acc[idx]
   new_acc = acc_r + g_r * g_r
-  step = lr * g_r / (jnp.sqrt(new_acc) + spec.eps)
-  dest = jnp.where(filled, idx, n)
-  n_dropped = jnp.maximum(n_rows - k, 0)
+  step = lr * g_r * _adagrad_inv(new_acc, spec.eps)
   return (p.at[dest].set((p_r - step).astype(p.dtype), mode='drop'),
           acc.at[dest].set(new_acc.astype(acc.dtype), mode='drop'),
           n_dropped)
@@ -429,46 +472,25 @@ def _lazy_update(spec: LazyAdam, g: Array, p: Array, m: Array, v: Array,
   if p.ndim < 2:
     raise ValueError(
         f'LazyAdam table must be >= 2-D, got shape {p.shape}')
-  reduce_axes = tuple(range(1, g.ndim))
-  rownorm = jnp.sum(jnp.abs(g), axis=reduce_axes)  # [rows]
-  k = min(spec.max_rows, p.shape[0])
   t = count.astype(jnp.float32)
   bc1 = 1.0 - spec.b1 ** t
   bc2 = 1.0 - spec.b2 ** t
-
-  def adam_rows(g_r, m_r, v_r):
-    new_m = spec.b1 * m_r + (1.0 - spec.b1) * g_r
-    new_v = spec.b2 * v_r + (1.0 - spec.b2) * g_r * g_r
-    step = lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + spec.eps)
-    return new_m, new_v, step
-
-  n = rownorm.shape[0]
-  nz = rownorm > 0
-  # Compact the touched row ids into the first slots of a [k] buffer:
-  # row r goes to slot (number of touched rows before it). O(n) index
-  # work — no sort, and crucially no lax.cond: a conditional here forces
-  # XLA to copy every full-size table buffer at the branch boundary
-  # (measured +2.3 ms/step at BERT vocab), wiping out the win.
-  slot = jnp.where(nz, jnp.cumsum(nz.astype(jnp.int32)) - 1, k)
-  idx = jnp.zeros((k,), jnp.int32).at[slot].set(
-      jnp.arange(n, dtype=jnp.int32), mode='drop')
-  n_rows = jnp.sum(nz.astype(jnp.int32))
-  filled = jnp.arange(k, dtype=jnp.int32) < jnp.minimum(n_rows, k)  # [k]
+  idx, filled, dest, n_dropped = _compact_touched_rows(
+      g, spec.max_rows, p.shape[0])
+  del filled  # dest already scatters unfilled slots out of bounds
   g_r, p_r, m_r, v_r = g[idx], p[idx], m[idx], v[idx]
-  new_m, new_v, step = adam_rows(g_r, m_r, v_r)
-  # Unfilled slots scatter out of bounds and are dropped — no
-  # duplicate-index conflicts on row 0.
-  dest = jnp.where(filled, idx, n)
+  new_m = spec.b1 * m_r + (1.0 - spec.b1) * g_r
+  new_v = spec.b2 * v_r + (1.0 - spec.b2) * g_r * g_r
+  step = lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + spec.eps)
   # Rows beyond max_rows (misconfigured bound) lose this step's gradient;
   # the 'dropped' counter in the optimizer state surfaces it.
-  n_dropped = jnp.maximum(n_rows - k, 0)
   return (p.at[dest].set((p_r - step).astype(p.dtype), mode='drop'),
           m.at[dest].set(new_m.astype(m.dtype), mode='drop'),
           v.at[dest].set(new_v.astype(v.dtype), mode='drop'),
           n_dropped)
 
 
-def partition(params: Any, spec: LazyAdam):
+def partition(params: Any, spec: Any):
   """Splits a param tree into (dense tree with None at table leaves,
   {path: table leaf})."""
   sparse: Dict[str, Array] = {}

@@ -202,7 +202,8 @@ def make_sparse_train_step(
   def train_step(state, batch: RankingBatch, key: Array):
     if state.sparse_tx is None:
       raise ValueError('make_sparse_train_step requires a TrainState built '
-                       'with sparse_tx (train.sparse.LazyAdam)')
+                       'with sparse_tx (train.sparse.LazyAdam or '
+                       'LazyAdagrad)')
     dropout_key, noise_key, shuffle_key, loss_key = jax.random.split(
         jax.random.fold_in(key, state.step), 4)
     dense_params, sp_params = sparse_lib.partition(state.params,

@@ -357,3 +357,23 @@ def test_lazy_adagrad_untouched_rows_stay():
   acc = np.asarray(state['embedding']['acc'])
   np.testing.assert_allclose(acc[2], 0.1 + 1.0)  # accumulator updated
   np.testing.assert_allclose(acc[0], 0.1)        # untouched keeps init
+
+
+def test_lazy_adagrad_zero_accumulator_matches_optax():
+  """initial_accumulator_value=0: optax's where(acc>0, rsqrt(acc+eps), 0)
+  form — eps must not turn a tiny first gradient into a huge step."""
+  p0 = np.ones((2, 3), np.float32)
+  g = np.full((2, 3), 1e-5, np.float32)
+  spec = train.LazyAdagrad(learning_rate=1.0,
+                           initial_accumulator_value=0.0, max_rows=2)
+  p = {'embedding': jnp.asarray(p0)}
+  state = spec.init(p)
+  p, state = jax.jit(spec.update)({'embedding': jnp.asarray(g)}, state, p)
+
+  tx = optax.adagrad(1.0, initial_accumulator_value=0.0)
+  op = {'w': jnp.asarray(p0)}
+  ostate = tx.init(op)
+  updates, _ = tx.update({'w': jnp.asarray(g)}, ostate, op)
+  op = optax.apply_updates(op, updates)
+  np.testing.assert_allclose(np.asarray(p['embedding']),
+                             np.asarray(op['w']), rtol=1e-6, atol=1e-7)
