@@ -102,3 +102,69 @@ def test_all_lists_invalid_is_finite():
               ops.RankingMetricKey.MAP):
     v = float(ops.compute_mean(key, labels, logits))
     assert np.isfinite(v), key
+
+
+@pytest.mark.skipif(not native.available(), reason='no native toolchain')
+def test_native_vs_python_parser_fuzz_parity():
+  """Randomized well-formed ELWCs: the C++ decoder and the Python parser
+  must produce identical batches (features, labels via specs, sizes,
+  masks) across random list lengths, missing optional features, value
+  counts, and string/int/float kinds."""
+  from ranking_tpu.data import proto
+
+  context_spec = {
+      'qf': FixedLenFeature(shape=(2,), dtype='float32', default_value=0.5),
+      'q_ids': VarLenFeature(dtype='int64', max_len=4),
+      'q_tok': VarLenFeature(dtype='string', max_len=3, hash_buckets=97),
+  }
+  example_spec = {
+      'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0),
+      'df': FixedLenFeature(shape=(3,), dtype='float32', default_value=-1.),
+      'd_ids': VarLenFeature(dtype='int64', max_len=5),
+      'd_tok': VarLenFeature(dtype='string', max_len=4, hash_buckets=31),
+  }
+  rng = np.random.RandomState(7)
+  words = [b'alpha', b'beta', b'gamma', b'delta', b'x', b'\xc3\xa9clair']
+
+  def rand_example(optional_df=True):
+    ex = {'rel': [int(rng.randint(0, 5))]}
+    if not optional_df or rng.rand() < 0.7:
+      ex['df'] = [float(v) for v in rng.randn(3)]
+    if rng.rand() < 0.8:
+      ex['d_ids'] = [int(v) for v in
+                     rng.randint(0, 1 << 40, size=rng.randint(0, 8))]
+    if rng.rand() < 0.8:
+      ex['d_tok'] = [words[i] for i in
+                     rng.randint(0, len(words), size=rng.randint(0, 6))]
+    return ex
+
+  for trial in range(25):
+    records = []
+    for _ in range(rng.randint(1, 5)):
+      ctx = {'qf': [float(v) for v in rng.randn(2)]}
+      if rng.rand() < 0.8:
+        ctx['q_ids'] = [int(v) for v in
+                        rng.randint(0, 1 << 40, size=rng.randint(0, 6))]
+      if rng.rand() < 0.8:
+        ctx['q_tok'] = [words[i] for i in
+                        rng.randint(0, len(words), size=rng.randint(0, 4))]
+      docs = [rand_example() for _ in range(rng.randint(0, 7))]
+      records.append(proto.make_elwc(ctx, docs).SerializeToString())
+    list_size = int(rng.randint(1, 9))
+
+    got = native.decode_elwc_batch(records, list_size, context_spec,
+                                   example_spec)
+    ref = parsers.parse_example_list(records, context_spec, example_spec,
+                                     list_size=list_size)
+    np.testing.assert_array_equal(np.asarray(got.sizes),
+                                  np.asarray(ref.sizes), err_msg=f't{trial}')
+    np.testing.assert_array_equal(np.asarray(got.mask),
+                                  np.asarray(ref.mask), err_msg=f't{trial}')
+    for name in context_spec:
+      np.testing.assert_array_equal(
+          np.asarray(got.context[name]), np.asarray(ref.context[name]),
+          err_msg=f't{trial} context/{name}')
+    for name in example_spec:
+      np.testing.assert_array_equal(
+          np.asarray(got.examples[name]), np.asarray(ref.examples[name]),
+          err_msg=f't{trial} examples/{name}')
