@@ -35,7 +35,11 @@ class RankingBatch:
 
   @property
   def features(self) -> Dict[str, Array]:
-    """Merged view for weight-feature lookup (losses.make_loss_fn)."""
+    """Merged view for weight-feature lookup (losses.make_loss_fn).
+
+    Precedence: an examples feature shadows a same-named context feature
+    (per-document beats per-query for weight lookups) — avoid reusing a
+    name across the two groups for anything read through this view."""
     return {**self.context, **self.examples}
 
   @property
@@ -53,11 +57,18 @@ def batch_from_labels(
     examples: Optional[Mapping[str, Array]] = None,
     mask: Optional[Array] = None,
 ) -> RankingBatch:
-  """Convenience constructor; mask defaults to ``labels >= 0``."""
+  """Convenience constructor; mask defaults to ``labels >= 0`` (for dict
+  labels: valid where ANY task labels the item — a doc unlabeled for one
+  task must not be masked out of the others)."""
   ref = labels if not isinstance(labels, dict) else next(iter(labels.values()))
   ref = jnp.asarray(ref)
   if mask is None:
-    mask = ref >= 0
+    if isinstance(labels, dict):
+      mask = jnp.zeros(ref.shape, bool)
+      for lab in labels.values():
+        mask = mask | (jnp.asarray(lab) >= 0)
+    else:
+      mask = ref >= 0
   return RankingBatch(
       context=dict(context or {}),
       examples=dict(examples or {}),
@@ -69,4 +80,7 @@ def batch_from_labels(
 def stack_numpy_batches(batches) -> 'RankingBatch':
   """Stacks a list of per-step numpy batches along a new leading axis
   (useful for scan-over-steps eval loops)."""
+  batches = list(batches)
+  if not batches:
+    raise ValueError('no batches to stack (empty stream?)')
   return jax.tree.map(lambda *xs: np.stack(xs), *batches)

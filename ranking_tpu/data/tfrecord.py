@@ -67,7 +67,10 @@ def read_records(path: str, verify: bool = False) -> Iterator[bytes]:
       payload = f.read(length)
       if len(payload) < length:
         raise IOError(f'{path}: truncated record payload')
-      (data_crc,) = struct.unpack('<I', f.read(4))
+      footer = f.read(4)
+      if len(footer) < 4:
+        raise IOError(f'{path}: truncated record data crc')
+      (data_crc,) = struct.unpack('<I', footer)
       if verify and _masked_crc(payload) != data_crc:
         raise IOError(f'{path}: corrupted record data crc')
       yield payload

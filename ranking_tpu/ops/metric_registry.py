@@ -54,6 +54,16 @@ def build_metric(
     **kwargs: Any,
 ) -> metrics_impl.RankingMetric:
   """Instantiates the metric object behind a key."""
+  # Typos must not silently produce a different metric: only the keys
+  # below consume extra kwargs.
+  allowed = {RankingMetricKey.ALPHA_DCG: {'alpha'},
+             RankingMetricKey.BPREF: {'use_trec_version'}}
+  unknown = set(kwargs) - allowed.get(metric_key, set())
+  if unknown:
+    raise ValueError(
+        f'{metric_key!r} does not accept options {sorted(unknown)}'
+        + (f' (allowed: {sorted(allowed[metric_key])})'
+           if metric_key in allowed else ''))
   name = name or (f'{metric_key}_{topn}' if topn else metric_key)
   builders: Dict[str, Callable[..., metrics_impl.RankingMetric]] = {
       RankingMetricKey.MRR: metrics_impl.MRRMetric,
@@ -162,16 +172,17 @@ def eval_metric(metric_fn, **kwargs) -> Array:
 
   spec = inspect.getfullargspec(metric_fn)
   defaults = spec.defaults or ()
+  fn_name = getattr(metric_fn, '__name__', repr(metric_fn))
   required = spec.args[: len(spec.args) - len(defaults)] + [
       n for n in spec.kwonlyargs if n not in (spec.kwonlydefaults or {})]
   for arg in required:
     if arg not in kwargs:
-      raise ValueError(f'Metric {metric_fn.__name__} requires '
+      raise ValueError(f'Metric {fn_name} requires '
                        f'argument {arg}.')
   accepted = set(spec.args) | set(spec.kwonlyargs)
   for arg in kwargs:
     if arg not in accepted:
-      raise ValueError(f'Metric {metric_fn.__name__} does not accept '
+      raise ValueError(f'Metric {fn_name} does not accept '
                        f'argument {arg}.')
   values, weights = metric_fn(**kwargs)
   denom = jnp.sum(weights)
@@ -193,8 +204,19 @@ class MeanState:
                count=jnp.zeros((), jnp.float32))
 
   def update(self, values: Array, weights: Array) -> 'MeanState':
-    weights = jnp.broadcast_to(weights, jnp.broadcast_shapes(
-        values.shape, weights.shape)).astype(jnp.float32)
+    # Flatten both sides before pairing: metric fns return [B, 1] values
+    # while callers may hold [B] weights — NumPy broadcasting would pair
+    # them as [B, B] and silently compute sum(v)*sum(w) instead of the
+    # weighted mean.
+    values = jnp.reshape(jnp.asarray(values, jnp.float32), (-1,))
+    weights = jnp.asarray(weights, jnp.float32)
+    if weights.ndim == 0:
+      weights = jnp.broadcast_to(weights, values.shape)
+    weights = jnp.reshape(weights, (-1,))
+    if values.shape != weights.shape:
+      raise ValueError(
+          f'MeanState.update: {values.shape[0]} values vs '
+          f'{weights.shape[0]} weights')
     return MeanState(
         total=self.total + jnp.sum(values * weights),
         count=self.count + jnp.sum(weights))

@@ -23,12 +23,16 @@ from typing import Callable, Optional, Tuple
 
 import jax.numpy as jnp
 
-from ranking_tpu.utils import list_ops
+from ranking_tpu.utils import fns, list_ops
 
 Array = jnp.ndarray
 
-DEFAULT_GAIN_FN = lambda label: jnp.exp2(label) - 1.0
-DEFAULT_RANK_DISCOUNT_FN = lambda rank: math.log(2.0) / jnp.log1p(rank)
+# One source of truth for the DCG defaults: the named fn registry
+# (utils/fns.py). Fast paths dispatch on function IDENTITY (e.g.
+# `rank_discount_fn is fns.log2_inverse`), so equivalent local lambdas
+# would never match them.
+DEFAULT_GAIN_FN = fns.pow_minus_1
+DEFAULT_RANK_DISCOUNT_FN = fns.log2_inverse
 
 
 def _div_no_nan(a: Array, b: Array) -> Array:

@@ -339,3 +339,23 @@ class TestEvalMetric:
     with pytest.raises(ValueError, match='does not accept'):
       ops.eval_metric(metric_fn=fn, labels=[[0.]], predictions=[[1.]],
                       bogus=3)
+
+
+def test_mean_state_rejects_mismatched_weight_count():
+  from ranking_tpu.ops.metric_registry import MeanState
+  import pytest as _pytest
+  s = MeanState.zero()
+  # [B, 1] values with [B] weights must pair elementwise, not broadcast
+  # to [B, B] (which silently computed sum(v)*sum(w)).
+  s2 = s.update(jnp.asarray([[1.0], [2.0], [3.0], [4.0]]),
+                jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+  np.testing.assert_allclose(float(s2.result()), 1.0)
+  with _pytest.raises(ValueError, match='values vs'):
+    s.update(jnp.ones((4, 1)), jnp.ones((3,)))
+
+
+def test_metric_factory_rejects_unknown_options():
+  import pytest as _pytest
+  from ranking_tpu.ops import metric_registry
+  with _pytest.raises(ValueError, match='does not accept'):
+    metric_registry.make_ranking_metric_fn('ndcg', top_n=2)  # typo
