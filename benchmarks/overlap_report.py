@@ -10,11 +10,12 @@ Two modes:
   this mode documents *what* must overlap, not that it does.
 
 * ``--tpu_topology`` (e.g. ``v5e:2x2``): AOT-compiles the same step for a
-  multi-chip TPU topology (no chips needed) and scans the scheduled HLO
-  for ``all-reduce-start``/``-done`` pairs with compute scheduled between
-  them — XLA's latency-hiding scheduler overlapping the collective with
-  dense work. This is the BASELINE.md "lookup all-to-all overlapped
-  against dense compute" evidence (reference analog:
+  multi-chip TPU topology (no chips needed — everything is lowered from
+  abstract ShapeDtypeStructs, nothing executes on any device) and scans
+  the scheduled HLO for ``all-reduce-start``/``-done`` pairs with compute
+  scheduled between them — XLA's latency-hiding scheduler overlapping the
+  collective with dense work. This is the BASELINE.md "lookup all-to-all
+  overlapped against dense compute" evidence (reference analog:
   keras/strategy_utils.py embedding partitioning, which offers no such
   overlap view at all).
 
@@ -32,9 +33,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_step(mesh):
+def build_step_structs(mesh):
+  """(jitted step, abstract arg structs with shardings) — no execution.
+
+  Everything is shaped via ``jax.eval_shape`` and wrapped into
+  ``ShapeDtypeStruct(sharding=...)``, so this works identically for live
+  CPU meshes and abstract AOT topology meshes.
+  """
   import jax
   import optax
+  from jax.sharding import NamedSharding, PartitionSpec as P
 
   import __graft_entry__ as g
   from ranking_tpu import models, ops, parallel, train
@@ -49,41 +57,87 @@ def build_step(mesh):
           dropout=0.0))
   batch = g._synthetic_batch(batch=8, list_size=16, num_features=8,
                              vocab=vocab)
-  state = train.create_train_state(
+  state_shapes = jax.eval_shape(lambda: train.create_train_state(
       model, optax.adam(1e-3), jax.random.PRNGKey(0),
-      batch.context, batch.examples, batch.mask)
-  state = g._shard_state(state, mesh)
-  batch = parallel.shard_batch(batch, mesh)
+      batch.context, batch.examples, batch.mask))
+
+  def with_sharding(shapes, shardings):
+    return jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        shapes, shardings)
+
+  # Params/opt state by the path rules (tables over 'model'), everything
+  # else replicated; the batch splits its leading axis over 'data'.
+  state_struct = with_sharding(
+      state_shapes, parallel.param_shardings(state_shapes, mesh))
+  data_sharding = NamedSharding(mesh, P(parallel.DATA_AXIS))
+  batch_struct = jax.tree.map(
+      lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                     sharding=data_sharding), batch)
+  key_shape = jax.eval_shape(lambda: jax.random.PRNGKey(1))
+  key_struct = jax.ShapeDtypeStruct(key_shape.shape, key_shape.dtype,
+                                    sharding=NamedSharding(mesh, P()))
+
   loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
   step = jax.jit(train.make_train_step(loss_fn))
-  return step, (state, batch, jax.random.PRNGKey(1))
+  return step, (state_struct, batch_struct, key_struct)
 
 
-_SHAPE_RE = re.compile(r'=\s*\(?([a-z0-9]+)\[([0-9,]*)\]')
+# One HLO instruction: `[ROOT] [%]name = <shape> opcode(...)`, where
+# <shape> is `dtype[dims]{layout}` or a tuple `(dtype[..], dtype[..])`.
+# Anchoring the opcode at the instruction position is load-bearing:
+# a bare word-boundary search would also match CONSUMER lines whose
+# operand names contain the opcode (e.g. `get-tuple-element(%all-reduce.2)`).
+_INSTR_RE = re.compile(
+    # Tuple shapes may nest one level of parens inside layouts
+    # (`{1,0:T(8,128)S(1)}`), hence the (?:[^()]|\(...\))* alternative.
+    r'^\s*(?:ROOT\s+)?%?[\w.-]+\s*=\s*'
+    r'(\((?:[^()]|\([^()]*\))*\)|[a-z0-9]+\[[0-9,]*\](?:\{[^}]*\})?)\s*'
+    r'([\w-]+)\(')
+_NAME_RE = re.compile(r'^\s*(?:ROOT\s+)?%?([\w.-]+)\s*=')
+_SHAPE_ELEM_RE = re.compile(r'([a-z0-9]+)\[([0-9,]*)\]')
 _DTYPE_BYTES = {'f32': 4, 'bf16': 2, 'f16': 2, 's32': 4, 'u32': 4,
                 'pred': 1, 's8': 1, 'u8': 1, 'f64': 8, 's64': 8, 'u64': 8}
 
+_SYNC_COLLECTIVES = ('all-reduce', 'all-gather', 'reduce-scatter',
+                     'collective-permute', 'all-to-all')
+_START_COLLECTIVES = tuple(f'{k}-start' for k in _SYNC_COLLECTIVES)
+_DONE_COLLECTIVES = tuple(f'{k}-done' for k in _SYNC_COLLECTIVES)
+_COMPUTE_OPS = ('dot', 'fusion', 'convolution', 'custom-call')
 
-def _payload_bytes(line: str) -> int:
-  m = _SHAPE_RE.search(line)
+
+def _parse_instr(line):
+  """(name, shape_str, opcode) for an HLO instruction line, else None."""
+  m = _INSTR_RE.match(line)
   if not m:
-    return 0
-  dtype, dims = m.group(1), m.group(2)
-  n = 1
-  for d in dims.split(','):
-    if d:
-      n *= int(d)
-  return n * _DTYPE_BYTES.get(dtype, 4)
+    return None
+  name = _NAME_RE.match(line)
+  return (name.group(1) if name else '', m.group(1), m.group(2))
+
+
+def _payload_bytes(shape_str: str) -> int:
+  """Total bytes across all elements of a (possibly tuple) shape."""
+  total = 0
+  for dtype, dims in _SHAPE_ELEM_RE.findall(shape_str):
+    n = 1
+    for d in dims.split(','):
+      if d:
+        n *= int(d)
+    total += n * _DTYPE_BYTES.get(dtype, 4)
+  return total
 
 
 def inventory(hlo: str):
+  """One row per collective INSTRUCTION (done ops are skipped so an
+  async start/done pair counts once)."""
   rows = []
   for line in hlo.splitlines():
-    m = re.search(r'\b(all-reduce-start|all-reduce-done|all-reduce|'
-                  r'all-gather-start|all-gather|reduce-scatter|'
-                  r'collective-permute|all-to-all)\b', line)
-    if m and '=' in line:
-      rows.append((m.group(1), _payload_bytes(line), line.strip()[:100]))
+    parsed = _parse_instr(line)
+    if not parsed:
+      continue
+    _, shape_str, opcode = parsed
+    if opcode in _SYNC_COLLECTIVES or opcode in _START_COLLECTIVES:
+      rows.append((opcode, _payload_bytes(shape_str), line.strip()[:100]))
   return rows
 
 
@@ -92,19 +146,21 @@ def overlap_windows(hlo: str):
   windows = []
   open_ops = {}
   for line in hlo.splitlines():
-    line = line.strip()
-    ms = re.match(r'%?([\w.-]+)\s*=.*\b(all-reduce-start|all-gather-start|'
-                  r'collective-permute-start)\b', line)
-    if ms:
-      open_ops[ms.group(1)] = 0
+    parsed = _parse_instr(line)
+    if not parsed:
       continue
-    md = re.search(r'\b(all-reduce-done|all-gather-done|'
-                   r'collective-permute-done)\b.*%?([\w.-]+)\)', line)
-    if md and md.group(2) in open_ops:
-      windows.append((md.group(2), open_ops.pop(md.group(2))))
+    name, _, opcode = parsed
+    if opcode in _START_COLLECTIVES:
+      open_ops[name] = 0
       continue
-    if open_ops and re.search(r'\b(dot|fusion|convolution|custom-call)\b',
-                              line):
+    if opcode in _DONE_COLLECTIVES:
+      # First %operand inside the call parens is the start op.
+      call = line.split(f'{opcode}(', 1)[1] if f'{opcode}(' in line else ''
+      mo = re.search(r'%([\w.-]+)', call)
+      if mo and mo.group(1) in open_ops:
+        windows.append((mo.group(1), open_ops.pop(mo.group(1))))
+      continue
+    if open_ops and opcode in _COMPUTE_OPS:
       for k in open_ops:
         open_ops[k] += 1
   return windows
@@ -118,25 +174,23 @@ def main():
   args = ap.parse_args()
 
   import jax
+  # Both modes build shapes/jit on CPU; the topology mesh (abstract AOT
+  # devices) only appears inside shardings. Never grab the real TPU.
+  jax.config.update('jax_platforms', 'cpu')
 
+  from ranking_tpu import parallel
   if args.tpu_topology:
     from jax.experimental import topologies
     kind, _, dims = args.tpu_topology.partition(':')
     topo = topologies.get_topology_desc(
         platform='tpu', topology_name=f'{kind}:{dims}')
-    devices = topo.devices
-    from ranking_tpu import parallel
-    mesh = parallel.make_mesh(devices=devices, model=2)
-    step, arg_specs = build_step(mesh)
-    compiled = step.lower(*arg_specs).compile()
+    mesh = parallel.make_mesh(devices=topo.devices, model=2)
   else:
-    jax.config.update('jax_platforms', 'cpu')
     assert len(jax.devices()) >= 8, (
         'run with XLA_FLAGS=--xla_force_host_platform_device_count=8')
-    from ranking_tpu import parallel
     mesh = parallel.make_mesh(devices=jax.devices()[:8], model=2)
-    step, arg_specs = build_step(mesh)
-    compiled = step.lower(*arg_specs).compile()
+  step, arg_structs = build_step_structs(mesh)
+  compiled = step.lower(*arg_structs).compile()
 
   hlo = compiled.as_text()
   if args.dump_hlo:
@@ -165,10 +219,16 @@ def main():
           'have compute scheduled inside their start/done window ==')
     for name, n in wins[:12]:
       print(f'  {name}: {n} compute ops inside window')
+  elif args.tpu_topology:
+    print('== no async start/done pairs in this HLO text: this TPU '
+          'backend keeps collectives synchronous at the optimized-HLO '
+          'stage and overlaps them in its internal schedule (see the '
+          "all-reduce backend_config's collective_algorithm_config); "
+          'the inventory above is the shippable collective evidence ==')
   else:
     print('== no async start/done pairs in this backend '
           '(CPU emits synchronous collectives; use --tpu_topology for '
-          'overlap evidence) ==')
+          'the TPU-compiled inventory) ==')
 
 
 if __name__ == '__main__':

@@ -39,40 +39,39 @@ def parse_args():
   return p.parse_args()
 
 
-class _DINWithEmbeddings:
-  """Composes token embeddings with the DIN scorer."""
+def _din_with_embeddings(args, vocab_size):
+  """Builds a RankingModel composing token embeddings with the DIN
+  scorer (a plain factory — it returns a RankingModel)."""
+  import flax.linen as nn
 
-  def __new__(cls, args, vocab_size):
-    import flax.linen as nn
+  from ranking_tpu import models
+  from ranking_tpu.models import embeddings as emb
 
-    from ranking_tpu import models
-    from ranking_tpu.models import embeddings as emb
+  if args.dasalc:
+    num_layers, num_heads, head_size = 4, 2, 100
+    hidden = (512, 256, 128)
+  else:
+    num_layers = args.num_attention_layers
+    num_heads, head_size = args.num_heads, args.head_size
+    hidden = tuple(int(h) for h in args.hidden_layer_dims.split(','))
 
-    if args.dasalc:
-      num_layers, num_heads, head_size = 4, 2, 100
-      hidden = (512, 256, 128)
-    else:
-      num_layers = args.num_attention_layers
-      num_heads, head_size = args.num_heads, args.head_size
-      hidden = tuple(int(h) for h in args.hidden_layer_dims.split(','))
+  class Scorer(nn.Module):
 
-    class Scorer(nn.Module):
+    @nn.compact
+    def __call__(self, context, examples, mask, training=False):
+      ctx = {'q': emb.EmbeddingEncoder(
+          vocab_size, args.embedding_dim, name='embed_q')(
+              context['query_tokens'])}
+      exs = {'d': emb.EmbeddingEncoder(
+          vocab_size, args.embedding_dim, name='embed_d')(
+              examples['document_tokens'])}
+      return models.DINScorer(
+          num_heads=num_heads, head_size=head_size,
+          num_attention_layers=num_layers,
+          hidden_layer_dims=hidden, dropout=0.5)(
+              ctx, exs, mask, training=training)
 
-      @nn.compact
-      def __call__(self, context, examples, mask, training=False):
-        ctx = {'q': emb.EmbeddingEncoder(
-            vocab_size, args.embedding_dim, name='embed_q')(
-                context['query_tokens'])}
-        exs = {'d': emb.EmbeddingEncoder(
-            vocab_size, args.embedding_dim, name='embed_d')(
-                examples['document_tokens'])}
-        return models.DINScorer(
-            num_heads=num_heads, head_size=head_size,
-            num_attention_layers=num_layers,
-            hidden_layer_dims=hidden, dropout=0.5)(
-                ctx, exs, mask, training=training)
-
-    return models.RankingModel(scorer=Scorer())
+  return models.RankingModel(scorer=Scorer())
 
 
 def main():
@@ -88,7 +87,7 @@ def main():
                                        hash_buckets=args.hash_buckets),
       'relevance': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
 
-  model = _DINWithEmbeddings(args, args.hash_buckets)
+  model = _din_with_embeddings(args, args.hash_buckets)
   builder = pipeline.SimpleDatasetBuilder(
       context_spec, example_spec,
       pipeline.DatasetHparams(

@@ -55,7 +55,12 @@ def add_click_labels(src_pattern: str, out_path: str, seed: int = 11) -> str:
       elwc = proto.ExampleListWithContext()
       elwc.ParseFromString(rec)
       for ex in elwc.examples:
-        rel = ex.features.feature['relevance'].int64_list.value
+        # Guard the map read: a bare [] access on a protobuf map INSERTS
+        # a present-but-kindless Feature, which would be serialized into
+        # the rewritten records and can trip strict parsers.
+        fmap = ex.features.feature
+        rel = (fmap['relevance'].int64_list.value
+               if 'relevance' in fmap else [])
         relevant = bool(rel) and rel[0] > 0
         click = int(relevant and rng.rand() < 0.7)
         ex.features.feature['click'].int64_list.value.append(click)

@@ -21,6 +21,8 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import argparse
 import csv
 
+import numpy as np
+
 
 def parse_args():
   p = argparse.ArgumentParser()
@@ -85,7 +87,8 @@ def main():
         args.artifact_path,
         sample_batch=RankingBatch(
             context=sample.context, examples=sample.examples,
-            labels=sample.mask.astype('float32'), mask=sample.mask),
+            labels=np.where(sample.mask, 0.0, -1.0).astype('float32'),
+            mask=sample.mask),
         list_size_buckets=(args.list_size,),
         label_feature_name='relevance')
     print(f'self-contained artifact -> {args.artifact_path}')
