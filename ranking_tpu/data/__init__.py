@@ -7,6 +7,7 @@ from ranking_tpu.data import libsvm
 from ranking_tpu.data import parsers
 from ranking_tpu.data import proto
 from ranking_tpu.data import tfrecord
+from ranking_tpu.data import trec
 from ranking_tpu.data.batch import RankingBatch, batch_from_labels
 from ranking_tpu.data.dataset import (
     build_ranking_dataset,
@@ -35,4 +36,5 @@ __all__ = [
     'prefetch_to_device',
     'proto',
     'tfrecord',
+    'trec',
 ]
