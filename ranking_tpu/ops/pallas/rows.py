@@ -139,6 +139,99 @@ def scatter_rows(table: Array, ids: Array, valid: Array, updates: Array,
   )(ids.astype(jnp.int32), valid.astype(jnp.int32), updates, table)
 
 
+def _make_multi_kernel(n: int, block: int):
+  """Kernel scattering ``n`` update slabs into ``n`` same-shape tables
+  under ONE id/valid stream: per row, ``n`` DMA starts are issued
+  back-to-back before any wait, so the row's address computation, bounds
+  predicate, and loop control are paid once instead of ``n`` times."""
+
+  def kernel(ids_ref, valid_ref, *refs):
+    updates = refs[:n]
+    tab_out = refs[2 * n:3 * n]  # refs[n:2n] are the aliased inputs
+    sems = refs[3 * n]
+    base = pl.program_id(0) * block
+
+    def _copy(j, t):
+      return pltpu.make_async_copy(
+          updates[t].at[pl.ds(j, 1), :],
+          tab_out[t].at[pl.ds(ids_ref[base + j], 1), :],
+          sems.at[j, t])
+
+    for j in range(block):
+      @pl.when(valid_ref[base + j] != 0)
+      def _(j=j):
+        for t in range(n):
+          _copy(j, t).start()
+    for j in range(block):
+      @pl.when(valid_ref[base + j] != 0)
+      def _(j=j):
+        for t in range(n):
+          _copy(j, t).wait()
+
+  return kernel
+
+
+def scatter_rows_multi(tables, ids: Array, valid: Array, updates,
+                       interpret: bool = False):
+  """Fused in-place row scatter of ``n`` slabs into ``n`` tables.
+
+  The optimizer-update shape: LazyAdagrad writes (param, accumulator) and
+  LazyAdam (param, m, v) rows at the SAME unique ids. One kernel issues
+  all ``n`` DMAs per row under a single grid and scalar-prefetch stream;
+  vs ``n`` separate :func:`scatter_rows` calls this halves (n=2) the
+  non-DMA per-row overhead and the kernel-launch count. Tables must share
+  shape and dtype; semantics per table equal ``scatter_rows_reference``.
+  """
+  tables = list(tables)
+  updates = list(updates)
+  n = len(tables)
+  if n != len(updates) or n == 0:
+    raise ValueError('scatter_rows_multi: need equally many tables and '
+                     f'update slabs, got {n} vs {len(updates)}')
+  shape, dtype = tables[0].shape, tables[0].dtype
+  if any(t.shape != shape or t.dtype != dtype for t in tables):
+    raise ValueError('scatter_rows_multi: tables must share shape/dtype, '
+                     f'got {[(t.shape, t.dtype) for t in tables]}')
+  k, d = updates[0].shape
+  if n == 1:
+    return (scatter_rows(tables[0], ids, valid, updates[0],
+                         interpret=interpret),)
+  if not supported_width(d):
+    return tuple(scatter_rows_reference(t, ids, valid, u)
+                 for t, u in zip(tables, updates))
+  ok = (valid != 0) & (ids >= 0) & (ids < shape[0])
+  ids = jnp.where(ok, ids, 0)
+  valid = ok
+  # n*block DMAs in flight per grid step; the semaphore budget that caps
+  # the single-table kernel at 256 rows is split across the n streams.
+  block = max(8, BLOCK_ROWS // n)
+  pad = (-k) % block
+  if pad:
+    ids = jnp.pad(ids, (0, pad))
+    valid = jnp.pad(valid.astype(jnp.int32), (0, pad))
+    updates = [jnp.pad(u, ((0, pad), (0, 0))) for u in updates]
+    k += pad
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=2,
+      grid=(k // block,),
+      in_specs=(
+          [pl.BlockSpec((block, d), lambda i, ids, valid: (i, 0))] * n
+          + [pl.BlockSpec(memory_space=pl.ANY)] * n),
+      out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,
+      scratch_shapes=[pltpu.SemaphoreType.DMA((block, n))],
+  )
+  out = pl.pallas_call(
+      _make_multi_kernel(n, block),
+      grid_spec=grid_spec,
+      out_shape=[jax.ShapeDtypeStruct(shape, dtype)] * n,
+      input_output_aliases={2 + n + t: t for t in range(n)},
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('arbitrary',)),
+      interpret=interpret,
+  )(ids.astype(jnp.int32), valid.astype(jnp.int32), *updates, *tables)
+  return tuple(out)
+
+
 def use_kernel() -> bool:
   """Auto policy: the DMA scatter engages on TPU (where the XLA scatter
   is O(vocab)); elsewhere the jnp reference path runs. ops.pallas

@@ -76,6 +76,41 @@ def compact_unique(flat_ids: Array) -> Tuple[Array, Array, Array]:
   valid = flat_ids >= 0
   big = jnp.iinfo(jnp.int32).max
   key = jnp.where(valid, flat_ids, big)
+  # Everything below is expressed as SORTS, never 1-D scatters/gathers:
+  # XLA serializes rank-1 scatter/gather on TPU (profiled 0.24-0.41 ms
+  # each at N=51k) while its rank-1 sort runs in 0.045 ms, so inverse
+  # permutations and compactions are 10x cheaper as sort-by-destination.
+  iota = jnp.arange(n, dtype=jnp.int32)
+  s, order = jax.lax.sort((key, iota), num_keys=1)
+  valid_s = s != big  # == valid[order], without the serialized gather
+  first = jnp.concatenate(
+      [jnp.ones((1,), bool), s[1:] != s[:-1]]) & valid_s
+  firsti = first.astype(jnp.int32)
+  urank = jnp.cumsum(firsti) - 1  # [N]
+  n_unique = jnp.sum(firsti)
+  # uids: compact the first occurrence of each run to the front. Tie
+  # order among the pushed-back non-firsts is irrelevant (masked to 0).
+  _, uids = jax.lax.sort((jnp.where(first, urank, big), s), num_keys=1)
+  filled = iota < n_unique
+  uids = jnp.where(filled, uids, 0)
+  # remap[order[i]] = urank[i]: the inverse permutation, as a sort keyed
+  # by `order` (a permutation, so keys are distinct). Duplicated input
+  # ids share one urank, so an unstable primary sort cannot change the
+  # result vs the reference scatter formulation.
+  _, remap = jax.lax.sort((order, urank), num_keys=1)
+  remap = jnp.where(valid, remap, flat_ids)
+  return uids, remap, filled
+
+
+def _compact_unique_reference(flat_ids: Array) -> Tuple[Array, Array, Array]:
+  """Scatter-based reference formulation of :func:`compact_unique` (the
+  round-2 implementation) — kept for equality tests of the sort-based
+  hot path."""
+  n = flat_ids.shape[0]
+  flat_ids = flat_ids.astype(jnp.int32)
+  valid = flat_ids >= 0
+  big = jnp.iinfo(jnp.int32).max
+  key = jnp.where(valid, flat_ids, big)
   order = jnp.argsort(key)
   s = key[order]
   valid_s = valid[order]
@@ -252,9 +287,6 @@ class LazyAdam:
     # On TPU the row writes go through the in-place DMA scatter kernel
     # (ops/pallas/rows.py) — XLA's own scatter rewrites the whole table.
     use_dma = self.dma_scatter and rows_lib.use_kernel()
-
-    def _scatter(buf, uids, touched, rows):
-      return _scatter_rows_auto(buf, uids, touched, rows, use_dma)
     new_params: Dict[str, Array] = {}
     new_state: Dict[str, Any] = {'count': count}
     new_state['dropped'] = state.get('dropped', jnp.zeros((), jnp.int32))
@@ -275,14 +307,37 @@ class LazyAdam:
       new_v = self.b2 * v_r + (1.0 - self.b2) * g * g
       step = lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + self.eps)
       # uids are unique among touched slots, so no scatter conflicts.
-      new_params[p] = _scatter(table, uids, touched, p_r - step)
-      new_state[p] = {'m': _scatter(m, uids, touched, new_m),
-                      'v': _scatter(v, uids, touched, new_v)}
+      nt, nm, nv = _scatter_rows_multi_auto(
+          (table, m, v), uids, touched, (p_r - step, new_m, new_v),
+          use_dma)
+      new_params[p] = nt
+      new_state[p] = {'m': nm, 'v': nv}
     for p in sparse_params:  # untouched tables keep their state verbatim
       if p not in row_grads:
         new_params[p] = sparse_params[p]
         new_state[p] = state[p]
     return new_params, new_state
+
+
+def _scatter_rows_multi_auto(bufs, uids: Array, touched: Array,
+                             rows_list, use_dma: bool):
+  """Optimizer-update scatter: all buffers (param + moment state) share
+  one id stream, so inside the DMA domain they go through the fused
+  multi-table kernel (ops/pallas/rows.py scatter_rows_multi — one grid,
+  n DMAs per row; measured 1.22x over n separate kernels at 51k rows of
+  [3M, 128]). Outside the domain each buffer falls back independently."""
+  from ranking_tpu.ops.pallas import rows as rows_lib
+  bufs = list(bufs)
+  rows_list = [r.astype(b.dtype) for b, r in zip(bufs, rows_list)]
+  b0, r0 = bufs[0], rows_list[0]
+  if (use_dma and len(bufs) > 1 and r0.ndim == 2
+      and all(b.shape == b0.shape and b.dtype == b0.dtype for b in bufs)
+      and not any(_visibly_partitioned(b) for b in bufs)
+      and rows_lib.supported_width(r0.shape[-1])
+      and b0.size > 2000 * r0.shape[0]):
+    return rows_lib.scatter_rows_multi(bufs, uids, touched, rows_list)
+  return tuple(_scatter_rows_auto(b, uids, touched, r, use_dma)
+               for b, r in zip(bufs, rows_list))
 
 
 def _scatter_rows_auto(buf: Array, uids: Array, touched: Array,
@@ -409,10 +464,10 @@ class LazyAdagrad:
       acc_r = acc[safe]
       new_acc = acc_r + g * g
       step = lr * g * _adagrad_inv(new_acc, self.eps)
-      new_params[p] = _scatter_rows_auto(table, uids, touched, p_r - step,
-                                         use_dma)
-      new_state[p] = {'acc': _scatter_rows_auto(acc, uids, touched,
-                                                new_acc, use_dma)}
+      nt, nacc = _scatter_rows_multi_auto(
+          (table, acc), uids, touched, (p_r - step, new_acc), use_dma)
+      new_params[p] = nt
+      new_state[p] = {'acc': nacc}
     for p in sparse_params:  # untouched tables keep their state verbatim
       if p not in row_grads:
         new_params[p] = sparse_params[p]

@@ -69,6 +69,74 @@ def test_lazy_adam_update_rows_same_on_and_off_kernel(monkeypatch):
                                 np.asarray(k_state['t']['v']))
 
 
+@pytest.mark.parametrize('n,v,d,k', [
+    (2, 500, 128, 70),   # LazyAdagrad shape (param + acc), unaligned k
+    (3, 300, 128, 33),   # LazyAdam shape (param + m + v)
+    (2, 64, 8, 16),      # unsupported width -> per-table reference path
+    (1, 200, 128, 20),   # degenerate single table
+])
+def test_scatter_multi_matches_reference(n, v, d, k):
+  rng = np.random.RandomState(n * 100 + k)
+  tables = [jnp.asarray(rng.randn(v, d).astype(np.float32))
+            for _ in range(n)]
+  ids = jnp.asarray(rng.choice(v, k, replace=False).astype(np.int32))
+  valid = jnp.asarray((rng.rand(k) > 0.2).astype(np.int32))
+  updates = [jnp.asarray(rng.randn(k, d).astype(np.float32))
+             for _ in range(n)]
+  refs = [rows_lib.scatter_rows_reference(t, ids, valid, u)
+          for t, u in zip(tables, updates)]
+  outs = rows_lib.scatter_rows_multi(tables, ids, valid, updates,
+                                     interpret=True)
+  for i, (r, o) in enumerate(zip(refs, outs)):
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(o),
+                                  err_msg=f'table {i}')
+
+
+def test_scatter_multi_validates_shapes():
+  t = jnp.zeros((8, 128), jnp.float32)
+  u = jnp.zeros((4, 128), jnp.float32)
+  ids = jnp.zeros((4,), jnp.int32)
+  valid = jnp.ones((4,), jnp.int32)
+  with pytest.raises(ValueError, match='equally many'):
+    rows_lib.scatter_rows_multi((t, t), ids, valid, (u,))
+  with pytest.raises(ValueError, match='share shape'):
+    rows_lib.scatter_rows_multi(
+        (t, jnp.zeros((9, 128), jnp.float32)), ids, valid, (u, u))
+
+
+def test_update_rows_fused_scatter_same_as_reference(monkeypatch):
+  """LazyAdagrad.update_rows through the fused multi-table DMA path
+  (interpret mode, table inside the size domain) must be bit-identical
+  to the pure-reference run."""
+  from ranking_tpu import train
+
+  rng = np.random.RandomState(11)
+  v, d, k = 512, 128, 16  # v*d > 2000*k -> inside the DMA auto domain
+  spec = train.LazyAdagrad(learning_rate=1e-2)
+  params = {'t': jnp.asarray(rng.randn(v, d).astype(np.float32))}
+  state = spec.init(params)
+  uids = jnp.asarray(rng.choice(v, k, replace=False).astype(np.int32))
+  grads = jnp.asarray(rng.randn(k, d).astype(np.float32))
+  filled = jnp.asarray(np.arange(k) < k - 3)
+  row_grads = {'t': (uids, grads, filled)}
+
+  ref_params, ref_state = spec.update_rows(row_grads, state, params)
+
+  real_multi = rows_lib.scatter_rows_multi
+  calls = []
+  def multi_interpret(*a, **kw):
+    calls.append(1)
+    return real_multi(*a, interpret=True, **kw)
+  monkeypatch.setattr(rows_lib, 'use_kernel', lambda: True)
+  monkeypatch.setattr(rows_lib, 'scatter_rows_multi', multi_interpret)
+  k_params, k_state = spec.update_rows(row_grads, state, params)
+  assert calls, 'fused multi-table scatter path was not exercised'
+  np.testing.assert_array_equal(np.asarray(ref_params['t']),
+                                np.asarray(k_params['t']))
+  np.testing.assert_array_equal(np.asarray(ref_state['t']['acc']),
+                                np.asarray(k_state['t']['acc']))
+
+
 def test_scatter_out_of_range_ids_dropped():
   """Ids outside [0, V) must be dropped, not DMA'd past the table."""
   rng = np.random.RandomState(5)

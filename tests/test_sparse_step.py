@@ -47,6 +47,24 @@ def test_compact_unique_matches_numpy(seed, n, vocab, pad_frac):
   np.testing.assert_array_equal(uids[remap[valid]], flat[valid])
 
 
+@pytest.mark.parametrize('seed,n,vocab,pad_frac', [
+    (0, 64, 10, 0.2), (1, 256, 7, 0.0), (2, 37, 5, 0.5), (3, 16, 1, 0.3),
+    (4, 128, 100000, 0.1), (5, 8, 3, 1.0),
+])
+def test_compact_unique_bitwise_equals_scatter_reference(
+    seed, n, vocab, pad_frac):
+  """The sort-based hot path must be bitwise identical to the scatter
+  formulation it replaced (incl. heavy duplication and all-padding)."""
+  rng = np.random.RandomState(seed)
+  flat = rng.randint(0, vocab, size=n).astype(np.int32)
+  pad = rng.rand(n) < pad_frac
+  flat[pad] = -rng.randint(1, 5, size=n)[pad]
+  got = jax.jit(sparse_lib.compact_unique)(jnp.asarray(flat))
+  want = jax.jit(sparse_lib._compact_unique_reference)(jnp.asarray(flat))
+  for g, w, name in zip(got, want, ('uids', 'remap', 'filled')):
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(w), err_msg=name)
+
+
 def test_compact_unique_all_padding():
   uids, remap, filled = jax.jit(sparse_lib.compact_unique)(
       jnp.full((8,), -1, jnp.int32))
