@@ -95,17 +95,28 @@ def merged_lists(
   judged but not retrieved, or retrieved but not judged, are dropped —
   the notebook's ``merge`` semantics (document this to users: it differs
   from trec_eval, which scores unretrieved judged docs as misses).
+
+  Within a query, documents follow the qrels (left-frame) row order —
+  matching the notebook's ``qrel.merge(run)``, whose output preserves the
+  left frame's order. This matters under score ties: ``sort_by_scores``
+  breaks ties by list position, so a run-order join would yield different
+  metric values than the notebook when scores tie. A doc repeated within
+  one query's run keeps its first score (run files list each doc once;
+  trec_eval rejects duplicates).
   """
   for qid, judged in qrels.items():
     retrieved = run.get(qid)
     if not retrieved:
       continue
+    by_doc: Dict[str, float] = {}
+    for doc, score in retrieved:
+      by_doc.setdefault(doc, score)
     labels = []
     scores = []
-    for doc, score in retrieved:
-      if doc in judged:
-        labels.append(judged[doc])
-        scores.append(score)
+    for doc, rel in judged.items():
+      if doc in by_doc:
+        labels.append(rel)
+        scores.append(by_doc[doc])
     if labels:
       yield qid, np.asarray(labels, np.float32), np.asarray(scores, np.float32)
 
@@ -217,6 +228,9 @@ def evaluate_run(
     raise ValueError('evaluate_run: no metrics requested')
   fns: Dict[str, Tuple[MetricSpec, Callable]] = {}
   for spec in metrics:
+    if spec.name in fns:
+      raise ValueError(f'Duplicate metric spec {spec.name!r}; each '
+                       'requested metric must render to a distinct name')
     fns[spec.name] = (spec, metric_registry.make_ranking_metric_fn(
         spec.key, topn=spec.topn))
   states = {name: metric_registry.MeanState.zero() for name in fns}

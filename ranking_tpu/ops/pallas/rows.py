@@ -193,6 +193,16 @@ def scatter_rows_multi(tables, ids: Array, valid: Array, updates,
     raise ValueError('scatter_rows_multi: tables must share shape/dtype, '
                      f'got {[(t.shape, t.dtype) for t in tables]}')
   k, d = updates[0].shape
+  # The kernel reads ids/valid as a scalar-prefetch stream sized to the
+  # update slabs: a shorter ids array would read out of bounds and feed an
+  # unmasked index to a raw-address DMA. Validate before anything traces.
+  if any(u.shape != (k, d) for u in updates):
+    raise ValueError('scatter_rows_multi: update slabs must share shape '
+                     f'({k}, {d}), got {[u.shape for u in updates]}')
+  if ids.shape != (k,) or valid.shape != (k,):
+    raise ValueError(f'scatter_rows_multi: ids/valid must be shape ({k},) '
+                     f'matching the update slabs, got ids {ids.shape}, '
+                     f'valid {valid.shape}')
   if n == 1:
     return (scatter_rows(tables[0], ids, valid, updates[0],
                          interpret=interpret),)

@@ -102,6 +102,15 @@ def test_scatter_multi_validates_shapes():
   with pytest.raises(ValueError, match='share shape'):
     rows_lib.scatter_rows_multi(
         (t, jnp.zeros((9, 128), jnp.float32)), ids, valid, (u, u))
+  # A shorter ids/valid stream than the update slabs would feed an
+  # unmasked OOB index into a raw-address DMA — must raise, not trace.
+  with pytest.raises(ValueError, match='ids/valid must be shape'):
+    rows_lib.scatter_rows_multi((t, t), ids[:3], valid, (u, u))
+  with pytest.raises(ValueError, match='ids/valid must be shape'):
+    rows_lib.scatter_rows_multi((t, t), ids, valid[:2], (u, u))
+  with pytest.raises(ValueError, match='update slabs must share shape'):
+    rows_lib.scatter_rows_multi(
+        (t, t), ids, valid, (u, jnp.zeros((5, 128), jnp.float32)))
 
 
 def test_update_rows_fused_scatter_same_as_reference(monkeypatch):

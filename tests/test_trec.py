@@ -115,6 +115,31 @@ def test_parse_metric_specs_validation():
     trec.evaluate_run('x', 'y', metrics='')
 
 
+def test_merged_lists_qrels_row_order_under_ties(tmp_path):
+  """Joined docs follow qrels (left-frame) row order, like the notebook's
+  qrel.merge(run) — observable when scores tie, since sort_by_scores
+  breaks ties by list position."""
+  qrels = tmp_path / 'q.txt'
+  run = tmp_path / 'r.txt'
+  qrels.write_text('q1 0 dA 1\nq1 0 dB 0\n')
+  # Run retrieves them in the OPPOSITE order with tied scores; a repeated
+  # doc keeps its first score.
+  run.write_text('q1 Q0 dB 1 0.5 sys\n'
+                 'q1 Q0 dA 2 0.5 sys\n'
+                 'q1 Q0 dA 3 9.9 sys\n')
+  (qid, labels, scores), = list(trec.merged_lists(
+      trec.read_qrels(str(qrels)), trec.read_run(str(run))))
+  assert qid == 'q1'
+  np.testing.assert_array_equal(labels, [1.0, 0.0])  # dA first (qrels order)
+  np.testing.assert_array_equal(scores, [0.5, 0.5])  # dA's FIRST run score
+
+
+def test_duplicate_metric_specs_raise(files):
+  qrels_path, run_path = files
+  with pytest.raises(ValueError, match='Duplicate metric spec'):
+    trec.evaluate_run(qrels_path, run_path, metrics='ndcg,ndcg')
+
+
 def test_malformed_files(tmp_path):
   bad = tmp_path / 'bad.txt'
   bad.write_text('q1 0 d1\n')
