@@ -32,11 +32,30 @@ WARMUP = 3
 CHUNKS = 6
 ITERS_PER_CHUNK = 8
 SCAN_ITERS = 512  # steps per scan dispatch (amortizes tunnel latency)
-CHILD_TIMEOUT_S = 540
+CHILD_TIMEOUT_S = 780  # covers the e2e corpus + two extra compiles
+E2E_CORPUS_DIR = '/tmp/ranking_tpu_e2e_corpus'
+E2E_RECORDS = 8192  # ~1 GB on disk at the flagship shape
+E2E_CHUNKS = 4
+E2E_BATCHES_PER_CHUNK = 24
+# MFU denominator: TPU v5e bf16 systolic peak (per chip). Other device
+# kinds are reported with the same denominator and flagged via device_kind.
+PEAK_FLOPS = 197e12
+
+if os.environ.get('RANKING_BENCH_SMOKE'):
+  # Plumbing check on CPU: tiny shapes/iterations, same code paths.
+  BATCH, LIST_SIZE, NUM_FEATURES, HIDDEN = 8, 20, 16, (32,)
+  CHUNKS, ITERS_PER_CHUNK, SCAN_ITERS = 2, 2, 4
+  E2E_RECORDS, E2E_CHUNKS, E2E_BATCHES_PER_CHUNK = 64, 2, 4
+  E2E_CORPUS_DIR = '/tmp/ranking_tpu_e2e_corpus_smoke'
+  CHILD_TIMEOUT_S = 240
 
 
 def child():
   import jax
+  if os.environ.get('RANKING_BENCH_SMOKE'):
+    # The env-var spelling does not override this environment's tunneled
+    # TPU plugin; the config call does.
+    jax.config.update('jax_platforms', 'cpu')
   import jax.numpy as jnp
   import numpy as np
   import optax
@@ -98,6 +117,7 @@ def child():
   # 'bf16': same tower with bfloat16 compute (params stay f32) — the
   # MXU-native configuration; reported alongside, not as the headline
   # (the TF baseline is f32).
+  print(f'DEVKIND {jax.devices()[0].device_kind}', flush=True)
   for tag, use_bn, dtype in (('bnoff', False, jnp.float32),
                              ('bnon', True, jnp.float32),
                              ('bf16', False, jnp.bfloat16)):
@@ -117,6 +137,18 @@ def child():
     stacked = jax.jit(lambda b: jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (SCAN_ITERS,) + x.shape),
         b))(batch)
+    try:
+      # Optimized-HLO FLOP count for one multi-step program; the parent
+      # divides by SCAN_ITERS and the measured per-step device time for
+      # device_tflops / MFU.
+      ca = multi.lower(state, stacked, key).compile().cost_analysis()
+      if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+      flops = float(ca.get('flops', 0.0))
+      if flops > 0:
+        print(f'FLOPS {tag} {flops / SCAN_ITERS:.6g}', flush=True)
+    except Exception:
+      pass  # cost analysis is best-effort; wall numbers stand alone
     state, metrics = multi(state, stacked, key)  # compile + warm
     float(metrics['loss'][-1])
     for _ in range(CHUNKS):
@@ -125,7 +157,75 @@ def child():
       float(metrics['loss'][-1])
       dt = time.perf_counter() - t0
       eps = BATCH * SCAN_ITERS / dt / n_chips
-      print(f'CHUNK {tag} {eps:.2f}', flush=True)
+      print(f'SCAN {tag} {eps:.2f}', flush=True)
+
+  e2e(mesh, loss_fn, n_chips)
+
+
+def e2e(mesh, loss_fn, n_chips):
+  """Disk -> C++ decode -> host->device feed -> jitted step, at the same
+  flagship shape as the synthetic-batch measurement (the reference's
+  implicit model.fit-over-build_ranking_dataset contract,
+  python/data.py:1015 prefetch AUTOTUNE)."""
+  import jax
+  import jax.numpy as jnp
+  import optax
+
+  from ranking_tpu import models, parallel, train
+  from ranking_tpu.data.dataset import (native_ranking_dataset,
+                                        prefetch_to_device)
+
+  sys.path.insert(0, os.path.join(
+      os.path.dirname(os.path.abspath(__file__)), 'benchmarks'))
+  from e2e_common import corpus_specs, write_corpus
+
+  write_corpus(E2E_CORPUS_DIR, E2E_RECORDS)
+  specs = corpus_specs()
+  sharding = parallel.batch_sharding(mesh)
+
+  for tag, dtype in (('e2e', jnp.float32), ('e2e_bf16', jnp.bfloat16)):
+    model = models.RankingModel(
+        scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
+                                use_batch_norm=False, dtype=dtype),
+        transform_name='log1p')
+    stream = native_ranking_dataset(
+        f'{E2E_CORPUS_DIR}/part-*.tfrecord', batch_size=BATCH,
+        label_feature_name='relevance', list_size=LIST_SIZE,
+        epochs=None, shuffle=True, shuffle_buffer_size=1024,
+        **specs)
+    if dtype == jnp.bfloat16:
+      # Host-side cast before the device put: on a transfer-bound link
+      # this halves host->device bytes, and the tower computes in bf16
+      # anyway.
+      import ml_dtypes
+
+      def _cast(batches):
+        for b in batches:
+          yield b.replace(examples={
+              k: (v.astype(ml_dtypes.bfloat16)
+                  if v.dtype == 'float32' else v)
+              for k, v in b.examples.items()})
+      stream = _cast(stream)
+    batches = prefetch_to_device(stream, sharding, buffer_size=2)
+
+    first = next(batches)
+    state = train.create_train_state(
+        model, optax.adam(1e-3), jax.random.PRNGKey(0),
+        first.context, first.examples, first.mask)
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
+    step = jax.jit(train.make_train_step(loss_fn), donate_argnums=0)
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, first, key)
+    float(metrics['loss'])  # compile barrier
+    for _ in range(E2E_CHUNKS):
+      t0 = time.perf_counter()
+      for _ in range(E2E_BATCHES_PER_CHUNK):
+        state, metrics = step(state, next(batches), key)
+      float(metrics['loss'])
+      dt = time.perf_counter() - t0
+      eps = BATCH * E2E_BATCHES_PER_CHUNK / dt / n_chips
+      print(f'E2E {tag} {eps:.2f}', flush=True)
 
 
 def main():
@@ -150,11 +250,27 @@ def main():
   reader.start()
 
   by_tag = {'bnoff': [], 'bnon': [], 'bf16': []}
+  scan_by_tag = {}
+  e2e_by_tag = {}
+  flops_by_tag = {}
+  extras = {}
 
   def _consume(line):
-    if line.startswith('CHUNK '):
-      _, tag, val = line.split()
-      by_tag.setdefault(tag, []).append(float(val))
+    parts = line.split()
+    if not parts:
+      return
+    if parts[0] == 'CHUNK':
+      by_tag.setdefault(parts[1], []).append(float(parts[2]))
+    elif parts[0] == 'SCAN':
+      # Scan chunks amortize tunnel dispatch: wall/steps ~= device time.
+      by_tag.setdefault(parts[1], []).append(float(parts[2]))
+      scan_by_tag.setdefault(parts[1], []).append(float(parts[2]))
+    elif parts[0] == 'E2E':
+      e2e_by_tag.setdefault(parts[1], []).append(float(parts[2]))
+    elif parts[0] == 'FLOPS':
+      flops_by_tag[parts[1]] = float(parts[2])
+    elif parts[0] == 'DEVKIND':
+      extras['device_kind'] = ' '.join(parts[1:])
 
   deadline = time.time() + CHILD_TIMEOUT_S
   try:
@@ -184,8 +300,9 @@ def main():
     print(json.dumps({
         'metric': 'listwise_train_examples_per_sec_per_chip',
         'value': 0.0,
-        'unit': 'query_lists/s/chip (B128xL200xF136 DNN softmax train '
-                'step); 0 = device fetch stalled, no measurement completed',
+        'unit': f'query_lists/s/chip (B{BATCH}xL{LIST_SIZE}xF{NUM_FEATURES}'
+                ' DNN softmax train step); 0 = device fetch stalled, no '
+                'measurement completed',
         'vs_baseline': 0.0,
     }))
     return
@@ -201,7 +318,8 @@ def main():
   out = {
       'metric': 'listwise_train_examples_per_sec_per_chip',
       'value': round(value, 2),
-      'unit': 'query_lists/s/chip (B128xL200xF136 DNN softmax train step)',
+      'unit': f'query_lists/s/chip (B{BATCH}xL{LIST_SIZE}xF{NUM_FEATURES} '
+              'DNN softmax train step)',
       'vs_baseline': round(value / baseline, 3) if baseline else 1.0,
   }
   if bn_results:
@@ -210,6 +328,30 @@ def main():
   if bf16_results:
     # Same tower, bfloat16 compute (MXU-native; TF baseline is f32).
     out['bf16_value'] = round(max(bf16_results), 2)
+  out.update(extras)
+  # Device-time, achieved TFLOP/s, and MFU per variant, from the
+  # scan-dispatch chunks (per-step wall there ~= device time) and the
+  # compiled program's optimized-HLO FLOP count. MFU denominator is the
+  # v5e bf16 peak for every variant; the f32 rows therefore read as
+  # "fraction of the chip's ceiling", not of an f32-specific peak.
+  for tag in ('bnoff', 'bnon', 'bf16'):
+    scans = scan_by_tag.get(tag)
+    flops = flops_by_tag.get(tag)
+    if not scans:
+      continue
+    ms = BATCH / max(scans) * 1000.0
+    out[f'device_ms_{tag}'] = round(ms, 4)
+    if flops:
+      tflops = flops / (ms / 1000.0) / 1e12
+      out[f'device_tflops_{tag}'] = round(tflops, 2)
+      out[f'mfu_{tag}'] = round(tflops * 1e12 / PEAK_FLOPS, 4)
+  # Disk-to-device pipeline rate vs the synthetic-batch rate (the
+  # reference's model.fit-over-build_ranking_dataset contract).
+  if e2e_by_tag.get('e2e'):
+    out['e2e_value'] = round(max(e2e_by_tag['e2e']), 2)
+    out['e2e_frac_of_synthetic'] = round(out['e2e_value'] / value, 4)
+  if e2e_by_tag.get('e2e_bf16'):
+    out['e2e_bf16_value'] = round(max(e2e_by_tag['e2e_bf16']), 2)
   print(json.dumps(out))
 
 

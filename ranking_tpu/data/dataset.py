@@ -351,11 +351,15 @@ def native_ranking_dataset(
     mask_feature_name: Optional[str] = None,
     size_feature_name: Optional[str] = None,
     seed: Optional[int] = None,
+    num_threads: Optional[int] = None,
 ) -> Iterator[RankingBatch]:
   """ELWC stream fully driven by the native loader (data/native/loader.cc):
-  C++ threads own file reading, shuffling, proto decode, and batch assembly;
-  Python only wraps finished arrays. Same batch contract as
-  ``build_ranking_dataset``."""
+  a C++ reader thread owns file reading, shuffling, and batch assembly;
+  ``num_threads`` C++ decode workers parse protos in parallel (default
+  min(8, cpus)); Python only wraps finished arrays. The record/batch
+  stream is bit-identical for every ``num_threads`` — order is fixed by
+  the reader's seeded shuffle, not by decode scheduling. Same batch
+  contract as ``build_ranking_dataset``."""
   from ranking_tpu.data import native
   paths = sorted(glob_lib.glob(file_pattern))
   if not paths:
@@ -367,7 +371,7 @@ def native_ranking_dataset(
       batch_size=batch_size, list_size=list_size, shuffle=shuffle,
       shuffle_buffer=shuffle_buffer_size, epochs=epochs,
       drop_remainder=drop_remainder, seed=seed or 0,
-      data_format=data_format)
+      data_format=data_format, num_threads=num_threads)
   try:
     for parsed in loader:
       yield parsed_to_batch(

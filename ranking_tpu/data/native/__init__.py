@@ -12,6 +12,7 @@ import ctypes
 import os
 import subprocess
 import threading
+import weakref
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -37,6 +38,8 @@ class FeatureSpecStruct(ctypes.Structure):
       # Per-row decoded-value counts; lets the binding enforce the Python
       # parser's required-feature / wrong-count errors on the fast path.
       ('present', ctypes.POINTER(ctypes.c_int32)),
+      # Vocabulary-table handle (rt_vocab_create) for KIND_VARLEN_VOCAB.
+      ('vocab', ctypes.c_void_p),
   ]
 
 
@@ -44,6 +47,7 @@ KIND_FIXED_FLOAT = 0
 KIND_FIXED_INT64 = 1
 KIND_VARLEN_INT64 = 2
 KIND_VARLEN_HASHED = 3
+KIND_VARLEN_VOCAB = 4
 
 
 def _loader_format(data_format: str) -> int:
@@ -145,8 +149,38 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int]
     lib.rt_libsvm_free.restype = None
     lib.rt_libsvm_free.argtypes = [ctypes.c_void_p]
+    lib.rt_vocab_create.restype = ctypes.c_void_p
+    lib.rt_vocab_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.rt_vocab_free.restype = None
+    lib.rt_vocab_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def _vocab_handle(lib, vocab) -> int:
+  """Returns (building once) the C++ lookup-table handle for a
+  parsers.Vocabulary. The handle is cached on the Vocabulary object and
+  freed when the Vocabulary is garbage collected; it is immutable after
+  creation, so decode threads share it freely. Callers must keep the
+  Vocabulary alive while specs referencing the handle are in use (specs
+  hold the Vocabulary, so this falls out naturally)."""
+  handle = getattr(vocab, '_native_handle', None)
+  if handle is not None:
+    return handle
+  tokens = vocab.tokens
+  n = len(tokens)
+  toks = (ctypes.c_char_p * max(1, n))(*tokens)
+  lens = (ctypes.c_int64 * max(1, n))(*[len(t) for t in tokens])
+  handle = lib.rt_vocab_create(
+      ctypes.cast(toks, ctypes.POINTER(ctypes.c_char_p)),
+      ctypes.cast(lens, ctypes.POINTER(ctypes.c_int64)),
+      n, vocab.num_oov_buckets)
+  vocab._native_handle = handle
+  weakref.finalize(vocab, lib.rt_vocab_free, handle)
+  return handle
 
 
 def load_libsvm_lists(path: str, list_size: int, num_features: int,
@@ -279,16 +313,29 @@ def decode_elwc_batch(records, list_size, context_spec, example_spec,
       else:
         if spec.max_len is None:
           raise ValueError('native varlen decode requires max_len')
+        if spec.pad_value != -1:
+          raise ValueError(
+              f'native varlen decode pads with -1; {name!r} asks for '
+              f'pad_value={spec.pad_value!r} (Python parser honors it)')
         st.size = spec.max_len
         if spec.dtype == 'string':
-          if not spec.hash_buckets:
-            raise ValueError('native string decode requires hash_buckets')
-          if spec.hash_buckets > 2**31 - 1:
+          if spec.vocab is not None:
+            if spec.vocab.size > 2**31 - 1:
+              raise ValueError(
+                  f'vocab size {spec.vocab.size} exceeds int32 ids '
+                  f'({name!r}); the id arrays are int32 on every path')
+            st.kind = KIND_VARLEN_VOCAB
+            st.vocab = _vocab_handle(lib, spec.vocab)
+          elif spec.hash_buckets:
+            if spec.hash_buckets > 2**31 - 1:
+              raise ValueError(
+                  f'hash_buckets {spec.hash_buckets} exceeds int32 ids '
+                  f'({name!r}); the id arrays are int32 on every path')
+            st.kind = KIND_VARLEN_HASHED
+            st.buckets = spec.hash_buckets
+          else:
             raise ValueError(
-                f'hash_buckets {spec.hash_buckets} exceeds int32 ids '
-                f'({name!r}); the id arrays are int32 on every path')
-          st.kind = KIND_VARLEN_HASHED
-          st.buckets = spec.hash_buckets
+                'native string decode requires vocab or hash_buckets')
           arr = np.empty((rows, spec.max_len), np.int32)
           st.iout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         elif spec.dtype == 'int64':
@@ -388,7 +435,7 @@ def _register_loader_api(lib) -> None:
       ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
       ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
       ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
-      ctypes.c_int,
+      ctypes.c_int, ctypes.c_int,
   ]
   lib.rt_loader_next.restype = ctypes.c_int
   lib.rt_loader_next.argtypes = [
@@ -412,8 +459,8 @@ class NativeLoader:
 
   def __init__(self, paths, context_spec, example_spec, batch_size,
                list_size, shuffle=True, shuffle_buffer=1000, epochs=1,
-               drop_remainder=True, seed=0, ring_capacity=4,
-               data_format='example_list_with_context'):
+               drop_remainder=True, seed=0, ring_capacity=None,
+               data_format='example_list_with_context', num_threads=None):
     import numpy as np
     from ranking_tpu.data import parsers
     lib = _load()
@@ -445,17 +492,30 @@ class NativeLoader:
         else:
           if spec.max_len is None:
             raise ValueError('native loader requires max_len')
+          if spec.pad_value != -1:
+            raise ValueError(
+                f'native loader pads varlen with -1; {name!r} asks for '
+                f'pad_value={spec.pad_value!r} (use build_ranking_dataset '
+                f'for the Python parser, which honors it)')
           st.size = spec.max_len
           if spec.dtype == 'string':
-            if not spec.hash_buckets:
-              raise ValueError('native loader requires hash_buckets for '
-                               'string features')
-            if spec.hash_buckets > 2**31 - 1:
-              raise ValueError(
-                  f'hash_buckets {spec.hash_buckets} exceeds int32 ids '
-                  f'({name!r}); the id arrays are int32 on every path')
-            st.kind = KIND_VARLEN_HASHED
-            st.buckets = spec.hash_buckets
+            if spec.vocab is not None:
+              if spec.vocab.size > 2**31 - 1:
+                raise ValueError(
+                    f'vocab size {spec.vocab.size} exceeds int32 ids '
+                    f'({name!r}); the id arrays are int32 on every path')
+              st.kind = KIND_VARLEN_VOCAB
+              st.vocab = _vocab_handle(lib, spec.vocab)
+            elif spec.hash_buckets:
+              if spec.hash_buckets > 2**31 - 1:
+                raise ValueError(
+                    f'hash_buckets {spec.hash_buckets} exceeds int32 ids '
+                    f'({name!r}); the id arrays are int32 on every path')
+              st.kind = KIND_VARLEN_HASHED
+              st.buckets = spec.hash_buckets
+            else:
+              raise ValueError('native loader requires vocab or '
+                               'hash_buckets for string features')
           elif spec.dtype == 'int64':
             st.kind = KIND_VARLEN_INT64
           else:
@@ -464,6 +524,13 @@ class NativeLoader:
       arr_type = FeatureSpecStruct * max(1, len(structs))
       return arr_type(*structs) if structs else arr_type()
 
+    if num_threads is None:
+      num_threads = min(8, os.cpu_count() or 1)
+    self.num_threads = max(1, int(num_threads))
+    if ring_capacity is None:
+      # Enough queued work to keep every decoder busy across consumer
+      # hiccups without unbounded buffering.
+      ring_capacity = 2 * self.num_threads + 2
     self._ctx_structs = specs_for(self.context_spec)
     self._ex_structs = specs_for(self.example_spec)
     c_paths = (ctypes.c_char_p * len(paths))(
@@ -476,7 +543,7 @@ class NativeLoader:
         len(self.example_spec),
         batch_size, list_size, int(shuffle), shuffle_buffer,
         0 if epochs is None else epochs, int(drop_remainder), seed,
-        ring_capacity, _loader_format(data_format))
+        ring_capacity, _loader_format(data_format), self.num_threads)
 
   def __iter__(self):
     return self
@@ -485,23 +552,26 @@ class NativeLoader:
     np, parsers = self._np, self._parsers
 
     def alloc(spec_map, structs, rows):
+      # np.empty is safe: the C++ side decoded (and prefilled) every row it
+      # returns, rt_loader_next memcpys those rows out, and finalize /
+      # check_presence only touch rows < n — the uninitialized tail of a
+      # partial final batch is sliced away.
       outputs = {}
       for i, name in enumerate(sorted(spec_map)):
         spec = spec_map[name]
         st = structs[i]
         presence = None
         if st.kind == KIND_FIXED_FLOAT:
-          arr = np.zeros((rows, st.size), np.float32)
+          arr = np.empty((rows, st.size), np.float32)
           st.fout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         elif st.kind in (KIND_FIXED_INT64, KIND_VARLEN_INT64):
-          arr = np.full((rows, st.size),
-                        0 if st.kind == KIND_FIXED_INT64 else -1, np.int64)
+          arr = np.empty((rows, st.size), np.int64)
           st.lout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         else:
-          arr = np.full((rows, st.size), -1, np.int32)
+          arr = np.empty((rows, st.size), np.int32)
           st.iout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         if st.kind in (KIND_FIXED_FLOAT, KIND_FIXED_INT64):
-          presence = np.zeros(rows, np.int32)
+          presence = np.empty(rows, np.int32)
           st.present = presence.ctypes.data_as(
               ctypes.POINTER(ctypes.c_int32))
         outputs[name] = (arr, spec, presence)

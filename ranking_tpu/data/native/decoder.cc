@@ -94,22 +94,77 @@ inline uint64_t fnv1a(const uint8_t* p, size_t n) {
   return h;
 }
 
+// --- vocabulary table (matches parsers.Vocabulary) --------------------------
+//
+// Read-only after rt_vocab_create, so decode threads share one handle with
+// no synchronization. Token -> index + num_oov; miss -> fnv1a % num_oov —
+// the exact semantics of parsers.Vocabulary.lookup (StringLookup analog,
+// reference examples/keras/antique_ragged.py:100-160 and the canonical
+// vocabulary-file sparse workload examples/tf_ranking_tfrecord.py:100-115).
+
+struct VocabEntry {
+  uint64_t hash;
+  uint32_t off;
+  uint32_t len;
+  int32_t id;
+};
+
+struct Vocab {
+  std::string arena;               // concatenated token bytes
+  std::vector<VocabEntry> entries;
+  std::vector<int32_t> slots;      // open addressing: entry index + 1, 0 = empty
+  uint64_t mask = 0;
+  int64_t num_oov = 1;
+};
+
+inline int32_t vocab_lookup(const Vocab* v, const uint8_t* p, size_t n) {
+  uint64_t h = fnv1a(p, n);
+  size_t slot = static_cast<size_t>(h & v->mask);
+  for (;;) {
+    int32_t e = v->slots[slot];
+    if (e == 0) break;
+    const VocabEntry& ent = v->entries[e - 1];
+    if (ent.hash == h && ent.len == n &&
+        std::memcmp(v->arena.data() + ent.off, p, n) == 0)
+      return ent.id;
+    slot = (slot + 1) & v->mask;
+  }
+  return static_cast<int32_t>(h % static_cast<uint64_t>(v->num_oov));
+}
+
 // --- feature spec ----------------------------------------------------------
 
 // kind: 0 = fixed-len float, 1 = fixed-len int64,
-//       2 = varlen int64 tokens, 3 = varlen hashed-string tokens
+//       2 = varlen int64 tokens, 3 = varlen hashed-string tokens,
+//       4 = varlen vocabulary-file string tokens
 struct FeatureSpec {
   const char* name;
   int32_t kind;
   int32_t size;      // fixed: values per example; varlen: max_len
   int64_t buckets;   // kind 3: hash bucket count
   float* fout;       // kind 0 output base
-  int32_t* iout;     // kind 3 output base (int32 ids, -1 pad)
+  int32_t* iout;     // kind 3/4 output base (int32 ids, -1 pad)
   float default_value;
   int64_t* lout;     // kind 1/2 output base (full-width int64, no narrowing)
   int32_t* present;  // optional per-row value count (required-feature and
                      // wrong-count checks happen in the Python binding)
+  const void* vocab; // kind 4: rt_vocab_create handle
 };
+
+// Internal per-batch view of a FeatureSpec with the name length computed
+// once — strlen per map entry per row was a measurable share of decode.
+struct SpecView {
+  const FeatureSpec* spec;
+  uint32_t name_len;
+};
+
+inline std::vector<SpecView> make_views(const FeatureSpec* specs, int n) {
+  std::vector<SpecView> views(n);
+  for (int i = 0; i < n; ++i)
+    views[i] = {&specs[i],
+                static_cast<uint32_t>(std::strlen(specs[i].name))};
+  return views;
+}
 
 // Decodes one Feature message into the output row for (spec, row_offset).
 // `seen` counts every value of the matching list type (even past the write
@@ -209,7 +264,8 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
         } else if (!skip_field(q, qend, vwt)) {
           return;
         }
-      } else if (field == 1 && spec.kind == 3) {  // bytes_list, hashed
+      } else if (field == 1 && (spec.kind == 3 || spec.kind == 4)) {
+        // bytes_list: hashed (kind 3) or vocabulary lookup (kind 4)
         if (vwt != 2) {
           if (!skip_field(q, qend, vwt)) return;
           continue;
@@ -218,8 +274,13 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
         if (!read_len_delim(q, qend, &s)) return;
         ++seen;
         if (wrote < spec.size)
-          spec.iout[out_index * spec.size + wrote++] = static_cast<int32_t>(
-              fnv1a(s.p, s.n) % static_cast<uint64_t>(spec.buckets));
+          spec.iout[out_index * spec.size + wrote++] =
+              spec.kind == 3
+                  ? static_cast<int32_t>(
+                        fnv1a(s.p, s.n) %
+                        static_cast<uint64_t>(spec.buckets))
+                  : vocab_lookup(static_cast<const Vocab*>(spec.vocab),
+                                 s.p, s.n);
       } else {
         if (!skip_field(q, qend, vwt)) return;
       }
@@ -232,9 +293,11 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
 // `seen_mask` (nullable) tracks which spec indices were already decoded
 // for this row — across repeated Features occurrences of one Example —
 // so only re-decodes pay the row reset. Specs past bit 63 always reset.
-inline void decode_features(const Slice& features, FeatureSpec* specs,
-                            int n_specs, size_t out_index,
+inline void decode_features(const Slice& features,
+                            const std::vector<SpecView>& specs,
+                            size_t out_index,
                             uint64_t* seen_mask = nullptr) {
+  const int n_specs = static_cast<int>(specs.size());
   const uint8_t* p = features.p;
   const uint8_t* end = features.p + features.n;
   while (p < end) {
@@ -263,9 +326,9 @@ inline void decode_features(const Slice& features, FeatureSpec* specs,
     }
     if (!key.p || !value.p) continue;
     for (int s = 0; s < n_specs; ++s) {
-      const FeatureSpec& spec = specs[s];
-      size_t name_len = std::strlen(spec.name);
-      if (name_len == key.n && std::memcmp(spec.name, key.p, key.n) == 0) {
+      const FeatureSpec& spec = *specs[s].spec;
+      if (specs[s].name_len == key.n &&
+          std::memcmp(spec.name, key.p, key.n) == 0) {
         bool reset = true;
         if (seen_mask && s < 64) {
           const uint64_t bit = uint64_t{1} << s;
@@ -284,8 +347,9 @@ inline void decode_features(const Slice& features, FeatureSpec* specs,
 // semantics, e.g. concatenated partial Examples), so every occurrence is
 // decoded in order — per-key last-wins falls out of the row reset in
 // decode_feature_values.
-inline void decode_example(const Slice& example, FeatureSpec* specs,
-                           int n_specs, size_t out_index) {
+inline void decode_example(const Slice& example,
+                           const std::vector<SpecView>& specs,
+                           size_t out_index) {
   const uint8_t* p = example.p;
   const uint8_t* end = example.p + example.n;
   uint64_t seen_mask = 0;
@@ -295,7 +359,7 @@ inline void decode_example(const Slice& example, FeatureSpec* specs,
     if ((tag >> 3) == 1 && (tag & 7) == 2) {
       Slice features{nullptr, 0};
       if (!read_len_delim(p, end, &features)) return;
-      decode_features(features, specs, n_specs, out_index, &seen_mask);
+      decode_features(features, specs, out_index, &seen_mask);
     } else if (!skip_field(p, end, tag & 7)) {
       return;
     }
@@ -305,10 +369,11 @@ inline void decode_example(const Slice& example, FeatureSpec* specs,
 // Walks SequenceExample.feature_lists (FeatureLists.feature_list map):
 // each matching spec's FeatureList holds one Feature per document frame.
 // Returns the max frame count seen across matching lists.
-inline int decode_feature_lists(const Slice& flists, FeatureSpec* specs,
-                                int n_specs, size_t base_index,
-                                int list_size,
+inline int decode_feature_lists(const Slice& flists,
+                                const std::vector<SpecView>& specs,
+                                size_t base_index, int list_size,
                                 uint64_t* seen_mask_in = nullptr) {
+  const int n_specs = static_cast<int>(specs.size());
   const uint8_t* p = flists.p;
   const uint8_t* end = flists.p + flists.n;
   int max_frames = 0;
@@ -341,9 +406,9 @@ inline int decode_feature_lists(const Slice& flists, FeatureSpec* specs,
     }
     if (!key.p || !value.p) continue;
     for (int s = 0; s < n_specs; ++s) {
-      const FeatureSpec& spec = specs[s];
-      size_t name_len = std::strlen(spec.name);
-      if (name_len != key.n || std::memcmp(spec.name, key.p, key.n) != 0)
+      const FeatureSpec& spec = *specs[s].spec;
+      if (specs[s].name_len != key.n ||
+          std::memcmp(spec.name, key.p, key.n) != 0)
         continue;
       // A duplicate feature_list key re-decodes frames: reset those rows
       // (map merge is last-wins). First decodes ride the batch prefill.
@@ -406,6 +471,8 @@ int rt_decode_elwc_batch(const uint8_t** recs, const int64_t* lens, int n,
                          int32_t* sizes_out) {
   prefill(ctx_specs, n_ctx, static_cast<size_t>(n));
   prefill(ex_specs, n_ex, static_cast<size_t>(n) * list_size);
+  const auto ctx_views = make_views(ctx_specs, n_ctx);
+  const auto ex_views = make_views(ex_specs, n_ex);
   for (int i = 0; i < n; ++i) {
     const uint8_t* p = recs[i];
     const uint8_t* end = recs[i] + lens[i];
@@ -423,11 +490,11 @@ int rt_decode_elwc_batch(const uint8_t** recs, const int64_t* lens, int n,
       if (!read_len_delim(p, end, &msg)) return -1;
       if (field == 1) {  // one document Example
         if (doc < list_size)
-          decode_example(msg, ex_specs, n_ex,
+          decode_example(msg, ex_views,
                          static_cast<size_t>(i) * list_size + doc);
         ++doc;
       } else if (field == 2) {  // context Example
-        decode_example(msg, ctx_specs, n_ctx, static_cast<size_t>(i));
+        decode_example(msg, ctx_views, static_cast<size_t>(i));
       }
     }
     sizes_out[i] = doc < list_size ? doc : list_size;
@@ -444,10 +511,12 @@ int rt_decode_example_batch(const uint8_t** recs, const int64_t* lens,
                             int32_t* sizes_out) {
   prefill(ctx_specs, n_ctx, static_cast<size_t>(n));
   prefill(ex_specs, n_ex, static_cast<size_t>(n) * list_size);
+  const auto ctx_views = make_views(ctx_specs, n_ctx);
+  const auto ex_views = make_views(ex_specs, n_ex);
   for (int i = 0; i < n; ++i) {
     Slice rec{recs[i], static_cast<size_t>(lens[i])};
-    decode_example(rec, ctx_specs, n_ctx, static_cast<size_t>(i));
-    decode_example(rec, ex_specs, n_ex,
+    decode_example(rec, ctx_views, static_cast<size_t>(i));
+    decode_example(rec, ex_views,
                    static_cast<size_t>(i) * list_size);
     sizes_out[i] = 1;
   }
@@ -466,6 +535,8 @@ int rt_decode_eie_batch(const uint8_t** recs, const int64_t* lens, int n,
   prefill(ex_specs, n_ex, static_cast<size_t>(n) * list_size);
   static const char kCtx[] = "serialized_context";
   static const char kExs[] = "serialized_examples";
+  const auto ctx_views = make_views(ctx_specs, n_ctx);
+  const auto ex_views = make_views(ex_specs, n_ex);
   for (int i = 0; i < n; ++i) {
     // Outer Example -> Features map; find the two carrier features.
     const uint8_t* p = recs[i];
@@ -537,10 +608,10 @@ int rt_decode_eie_batch(const uint8_t** recs, const int64_t* lens, int n,
             Slice ser;
             if (!read_len_delim(u, uend, &ser)) break;
             if (is_ctx) {
-              decode_example(ser, ctx_specs, n_ctx, static_cast<size_t>(i));
+              decode_example(ser, ctx_views, static_cast<size_t>(i));
             } else {
               if (doc < list_size)
-                decode_example(ser, ex_specs, n_ex,
+                decode_example(ser, ex_views,
                                static_cast<size_t>(i) * list_size + doc);
               ++doc;
             }
@@ -561,6 +632,8 @@ int rt_decode_seq_batch(const uint8_t** recs, const int64_t* lens, int n,
                         int32_t* sizes_out) {
   prefill(ctx_specs, n_ctx, static_cast<size_t>(n));
   prefill(ex_specs, n_ex, static_cast<size_t>(n) * list_size);
+  const auto ctx_views = make_views(ctx_specs, n_ctx);
+  const auto ex_views = make_views(ex_specs, n_ex);
   for (int i = 0; i < n; ++i) {
     const uint8_t* p = recs[i];
     const uint8_t* end = recs[i] + lens[i];
@@ -578,11 +651,11 @@ int rt_decode_seq_batch(const uint8_t** recs, const int64_t* lens, int n,
       Slice msg;
       if (!read_len_delim(p, end, &msg)) return -1;
       if (field == 1) {  // context Features
-        decode_features(msg, ctx_specs, n_ctx, static_cast<size_t>(i),
+        decode_features(msg, ctx_views, static_cast<size_t>(i),
                         &ctx_mask);
       } else if (field == 2) {  // FeatureLists
         int f = decode_feature_lists(
-            msg, ex_specs, n_ex, static_cast<size_t>(i) * list_size,
+            msg, ex_views, static_cast<size_t>(i) * list_size,
             list_size, &ex_mask);
         if (f > frames) frames = f;
       }
@@ -612,6 +685,54 @@ int64_t rt_scan_tfrecord(const uint8_t* data, int64_t size, int64_t* offsets,
     pos += static_cast<int64_t>(len) + 4;  // payload + payload crc
   }
   return count;
+}
+
+// Builds a vocabulary lookup table for kind-4 specs. `tokens`/`lens` give
+// n token byte strings (lengths explicit — tokens may contain NULs); ids
+// are index + num_oov, last occurrence wins for duplicates (matching
+// parsers.Vocabulary's dict construction). The handle is immutable after
+// creation and safe to share across decode threads.
+void* rt_vocab_create(const char** tokens, const int64_t* lens, int64_t n,
+                      int64_t num_oov) {
+  auto* v = new Vocab();
+  v->num_oov = num_oov > 0 ? num_oov : 1;
+  size_t total = 0;
+  for (int64_t i = 0; i < n; ++i) total += static_cast<size_t>(lens[i]);
+  v->arena.reserve(total);
+  v->entries.reserve(static_cast<size_t>(n));
+  size_t cap = 16;
+  while (cap < static_cast<size_t>(n) * 2 + 1) cap *= 2;
+  v->slots.assign(cap, 0);
+  v->mask = cap - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = reinterpret_cast<const uint8_t*>(tokens[i]);
+    const size_t len = static_cast<size_t>(lens[i]);
+    const uint64_t h = fnv1a(p, len);
+    const int32_t id = static_cast<int32_t>(i + v->num_oov);
+    size_t slot = static_cast<size_t>(h & v->mask);
+    for (;;) {
+      int32_t e = v->slots[slot];
+      if (e == 0) {
+        v->entries.push_back({h, static_cast<uint32_t>(v->arena.size()),
+                              static_cast<uint32_t>(len), id});
+        v->arena.append(tokens[i], len);
+        v->slots[slot] = static_cast<int32_t>(v->entries.size());
+        break;
+      }
+      VocabEntry& ent = v->entries[e - 1];
+      if (ent.hash == h && ent.len == len &&
+          std::memcmp(v->arena.data() + ent.off, p, len) == 0) {
+        ent.id = id;  // duplicate token: last occurrence wins
+        break;
+      }
+      slot = (slot + 1) & v->mask;
+    }
+  }
+  return v;
+}
+
+void rt_vocab_free(void* handle) {
+  delete static_cast<Vocab*>(handle);
 }
 
 // Counts top-level ELWC `examples` entries (field 1, length-delimited) per

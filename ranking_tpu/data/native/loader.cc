@@ -1,15 +1,25 @@
 // Native streaming data loader: files -> shuffled, decoded, padded batches.
 //
 // The runtime-executor counterpart of the reference's tf.data input
-// pipeline (tensorflow_ranking/python/data.py:914-1017, which delegates all
-// threading to TensorFlow's C++ runtime): a producer thread walks TFRecord
-// files epoch-by-epoch through a shuffle buffer and assembles record
-// batches; decode workers parse ELWC protos into padded feature buffers
-// (decoder.cc); a bounded ring hands finished batches to the consumer.
-// Exposed via a C ABI consumed with ctypes (ranking_tpu/data/native).
+// pipeline (tensorflow_ranking/python/data.py:914-1017, which delegates
+// threading to TensorFlow's C++ runtime — reader_num_threads /
+// num_parser_threads AUTOTUNE at data.py:924-1011). One reader thread owns
+// file walking, TFRecord scanning, the shuffle buffer, and record-batch
+// assembly (so shuffle order is a pure function of the seed); N decode
+// workers parse ELWC protos into padded feature buffers (decoder.cc); a
+// sequence-ordered reorder buffer hands batches to the consumer in
+// assembly order, making the output stream bit-identical for every
+// num_threads. Exposed via a C ABI consumed with ctypes
+// (ranking_tpu/data/native).
 //
 // Build (one .so with the decoder):
-//   g++ -O3 -shared -fPIC -std=c++17 -o libranking_data.so decoder.cc loader.cc
+//   g++ -O3 -shared -fPIC -std=c++17 -pthread -o libranking_data.so \
+//       decoder.cc loader.cc
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 #include <algorithm>
 #include <atomic>
@@ -18,6 +28,8 @@
 #include <cstdio>
 #include <cstring>
 #include <deque>
+#include <map>
+#include <memory>
 #include <mutex>
 #include <random>
 #include <string>
@@ -35,6 +47,7 @@ struct FeatureSpec {
   float default_value;
   int64_t* lout;
   int32_t* present;
+  const void* vocab;  // kind 4: rt_vocab_create handle
 };
 
 extern "C" int rt_decode_elwc_batch(const uint8_t** recs, const int64_t* lens,
@@ -59,6 +72,7 @@ struct OwnedSpec {
   int32_t size;
   int64_t buckets;
   float default_value;
+  const void* vocab;
 };
 
 struct Batch {
@@ -71,36 +85,108 @@ struct Batch {
   int n_rows = 0;
 };
 
+// One mapped (or read) input file, shared by every in-flight record view
+// that points into it; unmapped when the last view drops.
+struct FileBuf {
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  bool mapped = false;
+  std::string owned;  // fallback when mmap is unavailable
+  ~FileBuf() {
+    if (mapped && data)
+      munmap(const_cast<uint8_t*>(data), size);
+  }
+};
+
+// Zero-copy record view: the reader never copies record payloads; the
+// shuffle buffer and batches hold 24-byte refs into the file mapping.
+struct RecordRef {
+  std::shared_ptr<FileBuf> owner;
+  const uint8_t* p = nullptr;
+  int64_t len = 0;
+};
+
+std::shared_ptr<FileBuf> open_file(const std::string& path) {
+  auto buf = std::make_shared<FileBuf>();
+  int fd = ::open(path.c_str(), O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || !S_ISREG(st.st_mode) || st.st_size < 0) {
+    ::close(fd);
+    return nullptr;
+  }
+  buf->size = static_cast<size_t>(st.st_size);
+  if (buf->size > 0) {
+    void* m = mmap(nullptr, buf->size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (m != MAP_FAILED) {
+      buf->data = static_cast<const uint8_t*>(m);
+      buf->mapped = true;
+      madvise(m, buf->size, MADV_SEQUENTIAL);
+    } else {
+      buf->owned.resize(buf->size);
+      size_t got = 0;
+      while (got < buf->size) {
+        ssize_t r = ::read(fd, buf->owned.data() + got, buf->size - got);
+        if (r <= 0) break;
+        got += static_cast<size_t>(r);
+      }
+      if (got != buf->size) {
+        ::close(fd);
+        return nullptr;
+      }
+      buf->data = reinterpret_cast<const uint8_t*>(buf->owned.data());
+    }
+  }
+  ::close(fd);
+  return buf;
+}
+
+struct Work {
+  int64_t seq;
+  std::vector<RecordRef> records;
+};
+
 struct Loader {
   std::vector<std::string> paths;
   std::vector<OwnedSpec> ctx_specs, ex_specs;
   int batch_size, list_size, shuffle_buffer, epochs, ring_capacity;
   int format;  // 0 = ELWC, 1 = SequenceExample
+  int num_threads;
   bool shuffle, drop_remainder;
   uint64_t seed;
 
-  std::deque<Batch> ring;
+  // Reader -> decoders (bounded; also bounds total in-flight batches).
+  std::deque<Work> work_q;
+  // Decoders -> consumer, keyed by assembly sequence number so the
+  // output order never depends on decode-thread scheduling.
+  std::map<int64_t, Batch> out;
+  int64_t next_seq = 0;   // next sequence number the reader will assign
+  int64_t next_out = 0;   // next sequence number the consumer will take
   std::mutex mu;
-  std::condition_variable cv_push, cv_pop;
-  std::atomic<bool> done{false}, stop{false}, error{false};
-  std::thread producer;
+  std::condition_variable cv_work, cv_space, cv_out;
+  bool reader_done = false;
+  int live_decoders = 0;
+  std::atomic<bool> stop{false}, error{false};
+  std::vector<std::thread> threads;
 
   ~Loader() {
     {
-      // The lock orders this store against a producer that has evaluated
-      // its wait predicate but not yet blocked — without it that producer
+      // The lock orders this store against a thread that has evaluated
+      // its wait predicate but not yet blocked — without it that thread
       // misses the notify and join() deadlocks.
       std::lock_guard<std::mutex> lock(mu);
       stop = true;
     }
-    cv_push.notify_all();
-    cv_pop.notify_all();
-    if (producer.joinable()) producer.join();
+    cv_work.notify_all();
+    cv_space.notify_all();
+    cv_out.notify_all();
+    for (auto& t : threads)
+      if (t.joinable()) t.join();
   }
 };
 
 // Decodes one record batch into a Batch via rt_decode_elwc_batch.
-bool decode_batch(Loader* L, std::vector<std::string>& records, Batch* out) {
+bool decode_batch(Loader* L, std::vector<RecordRef>& records, Batch* out) {
   int n = static_cast<int>(records.size());
   out->n_rows = n;
   out->sizes.assign(n, 0);
@@ -127,6 +213,7 @@ bool decode_batch(Loader* L, std::vector<std::string>& records, Batch* out) {
       c_specs[s].size = specs[s].size;
       c_specs[s].buckets = specs[s].buckets;
       c_specs[s].default_value = specs[s].default_value;
+      c_specs[s].vocab = specs[s].vocab;
       c_specs[s].fout = nullptr;
       c_specs[s].iout = nullptr;
       c_specs[s].lout = nullptr;
@@ -151,8 +238,8 @@ bool decode_batch(Loader* L, std::vector<std::string>& records, Batch* out) {
   std::vector<const uint8_t*> recs(n);
   std::vector<int64_t> lens(n);
   for (int i = 0; i < n; ++i) {
-    recs[i] = reinterpret_cast<const uint8_t*>(records[i].data());
-    lens[i] = static_cast<int64_t>(records[i].size());
+    recs[i] = records[i].p;
+    lens[i] = records[i].len;
   }
   auto decode = L->format == 1 ? rt_decode_seq_batch : rt_decode_elwc_batch;
   return decode(recs.data(), lens.data(), n, L->list_size,
@@ -161,51 +248,77 @@ bool decode_batch(Loader* L, std::vector<std::string>& records, Batch* out) {
                 out->sizes.data()) == 0;
 }
 
-void push_batch(Loader* L, Batch&& b) {
+// Reader-thread side: enqueue one assembled record batch for decoding.
+void push_work(Loader* L, std::vector<RecordRef>&& records) {
   std::unique_lock<std::mutex> lock(L->mu);
-  L->cv_push.wait(lock, [&] {
-    return L->stop || static_cast<int>(L->ring.size()) < L->ring_capacity;
+  L->cv_space.wait(lock, [&] {
+    return L->stop ||
+           static_cast<int>(L->work_q.size()) < L->ring_capacity;
   });
   if (L->stop) return;
-  L->ring.push_back(std::move(b));
-  L->cv_pop.notify_one();
+  L->work_q.push_back(Work{L->next_seq++, std::move(records)});
+  L->cv_work.notify_one();
 }
 
-void produce(Loader* L) {
-  std::mt19937_64 rng(L->seed);
-  std::vector<std::string> shuffle_buf;
-  shuffle_buf.reserve(L->shuffle_buffer);
-  std::vector<std::string> pending;
-
-  // A decode failure is data corruption: surface it to the consumer
-  // (rt_loader_next returns -1 -> Python raises) instead of silently
-  // dropping the batch — the one-shot decode path raises for the same
-  // input, and the two paths must not differ in strictness.
-  auto emit_or_fail = [&](Batch&& b, bool ok) {
-    if (ok) {
-      push_batch(L, std::move(b));
-      return;
+void decode_loop(Loader* L) {
+  for (;;) {
+    Work w;
+    {
+      std::unique_lock<std::mutex> lock(L->mu);
+      L->cv_work.wait(lock, [&] {
+        return L->stop || L->reader_done || !L->work_q.empty();
+      });
+      if (L->stop || (L->work_q.empty() && L->reader_done)) break;
+      if (L->work_q.empty()) continue;
+      w = std::move(L->work_q.front());
+      L->work_q.pop_front();
     }
+    L->cv_space.notify_one();
+    Batch b;
+    bool ok = decode_batch(L, w.records, &b);
     {
       std::lock_guard<std::mutex> lock(L->mu);
-      L->error = true;
-      L->stop = true;
+      if (!ok) {
+        // Data corruption: surface it to the consumer (rt_loader_next
+        // returns -1 -> Python raises) — the one-shot decode path raises
+        // for the same input, and the two paths must match in strictness.
+        L->error = true;
+        L->stop = true;
+      } else {
+        L->out.emplace(w.seq, std::move(b));
+      }
     }
-    L->cv_pop.notify_all();
-    L->cv_push.notify_all();
-  };
+    if (!ok) {
+      L->cv_out.notify_all();
+      L->cv_work.notify_all();
+      L->cv_space.notify_all();
+      break;
+    }
+    L->cv_out.notify_all();
+  }
+  {
+    std::lock_guard<std::mutex> lock(L->mu);
+    --L->live_decoders;
+  }
+  L->cv_out.notify_all();
+}
 
-  auto emit = [&](std::string&& rec) {
+void read_loop(Loader* L) {
+  std::mt19937_64 rng(L->seed);
+  std::vector<RecordRef> shuffle_buf;
+  shuffle_buf.reserve(L->shuffle_buffer);
+  std::vector<RecordRef> pending;
+
+  auto emit = [&](RecordRef&& rec) {
     pending.push_back(std::move(rec));
     if (static_cast<int>(pending.size()) == L->batch_size) {
-      Batch b;
-      bool ok = decode_batch(L, pending, &b);
-      emit_or_fail(std::move(b), ok);
-      pending.clear();
+      push_work(L, std::move(pending));
+      pending = {};
+      pending.reserve(L->batch_size);
     }
   };
 
-  auto offer = [&](std::string&& rec) {
+  auto offer = [&](RecordRef&& rec) {
     if (!L->shuffle || L->shuffle_buffer <= 1) {
       emit(std::move(rec));
       return;
@@ -226,31 +339,18 @@ void produce(Loader* L) {
       std::shuffle(order.begin(), order.end(), rng);
     for (const auto& path : order) {
       if (L->stop) break;
-      FILE* f = std::fopen(path.c_str(), "rb");
-      if (!f) continue;
-      // Unseekable inputs (FIFOs, some /proc files) make ftell return -1;
-      // feeding that to std::string would throw out of this thread and
-      // std::terminate the process. Skip such paths.
-      long size = -1;
-      if (std::fseek(f, 0, SEEK_END) == 0) size = std::ftell(f);
-      if (size < 0 || std::fseek(f, 0, SEEK_SET) != 0) {
-        std::fclose(f);
-        continue;
-      }
-      std::string data(static_cast<size_t>(size), '\0');
-      if (std::fread(data.data(), 1, data.size(), f) != data.size()) {
-        std::fclose(f);
-        continue;
-      }
-      std::fclose(f);
+      // mmap (fallback: full read) — records are zero-copy views into the
+      // mapping, kept alive by the shared FileBuf until the last in-flight
+      // record from this file drains. Non-regular files (FIFOs) skip.
+      std::shared_ptr<FileBuf> buf = open_file(path);
+      if (!buf || buf->size == 0) continue;
+      int64_t size = static_cast<int64_t>(buf->size);
       int64_t max_records = size / 16 + 16;
       std::vector<int64_t> offs(max_records), lens(max_records);
-      int64_t n = rt_scan_tfrecord(
-          reinterpret_cast<const uint8_t*>(data.data()), size, offs.data(),
-          lens.data(), max_records);
+      int64_t n = rt_scan_tfrecord(buf->data, size, offs.data(),
+                                   lens.data(), max_records);
       for (int64_t i = 0; i < n && !L->stop; ++i)
-        offer(data.substr(static_cast<size_t>(offs[i]),
-                          static_cast<size_t>(lens[i])));
+        offer(RecordRef{buf, buf->data + offs[i], lens[i]});
     }
   }
   if (!L->stop) {
@@ -258,17 +358,15 @@ void produce(Loader* L) {
       std::shuffle(shuffle_buf.begin(), shuffle_buf.end(), rng);
       for (auto& rec : shuffle_buf) emit(std::move(rec));
     }
-    if (!pending.empty() && !L->drop_remainder) {
-      Batch b;
-      bool ok = decode_batch(L, pending, &b);
-      emit_or_fail(std::move(b), ok);
-    }
+    if (!pending.empty() && !L->drop_remainder)
+      push_work(L, std::move(pending));
   }
   {
     std::lock_guard<std::mutex> lock(L->mu);
-    L->done = true;
+    L->reader_done = true;
   }
-  L->cv_pop.notify_all();
+  L->cv_work.notify_all();
+  L->cv_out.notify_all();
 }
 
 }  // namespace
@@ -280,13 +378,14 @@ void* rt_loader_create(const char** paths, int n_paths,
                        FeatureSpec* ex_specs, int n_ex, int batch_size,
                        int list_size, int shuffle, int shuffle_buffer,
                        int epochs, int drop_remainder, uint64_t seed,
-                       int ring_capacity, int format) {
+                       int ring_capacity, int format, int num_threads) {
   auto* L = new Loader();
   for (int i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
   auto copy = [](FeatureSpec* specs, int n, std::vector<OwnedSpec>* out) {
     for (int i = 0; i < n; ++i)
       out->push_back({specs[i].name, specs[i].kind, specs[i].size,
-                      specs[i].buckets, specs[i].default_value});
+                      specs[i].buckets, specs[i].default_value,
+                      specs[i].vocab});
   };
   copy(ctx_specs, n_ctx, &L->ctx_specs);
   copy(ex_specs, n_ex, &L->ex_specs);
@@ -297,29 +396,40 @@ void* rt_loader_create(const char** paths, int n_paths,
   L->epochs = epochs;
   L->drop_remainder = drop_remainder != 0;
   L->seed = seed;
+  L->num_threads = num_threads > 0 ? num_threads : 1;
+  // The work queue bound also bounds in-flight decoded batches: at most
+  // ring_capacity queued + num_threads decoding + that many finished in
+  // the reorder buffer awaiting the consumer.
   L->ring_capacity = ring_capacity > 0 ? ring_capacity : 4;
   L->format = format;
-  L->producer = std::thread(produce, L);
+  L->live_decoders = L->num_threads;
+  L->threads.reserve(L->num_threads + 1);
+  for (int i = 0; i < L->num_threads; ++i)
+    L->threads.emplace_back(decode_loop, L);
+  L->threads.emplace_back(read_loop, L);
   return L;
 }
 
-// Pops the next batch into caller buffers (FeatureSpec.fout/iout point at
-// numpy arrays sized for a full batch). Returns the number of real rows
-// (0 = end of stream, -1 = a record failed to decode).
+// Pops the next batch (in assembly order) into caller buffers
+// (FeatureSpec.fout/iout point at numpy arrays sized for a full batch).
+// Returns the number of real rows (0 = end of stream, -1 = a record
+// failed to decode).
 int rt_loader_next(void* handle, FeatureSpec* ctx_specs, int n_ctx,
                    FeatureSpec* ex_specs, int n_ex, int32_t* sizes_out) {
   auto* L = static_cast<Loader*>(handle);
   Batch b;
   {
     std::unique_lock<std::mutex> lock(L->mu);
-    L->cv_pop.wait(lock, [&] {
-      return L->stop || L->done || !L->ring.empty();
+    L->cv_out.wait(lock, [&] {
+      return L->stop || L->out.count(L->next_out) ||
+             (L->reader_done && L->work_q.empty() && L->live_decoders == 0);
     });
-    if (L->ring.empty()) return L->error ? -1 : 0;
-    b = std::move(L->ring.front());
-    L->ring.pop_front();
+    auto it = L->out.find(L->next_out);
+    if (it == L->out.end()) return L->error ? -1 : 0;
+    b = std::move(it->second);
+    L->out.erase(it);
+    ++L->next_out;
   }
-  L->cv_push.notify_one();
 
   auto emitout = [&](FeatureSpec* specs, int n,
                      std::vector<std::vector<float>>& fbufs,
