@@ -76,8 +76,47 @@ _WORKER = textwrap.dedent('''
     emb_diff = float(jnp.max(jnp.abs(sharded - expected)))
     assert emb_diff < 1e-5, emb_diff
 
+    # Phase 3: the SPARSE train step on row-sharded tables over a model
+    # axis spanning both processes (dp=4 x tp=2): the embedding-row
+    # gather/scatter collectives cross the process boundary.
+    from ranking_tpu.train import sparse as sparse_lib
+    vocab = 31  # odd -> table pads itself to the model axis
+    smodel = models.RankingModel(scorer=models.EmbeddingDNNScorer(
+        hidden_layer_dims=(8,), vocab_sizes={'document_tokens': vocab},
+        embedding_dim=8, mesh=mesh2, dropout=0.0))
+    rngs = np.random.RandomState(7)  # same on both ranks: shared global
+    slabels = rngs.randint(0, 3, size=(16, 6)).astype(np.float32)
+    sglobal = batch_from_labels(
+        labels=slabels,
+        examples={
+            'float_features': rngs.randn(16, 6, 4).astype(np.float32),
+            'document_tokens': rngs.randint(
+                0, vocab, size=(16, 6, 3)).astype(np.int32)})
+    rows = 16 // jax.process_count()
+    slocal = jax.tree.map(lambda x: x[rank * rows:(rank + 1) * rows],
+                          sglobal)
+    sbatch = parallel.local_batch_to_global(slocal, mesh2)
+    sstate = train.create_train_state(
+        smodel, optax.adam(1e-3), jax.random.PRNGKey(0),
+        sbatch.context, sbatch.examples, sbatch.mask,
+        sparse_tx=train.LazyAdam(learning_rate=1e-3, dma_scatter=False))
+    sstate = sstate.replace(
+        params=parallel.shard_params(sstate.params, mesh2),
+        opt_state=parallel.shard_params(sstate.opt_state, mesh2),
+        sparse_opt_state=parallel.shard_params(
+            sstate.sparse_opt_state, mesh2))
+    efs = sparse_lib.derive_embed_features(
+        sstate.params, sbatch.context, sbatch.examples)
+    assert len(efs) == 1, efs
+    sstep = jax.jit(train.make_sparse_train_step(
+        ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS), efs),
+        donate_argnums=0)
+    sstate, sm = sstep(sstate, sbatch, jax.random.PRNGKey(2))
+    sloss = float(sm['loss'])
+    assert np.isfinite(sloss)
+
     print(f'RESULT rank={rank} loss={loss:.6f} checksum={checksum:.6f} '
-          f'embdiff={emb_diff:.8f}', flush=True)
+          f'embdiff={emb_diff:.8f} sloss={sloss:.6f}', flush=True)
 ''')
 
 
@@ -123,7 +162,7 @@ def test_two_process_data_parallel(tmp_path):
       if line.startswith('RESULT'):
         parts = dict(kv.split('=') for kv in line.split()[1:])
         results[parts['rank']] = (parts['loss'], parts['checksum'],
-                                  parts['embdiff'])
+                                  parts['embdiff'], parts['sloss'])
   assert set(results) == {'0', '1'}
   # Same global computation on both processes: loss and params agree.
   assert results['0'] == results['1']
