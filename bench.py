@@ -138,15 +138,18 @@ def child():
         lambda x: jnp.broadcast_to(x[None], (SCAN_ITERS,) + x.shape),
         b))(batch)
     try:
-      # Optimized-HLO FLOP count for one multi-step program; the parent
-      # divides by SCAN_ITERS and the measured per-step device time for
+      # Optimized-HLO FLOP count for ONE train step (the scan program's
+      # cost analysis counts the loop body once, not x trip count, so the
+      # single-step executable is the unambiguous source). The parent
+      # pairs it with the scan-path per-step device time for
       # device_tflops / MFU.
-      ca = multi.lower(state, stacked, key).compile().cost_analysis()
+      one = jax.jit(train.make_train_step(loss_fn))
+      ca = one.lower(state, batch, key).compile().cost_analysis()
       if isinstance(ca, (list, tuple)):
         ca = ca[0]
       flops = float(ca.get('flops', 0.0))
       if flops > 0:
-        print(f'FLOPS {tag} {flops / SCAN_ITERS:.6g}', flush=True)
+        print(f'FLOPS {tag} {flops:.6g}', flush=True)
     except Exception:
       pass  # cost analysis is best-effort; wall numbers stand alone
     state, metrics = multi(state, stacked, key)  # compile + warm
