@@ -67,7 +67,8 @@ def encode_elwc(doc_features: np.ndarray, labels: np.ndarray) -> bytes:
 
 
 def encode_elwc_batch_fixed(doc_features: np.ndarray,
-                            labels: np.ndarray) -> list:
+                            labels: np.ndarray,
+                            counts: np.ndarray = None) -> list:
   """Vectorized ELWC encoding for the fixed corpus shape.
 
   ``doc_features`` [N, L, F] float32, ``labels`` [N, L] ints in [0, 128)
@@ -75,9 +76,19 @@ def encode_elwc_batch_fixed(doc_features: np.ndarray,
   one numpy template is tiled and only the float payload + label byte are
   filled per document — ~100x faster than per-doc byte assembly, byte-
   identical to :func:`encode_elwc`.
+
+  ``counts`` (optional, [N] ints in [1, L]) emits variable-length records:
+  record i keeps only its first counts[i] documents (a record is L
+  concatenated fixed-size per-doc blocks, so truncation is a byte slice);
+  labels/features past counts[i] are ignored.
   """
   n, l, f = doc_features.shape
-  assert labels.min() >= 0 and labels.max() < 128
+  if counts is None:
+    assert labels.min() >= 0 and labels.max() < 128
+  else:
+    keep = np.arange(l)[None, :] < np.asarray(counts)[:, None]
+    labels = np.where(keep, labels, 0)
+    assert labels.min() >= 0 and labels.max() < 128
   template = encode_elwc(np.zeros((1, f), np.float32),
                          np.zeros(1, np.int64))  # one-doc record
   t = len(template)
@@ -96,7 +107,9 @@ def encode_elwc_batch_fixed(doc_features: np.ndarray,
   tiled[:, float_start:float_start + 4 * f] = flat.view(np.uint8)
   tiled[:, label_pos] = labels.reshape(n * l).astype(np.uint8)
   records = tiled.reshape(n, l * t)
-  return [records[i].tobytes() for i in range(n)]
+  if counts is None:
+    return [records[i].tobytes() for i in range(n)]
+  return [records[i, :int(counts[i]) * t].tobytes() for i in range(n)]
 
 
 def write_corpus(directory: str, n_records: int, n_files: int = 4,

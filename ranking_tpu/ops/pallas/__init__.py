@@ -46,7 +46,14 @@ from ranking_tpu.ops.pallas.pairwise import (
 
 _ENABLED: Optional[bool] = None  # None = auto (see module docstring)
 
-MIN_LIST_SIZE = 1024  # auto mode engages at-or-above this list size
+# Auto-domain for the pairwise kernel, from the round-3 full-train-step
+# sweep on TPU v5e (benchmarks/pairwise_sweep.py, PAIRWISE_SWEEP.json):
+# tile-ALIGNED list sizes (multiples of the 128 tile) win 3-8.5% at
+# L=128-512 and hold parity at 1024; unaligned sizes pay the padding
+# (L=200 f32: 0.97x) and stay on XLA until the relative padding shrinks
+# at MIN_LIST_SIZE.
+MIN_LIST_SIZE = 1024   # unaligned sizes engage at-or-above this
+ALIGNED_TILE = 128     # aligned multiples engage from one tile up
 
 
 def set_enabled(value: Optional[bool]) -> None:
@@ -69,7 +76,10 @@ def enabled(list_size: Optional[int] = None) -> bool:
     return _ENABLED
   if list_size is None:
     return False
-  return jax.default_backend() == 'tpu' and list_size >= MIN_LIST_SIZE
+  in_domain = (list_size >= MIN_LIST_SIZE or
+               (list_size >= ALIGNED_TILE and
+                list_size % ALIGNED_TILE == 0))
+  return jax.default_backend() == 'tpu' and in_domain
 
 
 def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
