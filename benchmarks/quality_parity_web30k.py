@@ -72,22 +72,34 @@ def main():
   for name, loss_key, ndcg_lambda, bf16 in LOSSES:
     print(f'... training {name}', flush=True)
     rows = {'tf': [], 'jax': []}
+    # Graded labels make plain MRR saturate (~half the docs are relevant,
+    # matching MSLR skew); the discriminative form binarizes at rel>=3 —
+    # the RD-Suite eval-script convention for graded corpora.
+    hard_y = np.where(vali_y >= 0, (vali_y >= 3).astype(np.float32),
+                      vali_y)
     for seed in range(args.seeds):
       tf_logits = qp.train_tf(loss_key, seed, args.steps, data, ref,
                               ndcg_lambda)
       jx_logits = qp.train_jax(loss_key, seed, args.steps, data,
                                ndcg_lambda, bf16)
-      rows['tf'].append(qp.eval_ref_metrics(vali_y, tf_logits, ref))
+
+      def both(labels, logits, suffix=''):
+        ref_m = qp.eval_ref_metrics(labels, logits, ref)
+        return {f'{k}{suffix}': v for k, v in ref_m.items()}
+
+      tf_row = {**both(vali_y, tf_logits),
+                **both(hard_y, tf_logits, '[rel>=3]')}
+      rows['tf'].append(tf_row)
       jx = qp.eval_jax_metrics(vali_y, jx_logits)
+      jx.update({f'ref_{k}': v for k, v in both(vali_y, jx_logits).items()})
       jx.update({f'ref_{k}': v
-                 for k, v in qp.eval_ref_metrics(vali_y, jx_logits,
-                                                 ref).items()})
+                 for k, v in both(hard_y, jx_logits, '[rel>=3]').items()})
       rows['jax'].append(jx)
     entry = {}
-    for metric in ('ndcg@5', 'mrr'):
+    for metric in ('ndcg@5', 'mrr', 'mrr[rel>=3]'):
       tf_vals = np.array([r[metric] for r in rows['tf']])
       jx_vals = np.array([r[f'ref_{metric}'] for r in rows['jax']])
-      own_vals = np.array([r[metric] for r in rows['jax']])
+      own_vals = np.array([r.get(metric, np.nan) for r in rows['jax']])
       pooled = float(np.sqrt((tf_vals.std() ** 2 + jx_vals.std() ** 2) / 2))
       tol = max(2.0 * pooled, 0.005)  # tight floor: 500 validation queries
       delta = float(jx_vals.mean() - tf_vals.mean())
@@ -98,7 +110,8 @@ def main():
           'tf_std': round(float(tf_vals.std()), 4),
           'jax_mean': round(float(jx_vals.mean()), 4),
           'jax_std': round(float(jx_vals.std()), 4),
-          'jax_own_metric_mean': round(float(own_vals.mean()), 4),
+          'jax_own_metric_mean': (round(float(own_vals.mean()), 4)
+                                  if np.isfinite(own_vals).all() else None),
           'tf_seeds': [round(float(v), 4) for v in tf_vals],
           'jax_seeds': [round(float(v), 4) for v in jx_vals],
           'delta': round(delta, 4), 'tol': round(tol, 4), 'pass': ok}

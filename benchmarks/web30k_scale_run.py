@@ -145,6 +145,19 @@ def load_reference_data_module(ref):
   """Loads the reference's python/data.py (the tf.data pipeline) into the
   same shimmed package as losses/metrics."""
   import importlib.util
+  import types
+
+  import tensorflow as tf
+
+  # TF 2.21 removed tf.estimator; data.py imports it at module scope but
+  # only touches it inside the estimator-era serving receivers, which this
+  # run never calls. Stub the attribute so `from tensorflow import
+  # estimator` resolves.
+  if not hasattr(tf, 'estimator'):
+    stub = types.ModuleType('tensorflow.estimator')
+    stub.export = types.SimpleNamespace(ServingInputReceiver=None)
+    tf.estimator = stub
+    sys.modules['tensorflow.estimator'] = stub
   root = '/root/reference/tensorflow_ranking'
   spec = importlib.util.spec_from_file_location(
       'tensorflow_ranking.python.data',
@@ -162,11 +175,14 @@ def run_tf_ranking(train_pattern, vali_pattern, epochs, ref,
   ref_data = load_reference_data_module(ref)
 
   context_spec = {}
+  # Label default -1: padded slots must be INVALID for losses/metrics
+  # (the reference recipe's _PADDING_LABEL, examples/tf_ranking_tfrecord.py
+  # label_feature default), matching ranking_tpu's -1-stamped padding.
   example_spec = {
       'float_features': tf.io.FixedLenFeature([NUM_FEATURES], tf.float32,
                                               default_value=[0.0] *
                                               NUM_FEATURES),
-      'relevance': tf.io.FixedLenFeature([1], tf.int64, default_value=0)}
+      'relevance': tf.io.FixedLenFeature([1], tf.int64, default_value=-1)}
 
   def dataset(pattern, shuffle, eps):
     return ref_data.build_ranking_dataset(
