@@ -260,7 +260,14 @@ def main():
   ap.add_argument('--epochs', type=int, default=1)
   ap.add_argument('--steps-cap', type=int, default=None)
   ap.add_argument('--skip-tf', action='store_true')
+  ap.add_argument('--cpu-child', action='store_true',
+                  help='internal: run only the ranking_tpu side on the '
+                       'CPU backend and print one JSON line')
   args = ap.parse_args()
+
+  if args.cpu_child:
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
 
   sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
   from quality_parity import eval_ref_metrics, load_reference_modules
@@ -269,6 +276,21 @@ def main():
   train_pattern = write_split('train', args.train_queries, 8, seed=1)
   vali_pattern = write_split('vali', args.vali_queries, 2, seed=2)
   gen_wall = time.perf_counter() - t0
+
+  if args.cpu_child:
+    from quality_parity import eval_ref_metrics, load_reference_modules
+    labels, logits, train_wall, steps, eval_wall, backend = run_ranking_tpu(
+        train_pattern, vali_pattern, args.epochs, steps_cap=args.steps_cap)
+    ref = load_reference_modules()
+    metrics = eval_ref_metrics(labels, logits, ref)
+    print('CPUCHILD ' + json.dumps({
+        'backend': backend,
+        'train_wall_s': round(train_wall, 1),
+        'train_steps': steps,
+        'train_lists_per_s': round(steps * BATCH / train_wall, 1),
+        'eval_wall_s': round(eval_wall, 1),
+        **{k: round(v, 4) for k, v in metrics.items()}}), flush=True)
+    return
   corpus_bytes = sum(os.path.getsize(p)
                      for p in glob.glob(f'{CORPUS_DIR}/*/part-*.tfrecord'))
 
@@ -300,6 +322,22 @@ def main():
       **{k: round(v, 4) for k, v in metrics.items()},
   }
   print(json.dumps({'ranking_tpu': out['ranking_tpu']}), flush=True)
+
+  # Same-silicon comparison: ranking_tpu's full pipeline on the CPU
+  # backend (TF's only backend here) in a subprocess (the tunneled-TPU
+  # backend cannot be switched off once initialized in-process).
+  import subprocess
+  child = subprocess.run(
+      [sys.executable, os.path.abspath(__file__), '--cpu-child',
+       f'--train-queries={args.train_queries}',
+       f'--vali-queries={args.vali_queries}', f'--epochs={args.epochs}']
+      + ([f'--steps-cap={args.steps_cap}'] if args.steps_cap else []),
+      capture_output=True, text=True)
+  for line in child.stdout.splitlines():
+    if line.startswith('CPUCHILD '):
+      out['ranking_tpu_cpu'] = json.loads(line[len('CPUCHILD '):])
+      print(json.dumps({'ranking_tpu_cpu': out['ranking_tpu_cpu']}),
+            flush=True)
 
   if not args.skip_tf:
     labels, logits, train_wall, steps, eval_wall = run_tf_ranking(
