@@ -171,6 +171,20 @@ def _make_multi_kernel(n: int, block: int):
   return kernel
 
 
+def multi_block_rows(n: int) -> int:
+  """Rows per grid step for the ``n``-table fused scatter.
+
+  n*block DMAs are in flight per grid step; the semaphore budget that
+  caps the single-table kernel at BLOCK_ROWS is split across the n
+  streams. Must stay a multiple of 8: Mosaic's sublane divisibility rule
+  for the (block, d) update BlockSpecs — a bare ``BLOCK_ROWS // n``
+  gives e.g. 85 at n=3, which lowers fine in interpret mode but fails
+  Mosaic compilation on the chip (found on TPU: LazyAdam's 3-slab
+  scatter was broken while the n=2 LazyAdagrad path worked).
+  """
+  return max(8, (BLOCK_ROWS // n) // 8 * 8)
+
+
 def scatter_rows_multi(tables, ids: Array, valid: Array, updates,
                        interpret: bool = False):
   """Fused in-place row scatter of ``n`` slabs into ``n`` tables.
@@ -212,9 +226,7 @@ def scatter_rows_multi(tables, ids: Array, valid: Array, updates,
   ok = (valid != 0) & (ids >= 0) & (ids < shape[0])
   ids = jnp.where(ok, ids, 0)
   valid = ok
-  # n*block DMAs in flight per grid step; the semaphore budget that caps
-  # the single-table kernel at 256 rows is split across the n streams.
-  block = max(8, BLOCK_ROWS // n)
+  block = multi_block_rows(n)
   pad = (-k) % block
   if pad:
     ids = jnp.pad(ids, (0, pad))

@@ -113,6 +113,20 @@ def test_scatter_multi_validates_shapes():
         (t, t), ids, valid, (u, jnp.zeros((5, 128), jnp.float32)))
 
 
+def test_multi_block_rows_sublane_aligned():
+  """Mosaic requires the (block, d) update BlockSpecs' row count to be a
+  multiple of 8 (sublane divisibility); interpret mode does not enforce
+  it, so the LazyAdam n=3 path compiled on CPU but crashed on the chip.
+  Pin the block policy for every plausible slab count."""
+  for n in range(1, 9):
+    block = rows_lib.multi_block_rows(n)
+    assert block % 8 == 0, (n, block)
+    assert block >= 8
+    # The DMA-semaphore budget: n streams of `block` rows must not
+    # exceed the single-table kernel's measured 256-row cap.
+    assert n * block <= max(rows_lib.BLOCK_ROWS, 8 * n)
+
+
 def test_update_rows_fused_scatter_same_as_reference(monkeypatch):
   """LazyAdagrad.update_rows through the fused multi-table DMA path
   (interpret mode, table inside the size domain) must be bit-identical
