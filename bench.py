@@ -84,6 +84,7 @@ def child():
   for tag, use_bn in (('bnoff', False), ('bnon', True)):
     model = models.RankingModel(
         scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
+                                input_grad=False,
                                 use_batch_norm=use_bn),
         transform_name='log1p')
     state = train.create_train_state(
@@ -123,6 +124,7 @@ def child():
                              ('bf16', False, jnp.bfloat16)):
     model = models.RankingModel(
         scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
+                                input_grad=False,
                                 use_batch_norm=use_bn, dtype=dtype),
         transform_name='log1p')
     state = train.create_train_state(
@@ -189,6 +191,7 @@ def e2e(mesh, loss_fn, n_chips):
   for tag, dtype in (('e2e', jnp.float32), ('e2e_bf16', jnp.bfloat16)):
     model = models.RankingModel(
         scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
+                                input_grad=False,
                                 use_batch_norm=False, dtype=dtype),
         transform_name='log1p')
     stream = native_ranking_dataset(

@@ -43,6 +43,7 @@ def main():
   import jax.numpy as jnp
   model = models.RankingModel(
       scorer=models.DNNScorer(hidden_layer_dims=(1024, 512, 256),
+                              input_grad=False,
                               dropout=0.0, use_batch_norm=USE_BN,
                               dtype=jnp.bfloat16 if BF16 else jnp.float32))
   state = train.create_train_state(
@@ -96,14 +97,20 @@ def main():
         continue
       meta = {k: v.name for k, v in plane.event_metadata.items()}
       for line in plane.lines:
-        if line.name != 'XLA Modules':
-          continue
-        agg = defaultdict(int)
-        for ev in line.events:
-          agg[meta.get(ev.metadata_id, '?')] += ev.duration_ps
-        for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:3]:
-          top.append([name.split('(')[0], round(dur / 1e9, 3)])
-        device_ms = sum(agg.values()) / 1e9
+        if line.name == 'XLA Modules':
+          agg = defaultdict(int)
+          for ev in line.events:
+            agg[meta.get(ev.metadata_id, '?')] += ev.duration_ps
+          for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:3]:
+            top.append([name.split('(')[0], round(dur / 1e9, 3)])
+          device_ms = sum(agg.values()) / 1e9
+        elif line.name == 'XLA Ops' and '--ops' in sys.argv:
+          agg = defaultdict(int)
+          for ev in line.events:
+            agg[meta.get(ev.metadata_id, '?')] += ev.duration_ps
+          for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:20]:
+            # per-step ms per op
+            top.append(['op:' + name[:64], round(dur / 1e9 / STEPS, 4)])
   except Exception as e:  # TF protos unavailable: report wall only
     top = [['xplane parse failed', str(e)[:60]]]
 

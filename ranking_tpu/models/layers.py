@@ -199,6 +199,11 @@ class Tower(nn.Module):
   batch_norm_momentum: float = 0.999
   dropout: float = 0.5
   dtype: Any = jnp.float32
+  # False declares the tower input gradient unused (≡ stop_gradient on x;
+  # applied by the fused path, where it skips the largest HBM write of
+  # the backward). Only set False when nothing trainable feeds the tower
+  # (raw batch features) — embeddings/encoders upstream need the default.
+  input_grad: bool = True
 
   def _fused_ok(self, x: Array, training: bool) -> bool:
     from ranking_tpu.ops.pallas import fused_bn
@@ -227,7 +232,7 @@ class Tower(nn.Module):
       row_mask = jnp.ones((x.shape[0],), jnp.float32)
     out, means, vars_ = fused_bn.fused_bn_mlp(
         x, row_mask, tuple(ws), tuple(bs), tuple(gammas), tuple(betas),
-        1e-5, act_dtype=self.dtype)
+        1e-5, act_dtype=self.dtype, input_grad=self.input_grad)
     for bn, mu, var in zip(bn_mods, means, vars_):
       bn(jax.lax.stop_gradient(mu), jax.lax.stop_gradient(var))
     kernel, bias = _DenseParams(

@@ -42,6 +42,11 @@ class DNNScorer(nn.Module):
   batch_norm_momentum: float = 0.999
   dropout: float = 0.5
   dtype: Any = jnp.float32
+  # Set False ONLY when every feature fed to this scorer is raw batch
+  # data (≡ stop_gradient on the tower input; the fused BN backward then
+  # skips its largest HBM write). EmbeddingDNNScorer-style wrappers that
+  # pass trainable features MUST leave this True.
+  input_grad: bool = True
 
   @nn.compact
   def __call__(self, context: FeatureDict, examples: FeatureDict,
@@ -82,7 +87,9 @@ class DNNScorer(nn.Module):
         use_batch_norm=self.use_batch_norm,
         batch_norm_momentum=self.batch_norm_momentum,
         dropout=self.dropout,
-        dtype=self.dtype)(flat, training=training, row_mask=row_mask)
+        dtype=self.dtype,
+        input_grad=self.input_grad)(flat, training=training,
+                                    row_mask=row_mask)
     if self.output_units == 1:
       return layers_lib.restore_list(scores, mask)
     logits = scores.reshape(batch, list_size, self.output_units)

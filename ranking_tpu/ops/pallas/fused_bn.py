@@ -54,7 +54,9 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 TILE_N = 512       # forward kernel rows per block
-TILE_N_BWD = 256   # backward kernels (more resident buffers -> smaller tile)
+TILE_N_BWD = 256   # backward kernels (more resident buffers -> smaller tile;
+                   # 384/320 measured slower — MXU wants 128-row multiples
+                   # and the 2x256 double-buffer already covers the latency)
 MAX_TILE_F = 512
 VMEM_BUDGET = 13 * 1024 * 1024
 
@@ -81,13 +83,17 @@ def enabled() -> bool:
 def supported(num_features: int, hidden_dims: Sequence[int]) -> bool:
   """VMEM feasibility of the per-layer kernels at these widths."""
   dims = [num_features] + list(hidden_dims)
-  for f_in, f_out in zip(dims[:-1], dims[1:]):
+  for idx, (f_in, f_out) in enumerate(zip(dims[:-1], dims[1:])):
     tf = min(f_out, MAX_TILE_F)
     # Tiled blocks are double-buffered by the pipeline (x2).
     fwd = 4 * (2 * TILE_N * (f_in + tf) + f_in * tf + 4 * f_in
                + 4 * tf + 4 * TILE_N)
     bwd = 4 * (2 * TILE_N_BWD * (2 * f_out + 2 * f_in) + 2 * f_in * f_out
                + 16 * f_out + 8 * f_in + 4 * TILE_N_BWD)
+    if idx == 1 and num_features % 8 == 0:
+      # Layer 1's backward kernel additionally streams the raw-feature
+      # tile and holds the first layer's A/B dW-term accumulators.
+      bwd += 4 * (2 * TILE_N_BWD * num_features + 2 * num_features * f_in)
     if max(fwd, bwd) > VMEM_BUDGET:
       return False
   return True
@@ -243,10 +249,16 @@ def _dy_tile(g, y, m, s, t, c1, c2):
   return s * dyhat - m * (y * c2 + c1)
 
 
-def _bwd_mats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
-                     xin_ref, sin_ref, tin_ref, w_ref,
-                     dx_ref, dw_ref, s1_ref, s2_ref,
-                     *, relu_in: bool, emit_prev_stats: bool):
+def _bwd_mats_kernel(*refs, relu_in: bool, emit_prev_stats: bool,
+                     emit_prev_dw: bool, emit_dx: bool):
+  it = iter(refs)
+  (g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
+   xin_ref, sin_ref, tin_ref, w_ref) = (next(it) for _ in range(11))
+  x0_ref = next(it) if emit_prev_dw else None
+  dx_ref = next(it) if emit_dx else None
+  dw_ref, s1_ref, s2_ref = (next(it) for _ in range(3))
+  if emit_prev_dw:
+    a_ref, b_ref = next(it), next(it)
   i = pl.program_id(0)
   m = m_ref[:]
   dy = _dy_tile(g_ref[:], y_ref[:], m, s_ref[:], t_ref[:], c1_ref[:],
@@ -256,7 +268,8 @@ def _bwd_mats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
       dy.astype(w_ref.dtype), w_ref[:],
       dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)
-  dx_ref[:] = dx.astype(dx_ref.dtype)
+  if emit_dx:
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
   x_in = xin_ref[:].astype(jnp.float32)
   zhat = x_in * sin_ref[:] + tin_ref[:]
@@ -268,6 +281,9 @@ def _bwd_mats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
     if emit_prev_stats:
       s1_ref[:] = jnp.zeros_like(s1_ref)
       s2_ref[:] = jnp.zeros_like(s2_ref)
+    if emit_prev_dw:
+      a_ref[:] = jnp.zeros_like(a_ref)
+      b_ref[:] = jnp.zeros_like(b_ref)
 
   dw_ref[:] += jax.lax.dot_general(
       z.astype(w_ref.dtype), dy.astype(w_ref.dtype),
@@ -280,18 +296,53 @@ def _bwd_mats_kernel(g_ref, y_ref, m_ref, s_ref, t_ref, c1_ref, c2_ref,
     dyhat_prev = jnp.where(zhat > 0, dx.astype(jnp.float32), 0.0)
     s1_ref[:] += jnp.sum(dyhat_prev, axis=0, keepdims=True)
     s2_ref[:] += jnp.sum(dyhat_prev * x_in, axis=0, keepdims=True)
+    if emit_prev_dw:
+      # First-layer dW matmul terms, from tiles already in VMEM:
+      #   dy0 = s0*dyhat0 - m*(y0*c2_0 + c1_0)
+      #   dW0 = x^T dy0 = s0*(x^T dyhat0) - c2_0*(x^T (m*y0)) - c1_0*(x^T m)
+      # c1_0/c2_0 only exist after this kernel's own s1/s2 reduction, so
+      # accumulate the two matmuls A = x^T dyhat0 and B = x^T (m*y0) here
+      # (x is the cheap raw-feature stream) and combine outside. This
+      # removes the dedicated first-layer dW kernel, whose g0/y0 re-read
+      # was ~19% of the whole BN-on step's HBM traffic.
+      x0 = x0_ref[:].astype(w_ref.dtype)
+      a_ref[:] += jax.lax.dot_general(
+          x0, dyhat_prev.astype(w_ref.dtype),
+          dimension_numbers=(((0,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      b_ref[:] += jax.lax.dot_general(
+          x0, (m * x_in).astype(w_ref.dtype),
+          dimension_numbers=(((0,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
 
 
 def _bwd_mats(g, y, mask_col, s, t, c1, c2, x_in, s_in, t_in, w,
-              *, relu_in: bool, emit_prev_stats: bool):
+              *, relu_in: bool, emit_prev_stats: bool, x0=None,
+              emit_dx: bool = True):
   n_pad, f_out = y.shape
   f_in = x_in.shape[1]
   act_dtype = y.dtype
   w = w.astype(act_dtype)
   grid = (_cdiv(n_pad, TILE_N_BWD),)
-  dx, dw, s1, s2 = pl.pallas_call(
+  emit_prev_dw = x0 is not None
+  assert emit_dx or emit_prev_dw, 'dx is the only dW0 feed without fold'
+  extra_in_specs, extra_out_specs, extra_out_shapes, extra_ops = [], [], [], []
+  if emit_prev_dw:
+    f0 = x0.shape[1]
+    extra_in_specs = [pl.BlockSpec((TILE_N_BWD, f0), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+    extra_out_specs = [pl.BlockSpec((f0, f_in), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)] * 2
+    extra_out_shapes = [jax.ShapeDtypeStruct((f0, f_in), jnp.float32)] * 2
+    extra_ops = [x0]
+  dx_out_specs = [pl.BlockSpec((TILE_N_BWD, f_in), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] if emit_dx else []
+  dx_out_shapes = ([jax.ShapeDtypeStruct((n_pad, f_in), act_dtype)]
+                   if emit_dx else [])
+  outs = pl.pallas_call(
       functools.partial(_bwd_mats_kernel, relu_in=relu_in,
-                        emit_prev_stats=emit_prev_stats),
+                        emit_prev_stats=emit_prev_stats,
+                        emit_prev_dw=emit_prev_dw, emit_dx=emit_dx),
       grid=grid,
       in_specs=[
           pl.BlockSpec((TILE_N_BWD, f_out), lambda i: (i, 0),
@@ -316,32 +367,35 @@ def _bwd_mats(g, y, mask_col, s, t, c1, c2, x_in, s_in, t_in, w,
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((f_in, f_out), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
-      ],
-      out_specs=[
-          pl.BlockSpec((TILE_N_BWD, f_in), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM),
+      ] + extra_in_specs,
+      out_specs=dx_out_specs + [
           pl.BlockSpec((f_in, f_out), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, f_in), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, f_in), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
-      ],
-      out_shape=[
-          jax.ShapeDtypeStruct((n_pad, f_in), act_dtype),
+      ] + extra_out_specs,
+      out_shape=dx_out_shapes + [
           jax.ShapeDtypeStruct((f_in, f_out), jnp.float32),
           jax.ShapeDtypeStruct((1, f_in), jnp.float32),
           jax.ShapeDtypeStruct((1, f_in), jnp.float32),
-      ],
+      ] + extra_out_shapes,
       cost_estimate=pl.CostEstimate(
-          flops=4 * n_pad * f_in * f_out,
+          flops=4 * n_pad * f_in * f_out
+                + (4 * n_pad * x0.shape[1] * f_in if emit_prev_dw else 0),
           bytes_accessed=4 * (3 * n_pad * f_out + 2 * n_pad * f_in
                               + 2 * f_in * f_out),
           transcendentals=0),
       interpret=_interpret(),
   )(g, y, mask_col, s.reshape(1, f_out), t.reshape(1, f_out),
     c1.reshape(1, f_out), c2.reshape(1, f_out), x_in,
-    s_in.reshape(1, f_in), t_in.reshape(1, f_in), w)
+    s_in.reshape(1, f_in), t_in.reshape(1, f_in), w, *extra_ops)
+  outs = list(outs)
+  dx = outs.pop(0) if emit_dx else None
+  dw, s1, s2 = outs[:3]
+  if emit_prev_dw:
+    return dx, dw, s1[0], s2[0], outs[3], outs[4]
   return dx, dw, s1[0], s2[0]
 
 
@@ -488,7 +542,7 @@ def eligible(training: bool, use_batch_norm: bool, input_batch_norm: bool,
 
 
 def fused_bn_mlp(x, mask, ws, bs, gammas, betas, eps,
-                 act_dtype=jnp.float32):
+                 act_dtype=jnp.float32, input_grad: bool = True):
   """relu(maskedBN(x @ W_l + b_l)) chained over layers.
 
   Args:
@@ -499,23 +553,35 @@ def fused_bn_mlp(x, mask, ws, bs, gammas, betas, eps,
       plain BN.
     ws/bs/gammas/betas: per-layer Dense kernel/bias and BN scale/offset.
     eps: BN epsilon (static).
+    input_grad: False ≡ the input is wrapped in ``stop_gradient`` (its
+      cotangent is zero). For raw-feature towers — where ``x`` comes
+      straight from the batch and nothing upstream trains — this lets
+      the backward skip writing the first hidden activation's gradient
+      (the largest single HBM write of the step). Keep True whenever
+      anything trainable (embeddings, encoders) feeds the tower.
 
   Returns:
     ``(a_last [N, F_L], means tuple, vars tuple)``. The mean/var outputs
     are for running-average updates only and are non-differentiable.
   """
   mask = jax.lax.stop_gradient(jnp.asarray(mask, jnp.float32))
+  if not input_grad:
+    x = jax.lax.stop_gradient(x)
   return _fused_op(x, mask, tuple(ws), tuple(bs), tuple(gammas),
-                   tuple(betas), eps, jnp.dtype(act_dtype).name)
+                   tuple(betas), eps, jnp.dtype(act_dtype).name,
+                   bool(input_grad))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _fused_op(x, mask, ws, bs, gammas, betas, eps, act_dtype_name):
-  out, _ = _fused_fwd(x, mask, ws, bs, gammas, betas, eps, act_dtype_name)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _fused_op(x, mask, ws, bs, gammas, betas, eps, act_dtype_name,
+              input_grad):
+  out, _ = _fused_fwd(x, mask, ws, bs, gammas, betas, eps, act_dtype_name,
+                      input_grad)
   return out
 
 
-def _fused_fwd(x, mask, ws, bs, gammas, betas, eps, act_dtype_name):
+def _fused_fwd(x, mask, ws, bs, gammas, betas, eps, act_dtype_name,
+               input_grad=True):
   act_dtype = jnp.dtype(act_dtype_name)
   n_valid = x.shape[0]
   n_pad = _cdiv(n_valid, TILE_N) * TILE_N
@@ -563,7 +629,7 @@ def _layer_consts(fold, s1, s2, col_sum, n):
   return dbeta, dgamma, c1, c2, db
 
 
-def _fused_bwd(eps, act_dtype_name, residuals, cotangents):
+def _fused_bwd(eps, act_dtype_name, input_grad, residuals, cotangents):
   del eps, act_dtype_name
   g_a, _, _ = cotangents  # mean/var cotangents are ignored (stats outputs)
   x_p, mask_col, n, ys, sums, folds, ws = residuals
@@ -583,6 +649,11 @@ def _fused_bwd(eps, act_dtype_name, residuals, cotangents):
   mu, var, sig_inv, s, t = folds[top]
   s1, s2 = _bwd_stats(g, ys[top], s, t)
 
+  # Fold the first layer's dW matmul terms into layer 1's kernel (the
+  # raw-feature stream is narrow) when the feature count satisfies
+  # Mosaic's 8-row output-tile rule; otherwise keep the dedicated kernel.
+  fold_dw0 = num_layers >= 2 and x_p.shape[1] % 8 == 0
+  a0 = b0 = None
   for l in range(top, -1, -1):
     fold = folds[l]
     dbeta, dgamma, c1, c2, db = _layer_consts(fold, s1, s2, sums[l], n)
@@ -592,21 +663,42 @@ def _fused_bwd(eps, act_dtype_name, residuals, cotangents):
     _, _, _, s, t = fold
 
     if l == 0:
-      x_in = x_p
-      s_in = jnp.ones((x_p.shape[1],), jnp.float32)
-      t_in = jnp.zeros((x_p.shape[1],), jnp.float32)
-      d_ws[l] = _bwd_dw_only(g, ys[l], mask_col, s, t, c1, c2, x_in, s_in,
-                             t_in, relu_in=False)
-      dx0 = _bwd_dx_only(g, ys[l], mask_col, s, t, c1, c2, ws[l])
+      if a0 is not None:
+        # dW0 = s0*A - c2_0*B - c1_0*(x^T m); A/B accumulated in layer 1's
+        # backward kernel, the x^T m reduction is one cheap XLA pass.
+        xm = jnp.sum(x_p * mask_col, axis=0)
+        d_ws[l] = (a0 * s[None, :] - b0 * c2[None, :]
+                   - xm[:, None] * c1[None, :])
+      else:
+        x_in = x_p
+        s_in = jnp.ones((x_p.shape[1],), jnp.float32)
+        t_in = jnp.zeros((x_p.shape[1],), jnp.float32)
+        d_ws[l] = _bwd_dw_only(g, ys[l], mask_col, s, t, c1, c2, x_in,
+                               s_in, t_in, relu_in=False)
+      if input_grad:
+        dx0 = _bwd_dx_only(g, ys[l], mask_col, s, t, c1, c2, ws[l])
     else:
       x_in = ys[l - 1]
       _, _, _, s_in, t_in = folds[l - 1]
-      dx, dw, s1, s2 = _bwd_mats(
+      # With the first layer's dW folded in (A/B) and input cotangents
+      # declared unused, layer 1's dx — the largest single HBM write of
+      # the backward — never leaves VMEM (it still feeds the in-kernel
+      # stats/dW epilogues).
+      last_fold = l == 1 and fold_dw0
+      outs = _bwd_mats(
           g, ys[l], mask_col, s, t, c1, c2, x_in, s_in, t_in, ws[l],
-          relu_in=True, emit_prev_stats=True)
+          relu_in=True, emit_prev_stats=True,
+          x0=x_p if last_fold else None,
+          emit_dx=input_grad or not last_fold)
+      if last_fold:
+        dx, dw, s1, s2, a0, b0 = outs
+      else:
+        dx, dw, s1, s2 = outs
       d_ws[l] = dw
       g = dx
 
+  if not input_grad:
+    dx0 = jnp.zeros((n_pad, x_p.shape[1]), jnp.float32)
   dx0 = dx0[:n_valid] if n_valid != n_pad else dx0
   dmask = jnp.zeros((n_valid,), jnp.float32)
   return (dx0, dmask, tuple(d_ws), tuple(d_bs), tuple(d_gammas),

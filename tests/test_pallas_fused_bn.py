@@ -88,6 +88,75 @@ def test_fused_mlp_masked_forward_and_grads():
                                rtol=2e-3, atol=2e-4)
 
 
+def test_fused_mlp_grads_unaligned_features():
+  """num_features % 8 != 0 disables the folded first-layer dW (Mosaic's
+  8-row output-tile rule) — the dedicated _bwd_dw_only fallback must
+  stay correct."""
+  rng = np.random.RandomState(7)
+  n = 300
+  x = jnp.asarray(rng.randn(n, 42).astype(np.float32))
+  ws, bs, gs, betas = _mlp_params(9, 42, [32, 24])
+  mask = jnp.asarray((rng.rand(n) > 0.3).astype(np.float32))
+  weights = jnp.asarray(rng.randn(n, 24).astype(np.float32))
+
+  def loss(fn, x, ws, bs, gs, betas):
+    kw = {'mask': mask} if fn is fused_bn.reference_bn_mlp else {}
+    args = (x, mask) if fn is fused_bn.fused_bn_mlp else (x,)
+    out, _, _ = fn(*args, ws, bs, gs, betas, 1e-5, **kw)
+    return jnp.sum(out * weights)
+
+  args = (x, tuple(ws), tuple(bs), tuple(gs), tuple(betas))
+  gf = jax.grad(lambda *a: loss(fused_bn.fused_bn_mlp, *a),
+                argnums=(0, 1, 2, 3, 4))(*args)
+  gr = jax.grad(lambda *a: loss(fused_bn.reference_bn_mlp, *a),
+                argnums=(0, 1, 2, 3, 4))(*args)
+  for la, lb in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_fused_mlp_input_grad_false_param_grads_unchanged():
+  """input_grad=False (≡ stop_gradient on x): identical parameter
+  gradients via the no-dx-write backward variant, zero input cotangent."""
+  rng = np.random.RandomState(11)
+  n = 600
+  x = jnp.asarray(rng.randn(n, 48).astype(np.float32))
+  ws, bs, gs, betas = _mlp_params(3, 48, [32, 16])
+  mask = jnp.asarray((rng.rand(n) > 0.35).astype(np.float32))
+  weights = jnp.asarray(rng.randn(n, 16).astype(np.float32))
+
+  def loss(x, ws, bs, gs, betas, input_grad):
+    out, _, _ = fused_bn.fused_bn_mlp(x, mask, ws, bs, gs, betas, 1e-5,
+                                      input_grad=input_grad)
+    return jnp.sum(out * weights)
+
+  args = (x, tuple(ws), tuple(bs), tuple(gs), tuple(betas))
+  g_on = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2, 3, 4))(*args)
+  g_off = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2, 3, 4))(*args)
+  assert np.asarray(g_on[0]).any()  # dx nonzero with grads on
+  np.testing.assert_array_equal(np.asarray(g_off[0]), 0.0)
+  for la, lb in zip(jax.tree.leaves(g_on[1:]), jax.tree.leaves(g_off[1:])):
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-6, atol=1e-7)
+  # Single-hidden-layer tower: exercises the l==0-only branch.
+  ws1, bs1, gs1, betas1 = _mlp_params(5, 48, [32])
+  args1 = (x, tuple(ws1), tuple(bs1), tuple(gs1), tuple(betas1))
+  w1 = weights[:, :16].repeat(2, axis=1)
+
+  def loss1(x, ws, bs, gs, betas, input_grad):
+    out, _, _ = fused_bn.fused_bn_mlp(x, mask, ws, bs, gs, betas, 1e-5,
+                                      input_grad=input_grad)
+    return jnp.sum(out * w1)
+
+  g1_on = jax.grad(lambda *a: loss1(*a, True),
+                   argnums=(1, 2, 3, 4))(*args1)
+  g1_off = jax.grad(lambda *a: loss1(*a, False),
+                    argnums=(1, 2, 3, 4))(*args1)
+  for la, lb in zip(jax.tree.leaves(g1_on), jax.tree.leaves(g1_off)):
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_tower_fused_equals_standard_flax():
   """Full-valid mask: fused Tower == standard flax Tower — forward,
   batch-stats running updates, and parameter gradients."""
