@@ -261,15 +261,26 @@ void push_work(Loader* L, std::vector<RecordRef>&& records) {
 }
 
 void decode_loop(Loader* L) {
+  // Backpressure on the reorder buffer: without it a slow consumer lets
+  // the decoders drain the whole dataset into `out`. Deadlock-free:
+  // work is popped in sequence order, so the batch the consumer is
+  // waiting for is never behind a blocked decoder — it is either being
+  // decoded (that decode always completes and emplaces regardless of
+  // this bound) or already in `out`.
+  const int out_bound = L->ring_capacity + L->num_threads;
   for (;;) {
     Work w;
     {
       std::unique_lock<std::mutex> lock(L->mu);
       L->cv_work.wait(lock, [&] {
-        return L->stop || L->reader_done || !L->work_q.empty();
+        return L->stop || (L->work_q.empty() && L->reader_done) ||
+               (!L->work_q.empty() &&
+                static_cast<int>(L->out.size()) < out_bound);
       });
       if (L->stop || (L->work_q.empty() && L->reader_done)) break;
-      if (L->work_q.empty()) continue;
+      if (L->work_q.empty() ||
+          static_cast<int>(L->out.size()) >= out_bound)
+        continue;
       w = std::move(L->work_q.front());
       L->work_q.pop_front();
     }
@@ -430,6 +441,8 @@ int rt_loader_next(void* handle, FeatureSpec* ctx_specs, int n_ctx,
     L->out.erase(it);
     ++L->next_out;
   }
+  // Reorder-buffer space freed: decoders gated on the out_bound wake.
+  L->cv_work.notify_all();
 
   auto emitout = [&](FeatureSpec* specs, int n,
                      std::vector<std::vector<float>>& fbufs,

@@ -570,6 +570,38 @@ def test_native_loader_thread_count_determinism(tmp_path):
       np.testing.assert_array_equal(a.context['qid'], b.context['qid'])
 
 
+def test_native_loader_slow_consumer_bounded_and_ordered(tmp_path):
+  """A consumer that lags far behind the decoders still receives the
+  complete stream in assembly order: the decode threads are gated on the
+  reorder buffer (ring_capacity + num_threads), so they neither drain
+  the dataset into memory nor deadlock against the waiting consumer."""
+  import time
+  from ranking_tpu.data.dataset import native_ranking_dataset
+
+  recs = [proto.make_elwc({'qid': [float(i)]},
+                          [{'rel': [1]}]).SerializeToString()
+          for i in range(512)]
+  path = str(tmp_path / 'slow.tfrecord')
+  tfrecord.write_records(path, recs)
+
+  it = iter(native_ranking_dataset(
+      path,
+      batch_size=4,
+      context_feature_spec={
+          'qid': FixedLenFeature(shape=(1,), dtype='float32',
+                                 default_value=-1.0)},
+      example_feature_spec={
+          'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)},
+      label_feature_name='rel', list_size=2, epochs=1, shuffle=False,
+      drop_remainder=False, num_threads=4))
+  first = next(it)
+  time.sleep(1.0)  # decoders run ahead; the out-bound gate must hold them
+  batches = [first] + list(it)
+  assert len(batches) == 128
+  qids = np.concatenate([b.context['qid'].reshape(-1) for b in batches])
+  np.testing.assert_array_equal(qids, np.arange(512, dtype=np.float32))
+
+
 def test_native_pad_value_falls_back(tmp_path):
   """Non-default varlen pad_value is not natively decodable: the one-shot
   decode raises (so the batched pipeline falls back to the Python parser,
