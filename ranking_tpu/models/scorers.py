@@ -73,8 +73,10 @@ class DNNScorer(nn.Module):
       # from padding rows; without batch norm every row is scored
       # independently and masked at restore, so the index build + gather
       # can be skipped (~10% of a flagship train step in device
-      # profiles).
-      needs_padding = self.use_batch_norm or self.input_batch_norm
+      # profiles). Eval-mode BN uses running averages — row-independent —
+      # so padding is train-only (~23% of a flagship eval step).
+      needs_padding = (self.use_batch_norm or self.input_batch_norm) \
+          and training
       if needs_padding:
         concat = layers_lib.concat_features(context, examples, mask,
                                             circular_padding=True)

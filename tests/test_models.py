@@ -315,6 +315,33 @@ def test_embedding_scorer_shared_vocab_context_and_examples():
   assert out.shape == (2, 3)
 
 
+def test_dnn_scorer_eval_padding_independent():
+  """Eval-mode BN uses running averages (row-independent), so the scorer
+  skips the circular-padding gather there — valid-row logits must be
+  unaffected by whatever sits in the padded slots."""
+  scorer = DNNScorer(hidden_layer_dims=(8, 4), use_batch_norm=True,
+                     dropout=0.0)
+  rng = np.random.RandomState(5)
+  x = rng.randn(2, 4, 3).astype(np.float32)
+  mask = jnp.asarray([[True, True, False, False], [True, True, True, True]])
+
+  def run(pad_value):
+    xs = x.copy()
+    xs[0, 2:, :] = pad_value
+    examples = {'f': jnp.asarray(xs)}
+    variables = scorer.init(jax.random.PRNGKey(0), {}, examples, mask,
+                            training=False)
+    # One train step so running stats are non-initial, then eval.
+    _, updated = scorer.apply(variables, {}, examples, mask, training=True,
+                              mutable=['batch_stats'])
+    variables = {**variables, **updated}
+    return np.asarray(scorer.apply(variables, {}, examples, mask,
+                                   training=False))
+
+  a, b = run(0.0), run(1000.0)
+  np.testing.assert_array_equal(a[np.asarray(mask)], b[np.asarray(mask)])
+
+
 def test_gam_scorer_bn_stats_ignore_padding():
   """Padded-slot features must not leak into GAM tower BN statistics."""
   scorer = GAMScorer(example_hidden_layer_dims=(4,),
