@@ -89,6 +89,20 @@ class RankingMetric:
   topn: Optional[int] = None
 
   def prepare(self, labels, predictions, weights, mask):
+    # Inside a shared_sort_scope (the eval step), identical preparations
+    # are interned: every metric in the suite then holds the SAME
+    # prepared labels/predictions/mask tracers, so their per-metric
+    # sorts collapse into the scope's one shared sort order. prepare is
+    # metric-independent, so the interning is exact.
+    cache = list_ops.shared_sort_cache()
+    ck = None
+    if cache is not None:
+      ck = ('metric_prepare', id(labels), id(predictions), id(weights),
+            id(mask))
+      hit = cache.get(ck)
+      if hit is not None:
+        return hit[1]
+      inputs = (labels, predictions, weights, mask)  # pin ids
     labels = jnp.asarray(labels, jnp.float32)
     predictions = jnp.asarray(predictions, jnp.float32)
     weights = 1.0 if weights is None else jnp.asarray(weights, jnp.float32)
@@ -100,7 +114,10 @@ class RankingMetric:
     predictions = jnp.where(
         mask, predictions,
         -1e-6 + jnp.min(predictions, axis=1, keepdims=True))
-    return labels, predictions, example_weights, mask
+    out = (labels, predictions, example_weights, mask)
+    if ck is not None:
+      cache[ck] = (inputs, out)
+    return out
 
   def __call__(self, labels, predictions, weights=None, mask=None,
                key=None) -> Tuple[Array, Array]:

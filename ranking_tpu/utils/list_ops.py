@@ -27,12 +27,53 @@ Reference parity notes (file:line are in /root/reference):
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+_SORT_SCOPE = threading.local()
+
+
+@contextlib.contextmanager
+def shared_sort_scope():
+  """Share one full sort order across deterministic sort_by_scores calls.
+
+  Inside this scope, every ``sort_by_scores(scores, ..., mask=mask,
+  key=None)`` with the same (scores, mask) arrays computes the
+  descending-score permutation ONCE (full list, via the normal sort
+  path — Pallas kernel or XLA top_k) and serves each call as a cheap
+  top-``topn`` gather. The permutation is a function of (scores, mask)
+  only, and full-sort-then-slice equals direct stable top-k, so results
+  are identical to the unscoped calls.
+
+  The metric evaluation step wraps its metric loop in this scope: the
+  default suite (NDCG@1/5/10/full + MRR) otherwise issues five
+  independent sorts of the same scores (plus NDCG's ideal sorts of the
+  same labels) — measured 0.54 ms of a 0.95 ms eval step at B128×L200.
+
+  The cache is trace-local: entries hold references to the traced
+  arrays, so object identity is stable for the life of the scope. Ties
+  keep the stable positional order; randomized tie-breaking
+  (``key=...``) bypasses the cache.
+  """
+  prev = getattr(_SORT_SCOPE, 'cache', None)
+  _SORT_SCOPE.cache = {}
+  try:
+    yield
+  finally:
+    _SORT_SCOPE.cache = prev
+
+
+def shared_sort_cache() -> Optional[dict]:
+  """The active shared_sort_scope cache (None outside a scope). Other
+  modules may intern derived tensors here (metric input preparation) so
+  identical derivations share one tracer and thus one sort."""
+  return getattr(_SORT_SCOPE, 'cache', None)
 
 PADDING_LABEL = -1.0
 PADDING_PREDICTION = -1e6
@@ -119,6 +160,31 @@ def sort_by_scores(
   scores = scores.astype(jnp.float32)
   batch, list_size = scores.shape
   topn = list_size if topn is None else min(topn, list_size)
+
+  cache = getattr(_SORT_SCOPE, 'cache', None)
+  if cache is not None and key is None:
+    # Cache the FULL sorted channel per (scores, mask, feature) and
+    # serve every topn as a contiguous [:, :topn] slice (free on TPU).
+    # Caching sort *indices* and gathering per call was measured 4x
+    # slower than the sorts it saved: XLA lowers the in-list
+    # take_along_axis to per-element lane gathers (~0.26 ms per [128,
+    # 200] channel on v5e) — the very cost the Pallas sort kernel's
+    # permutation matmuls exist to avoid.
+    outs = []
+    for f in features_list:
+      fk = (id(scores), id(mask), id(f))
+      entry = cache.get(fk)
+      if entry is None:
+        _SORT_SCOPE.cache = None  # the full sort itself runs uncached
+        try:
+          full, = sort_by_scores(scores, [f], topn=list_size, mask=mask)
+        finally:
+          _SORT_SCOPE.cache = cache
+        # Holding refs to the operands pins their ids for the scope.
+        entry = (scores, mask, f, full)
+        cache[fk] = entry
+      outs.append(entry[3][:, :topn])
+    return outs
 
   if key is None and _pallas_sort_ok(scores, features_list):
     # Opt-in fused in-VMEM sort (ops/pallas/sort.py): identical

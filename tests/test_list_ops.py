@@ -150,3 +150,112 @@ class TestRaggedToDense:
     np.testing.assert_allclose(np.asarray(weights), [[1.0, 1.0], [2.0, 0.0]])
     np.testing.assert_array_equal(
         np.asarray(mask), [[True, True], [True, False]])
+
+
+class TestSharedSortScope:
+
+  def _data(self):
+    rng = np.random.RandomState(3)
+    scores = rng.randn(4, 12).astype(np.float32)
+    scores[0, 3] = scores[0, 7]  # ties: stable order must be preserved
+    scores[2, :] = 1.0           # an all-tied list
+    labels = rng.randint(0, 4, size=(4, 12)).astype(np.float32)
+    mask = rng.rand(4, 12) > 0.25
+    mask[3, :2] = True
+    return (jnp.asarray(scores), jnp.asarray(labels), jnp.asarray(mask))
+
+  def test_sorts_bitwise_equal_and_cached(self):
+    scores, labels, mask = self._data()
+    base = [list_ops.sort_by_scores(scores, [labels], topn=k, mask=mask)[0]
+            for k in (1, 5, None)]
+    with list_ops.shared_sort_scope():
+      cached = [
+          list_ops.sort_by_scores(scores, [labels], topn=k, mask=mask)[0]
+          for k in (1, 5, None)]
+      cache = list_ops.shared_sort_cache()
+      # One full-sorted channel entry serves every topn.
+      assert len(cache) == 1
+    assert list_ops.shared_sort_cache() is None
+    for a, b in zip(base, cached):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_distinct_scores_and_masks_not_conflated(self):
+    scores, labels, mask = self._data()
+    other = scores + 1.7 * jnp.sin(scores)
+    with list_ops.shared_sort_scope():
+      a = list_ops.sort_by_scores(scores, [labels], topn=4, mask=mask)[0]
+      b = list_ops.sort_by_scores(other, [labels], topn=4, mask=mask)[0]
+      c = list_ops.sort_by_scores(scores, [labels], topn=4, mask=None)[0]
+    np.testing.assert_array_equal(
+        np.asarray(a),
+        np.asarray(list_ops.sort_by_scores(scores, [labels], topn=4,
+                                           mask=mask)[0]))
+    np.testing.assert_array_equal(
+        np.asarray(b),
+        np.asarray(list_ops.sort_by_scores(other, [labels], topn=4,
+                                           mask=mask)[0]))
+    np.testing.assert_array_equal(
+        np.asarray(c),
+        np.asarray(list_ops.sort_by_scores(scores, [labels], topn=4)[0]))
+
+  def test_random_tie_break_bypasses_cache(self):
+    scores, labels, mask = self._data()
+    key = jax.random.PRNGKey(0)
+    with list_ops.shared_sort_scope():
+      a = list_ops.sort_by_scores(scores, [labels], topn=12, mask=mask,
+                                  key=key)[0]
+    b = list_ops.sort_by_scores(scores, [labels], topn=12, mask=mask,
+                                key=key)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_eval_step_metrics_bitwise_equal_under_scope(self):
+    """The jitted eval step (which enables the scope) must produce the
+    same metric values as direct unscoped metric calls."""
+    import optax
+    from ranking_tpu import models, ops, train
+    from ranking_tpu.data.batch import batch_from_labels
+
+    rng = np.random.RandomState(7)
+    labels = rng.randint(-1, 4, size=(6, 15)).astype(np.float32)
+    labels[0] = 2.0  # fully tied relevance
+    batch = batch_from_labels(
+        labels=labels,
+        examples={'x': rng.randn(6, 15, 4).astype(np.float32)})
+    model = models.RankingModel(scorer=models.DNNScorer(
+        hidden_layer_dims=(8,), dropout=0.0, use_batch_norm=False))
+    state = train.create_train_state(
+        model, optax.adam(1e-3), jax.random.PRNGKey(0),
+        batch.context, batch.examples, batch.mask)
+
+    metric_fns = {
+        'ndcg@1': ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG,
+                                             topn=1),
+        'ndcg@5': ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG,
+                                             topn=5),
+        'ndcg': ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG),
+        'mrr': ops.make_ranking_metric_fn(ops.RankingMetricKey.MRR),
+        'map': ops.make_ranking_metric_fn(ops.RankingMetricKey.MAP),
+    }
+    eval_fn = jax.jit(train.make_eval_step(metric_fns))
+    states, logits = eval_fn(state, batch,
+                             train.init_metric_states(metric_fns))
+
+    # Scoped vs unscoped metric values, bitwise, inside one jit (so the
+    # only difference is the shared sort).
+    @jax.jit
+    def both(labels, logits, features):
+      plain = {n: fn(labels, logits, features=features)
+               for n, fn in metric_fns.items()}
+      with list_ops.shared_sort_scope():
+        shared = {n: fn(labels, logits, features=features)
+                  for n, fn in metric_fns.items()}
+      return plain, shared
+
+    plain, shared = both(batch.labels, logits, batch.features)
+    for name in metric_fns:
+      for a, b in zip(plain[name], shared[name]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+      values, weights = plain[name]
+      expect = float(jnp.sum(values * weights) / jnp.sum(weights))
+      got = float(states[name].result())
+      assert abs(got - expect) < 1e-5, (name, got, expect)
