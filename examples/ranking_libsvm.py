@@ -76,7 +76,11 @@ def build_model(args):
         group_size=args.group_size, hidden_layer_dims=hidden,
         dropout=args.dropout)
   else:
-    scorer = models.DNNScorer(hidden_layer_dims=hidden, dropout=args.dropout)
+    # input_grad=False: the tower input is raw LIBSVM features (nothing
+    # trainable upstream), so the fused-BN backward skips its largest
+    # HBM write.
+    scorer = models.DNNScorer(hidden_layer_dims=hidden,
+                              dropout=args.dropout, input_grad=False)
   return models.RankingModel(scorer=scorer, transform_name='log1p')
 
 

@@ -352,6 +352,8 @@ def native_ranking_dataset(
     size_feature_name: Optional[str] = None,
     seed: Optional[int] = None,
     num_threads: Optional[int] = None,
+    shard_index: Optional[int] = None,
+    num_shards: Optional[int] = None,
 ) -> Iterator[RankingBatch]:
   """ELWC stream fully driven by the native loader (data/native/loader.cc):
   a C++ reader thread owns file reading, shuffling, and batch assembly;
@@ -364,6 +366,17 @@ def native_ranking_dataset(
   paths = sorted(glob_lib.glob(file_pattern))
   if not paths:
     raise FileNotFoundError(f'No files match {file_pattern!r}')
+  if num_shards:
+    # Multi-host input sharding — same contract as build_ranking_dataset:
+    # each process reads a disjoint file subset, defaulting to
+    # jax.process_index().
+    if shard_index is None:
+      shard_index = jax.process_index()
+    paths = paths[shard_index::num_shards]
+    if not paths:
+      raise ValueError(
+          f'shard {shard_index}/{num_shards} got no files; need at least '
+          f'{num_shards} files matching {file_pattern!r}')
   if list_size is None:
     raise ValueError('native loader requires a fixed list_size')
   loader = native.NativeLoader(

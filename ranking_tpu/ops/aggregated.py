@@ -64,11 +64,18 @@ class PredictionAccumulator:
   def compute(self, metric_specs: Mapping[str, Tuple[str, Optional[int]]],
               ) -> Dict[str, float]:
     """metric_specs: display name -> (metric_key, topn)."""
-    labels, scores, _ = self.grouped()
+    import jax.numpy as jnp
+    from ranking_tpu.utils import list_ops
+    grouped_labels, grouped_scores, _ = self.grouped()
+    # One device transfer, then one shared sort across the spec list
+    # (same mechanism as the eval step — see list_ops.shared_sort_scope).
+    labels = jnp.asarray(grouped_labels)
+    scores = jnp.asarray(grouped_scores)
     out = {}
-    for name, (key, topn) in metric_specs.items():
-      out[name] = float(metric_registry.compute_mean(
-          key, labels, scores, topn=topn))
+    with list_ops.shared_sort_scope():
+      for name, (key, topn) in metric_specs.items():
+        out[name] = float(metric_registry.compute_mean(
+            key, labels, scores, topn=topn))
     return out
 
   def dump_csv(self, path: str) -> None:

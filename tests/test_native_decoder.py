@@ -570,6 +570,43 @@ def test_native_loader_thread_count_determinism(tmp_path):
       np.testing.assert_array_equal(a.context['qid'], b.context['qid'])
 
 
+def test_native_loader_multi_host_file_sharding(tmp_path):
+  """shard_index/num_shards gives each process a disjoint file subset
+  (same contract as build_ranking_dataset); the union covers every
+  record exactly once."""
+  from ranking_tpu.data.dataset import native_ranking_dataset
+
+  for f in range(4):
+    recs = [proto.make_elwc({'qid': [float(f * 100 + i)]},
+                            [{'rel': [1]}]).SerializeToString()
+            for i in range(8)]
+    tfrecord.write_records(str(tmp_path / f'part-{f}.tfrecord'), recs)
+
+  def qids(shard_index, num_shards):
+    batches = list(native_ranking_dataset(
+        str(tmp_path / 'part-*.tfrecord'),
+        batch_size=4,
+        context_feature_spec={
+            'qid': FixedLenFeature(shape=(1,), dtype='float32',
+                                   default_value=-1.0)},
+        example_feature_spec={
+            'rel': FixedLenFeature(shape=(), dtype='int64',
+                                   default_value=0)},
+        label_feature_name='rel', list_size=2, epochs=1, shuffle=False,
+        drop_remainder=False, num_threads=2,
+        shard_index=shard_index, num_shards=num_shards))
+    return sorted(np.concatenate(
+        [b.context['qid'].reshape(-1) for b in batches]).tolist())
+
+  shards = [qids(i, 2) for i in range(2)]
+  assert not set(shards[0]) & set(shards[1])
+  expect = sorted(float(f * 100 + i) for f in range(4) for i in range(8))
+  assert sorted(shards[0] + shards[1]) == expect
+  import pytest as _pytest
+  with _pytest.raises(ValueError, match='got no files'):
+    qids(4, 5)
+
+
 def test_native_loader_slow_consumer_bounded_and_ordered(tmp_path):
   """A consumer that lags far behind the decoders still receives the
   complete stream in assembly order: the decode threads are gated on the
