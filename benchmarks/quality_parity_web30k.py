@@ -36,14 +36,37 @@ LR = 0.003
 TRAIN_QUERIES = 1500
 VALI_QUERIES = 500
 
-# (display, loss key, ndcg lambda, bf16): the flagship listwise losses at
-# full list size, the canonical LambdaRank recipe, and the headline bf16
-# training dtype.
+# (display, loss key, ndcg lambda, bf16): every trainable key of the
+# reference factory (the same sweep as the bundled-data matrix) now at
+# the reference's own quality bar (L=128), plus the canonical LambdaRank
+# recipe and the headline bf16 training dtype. --losses selects a subset.
 LOSSES = (
     ('softmax_loss', 'softmax_loss', False, False),
     ('lambdarank', 'pairwise_logistic_loss', True, False),
     ('approx_ndcg_loss', 'approx_ndcg_loss', False, False),
     ('softmax_loss_bf16', 'softmax_loss', False, True),
+    ('pairwise_logistic_loss', 'pairwise_logistic_loss', False, False),
+    ('pairwise_hinge_loss', 'pairwise_hinge_loss', False, False),
+    ('pairwise_soft_zero_one_loss', 'pairwise_soft_zero_one_loss',
+     False, False),
+    ('pairwise_mse_loss', 'pairwise_mse_loss', False, False),
+    ('yeti_logistic_loss', 'yeti_logistic_loss', False, False),
+    ('circle_loss', 'circle_loss', False, False),
+    ('poly_one_softmax_loss', 'poly_one_softmax_loss', False, False),
+    ('unique_softmax_loss', 'unique_softmax_loss', False, False),
+    ('sigmoid_cross_entropy_loss', 'sigmoid_cross_entropy_loss',
+     False, False),
+    ('mean_squared_loss', 'mean_squared_loss', False, False),
+    ('list_mle_loss', 'list_mle_loss', False, False),
+    ('approx_mrr_loss', 'approx_mrr_loss', False, False),
+    ('gumbel_approx_ndcg_loss', 'gumbel_approx_ndcg_loss', False, False),
+    ('neural_sort_cross_entropy_loss', 'neural_sort_cross_entropy_loss',
+     False, False),
+    ('gumbel_neural_sort_cross_entropy_loss',
+     'gumbel_neural_sort_cross_entropy_loss', False, False),
+    ('neural_sort_ndcg_loss', 'neural_sort_ndcg_loss', False, False),
+    ('gumbel_neural_sort_ndcg_loss', 'gumbel_neural_sort_ndcg_loss',
+     False, False),
 )
 
 
@@ -51,7 +74,18 @@ def main():
   ap = argparse.ArgumentParser()
   ap.add_argument('--seeds', type=int, default=3)
   ap.add_argument('--steps', type=int, default=400)
+  ap.add_argument('--losses', type=str, default='',
+                  help='comma-separated display names to run (subset); '
+                       'the merged JSON keeps other rows')
   args = ap.parse_args()
+  losses = LOSSES
+  if args.losses:
+    want = set(args.losses.split(','))
+    unknown = want - {name for name, *_ in LOSSES}
+    if unknown:
+      raise SystemExit(f'unknown --losses: {sorted(unknown)}; '
+                       f'known: {[n for n, *_ in LOSSES]}')
+    losses = tuple(row for row in LOSSES if row[0] in want)
 
   import jax
   jax.config.update('jax_platforms', 'cpu')  # apples-to-apples with TF-CPU
@@ -67,9 +101,14 @@ def main():
       VALI_QUERIES, LIST_SIZE, min_docs=LIST_SIZE // 2, seed=1)
   data = (train_x, train_y, vali_x, vali_y)
 
+  # Merge with an existing JSON so --losses subsets update in place.
+  out_path = os.path.join(REPO, 'QUALITY_PARITY_WEB30K.json')
   summary = {}
+  if args.losses and os.path.exists(out_path):
+    with open(out_path) as f:
+      summary = json.load(f).get('results', {})
   all_pass = True
-  for name, loss_key, ndcg_lambda, bf16 in LOSSES:
+  for name, loss_key, ndcg_lambda, bf16 in losses:
     print(f'... training {name}', flush=True)
     rows = {'tf': [], 'jax': []}
     # Graded labels make plain MRR saturate (~half the docs are relevant,
@@ -117,6 +156,9 @@ def main():
           'delta': round(delta, 4), 'tol': round(tol, 4), 'pass': ok}
     summary[name] = entry
 
+  # Recompute over the merged table, not just this invocation's rows.
+  all_pass = all(m['pass'] for entry in summary.values()
+                 for m in entry.values())
   out = {
       'workload': (f'synthetic Web30K-shaped (benchmarks/synth_web30k.py), '
                    f'L={LIST_SIZE} (64-128 real docs), F={NUM_FEATURES}, '
@@ -126,7 +168,7 @@ def main():
       'criterion': 'parity_or_better: mean_jax >= mean_tf - '
                    'max(2*pooled_std, 0.005)',
       'results': summary, 'all_pass': all_pass}
-  with open(os.path.join(REPO, 'QUALITY_PARITY_WEB30K.json'), 'w') as f:
+  with open(out_path, 'w') as f:
     json.dump(out, f, indent=2)
 
   print(f"{'loss':<22} {'metric':<8} {'tf (ref impl)':<18} "
