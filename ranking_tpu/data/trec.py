@@ -18,7 +18,8 @@ list length.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import (Any, Callable, Dict, Iterator, List, Optional,
+                    Sequence, Tuple)
 
 import numpy as np
 
@@ -235,16 +236,30 @@ def evaluate_run(
         spec.key, topn=spec.topn))
   states = {name: metric_registry.MeanState.zero() for name in fns}
 
+  import jax.numpy as jnp
+
+  from ranking_tpu.utils import list_ops
+
   qrels = read_qrels(qrels_path)
   run = read_run(run_path)
   for labels, scores in padded_batches(merged_lists(qrels, run), batch_size):
-    for name, (spec, fn) in fns.items():
-      batch_labels = labels
-      if spec.threshold is not None:
-        # Binarize judged docs only; padding stays -1 (invalid).
-        batch_labels = np.where(
-            labels >= 0, (labels >= spec.threshold).astype(np.float32),
-            labels)
-      values, weights = fn(batch_labels, scores)
-      states[name] = states[name].update(values, weights)
+    # One device transfer per batch; the scope shares each distinct
+    # (scores, labels-variant) sort across every metric that needs it
+    # (same mechanism as the eval step — list_ops.shared_sort_scope).
+    scores_j = jnp.asarray(scores)
+    labels_j = jnp.asarray(labels)
+    thresholded: Dict[float, Any] = {}
+    with list_ops.shared_sort_scope():
+      for name, (spec, fn) in fns.items():
+        batch_labels = labels_j
+        if spec.threshold is not None:
+          # Binarize judged docs only; padding stays -1 (invalid).
+          if spec.threshold not in thresholded:
+            thresholded[spec.threshold] = jnp.where(
+                labels_j >= 0,
+                (labels_j >= spec.threshold).astype(jnp.float32),
+                labels_j)
+          batch_labels = thresholded[spec.threshold]
+        values, weights = fn(batch_labels, scores_j)
+        states[name] = states[name].update(values, weights)
   return {name: float(state.result()) for name, state in states.items()}
