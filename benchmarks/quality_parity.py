@@ -191,10 +191,17 @@ def train_jax(loss_key, seed, steps, data, ndcg_lambda=False, bf16=False):
   state = train.create_train_state(
       model, optax.adam(LR), jax.random.PRNGKey(seed),
       sample.context, sample.examples, sample.mask)
-  loss_fn = ops.make_loss_fn(
-      loss_key,
-      lambda_weight=ops.lambda_weights.create_ndcg_lambda_weight()
-      if ndcg_lambda else None)
+  from ranking_tpu.ops import loss_registry
+  # The TF side uses the python-generation make_loss_fn, which applies NO
+  # lambda weight to the yeti key (python/losses.py:133 routes it through
+  # gbl_loss_kwargs, ignoring lambda_weight); our factory's
+  # lambda_weight=None default mirrors the KERAS YetiLogisticLoss
+  # (neighbor-pair DCG weight) — a different objective. Pass the explicit
+  # no-lambda override so both frameworks train the same recipe.
+  lam = (ops.lambda_weights.create_ndcg_lambda_weight() if ndcg_lambda
+         else (loss_registry.NO_LAMBDA
+               if loss_key == 'yeti_logistic_loss' else None))
+  loss_fn = ops.make_loss_fn(loss_key, lambda_weight=lam)
   step = jax.jit(train.make_train_step(loss_fn), donate_argnums=0)
   key = jax.random.PRNGKey(seed + 1)
 

@@ -86,6 +86,16 @@ _LAMBDA_KEYS = frozenset({
 })
 
 
+# Explicit no-lambda override: the reference has TWO yeti recipes — the
+# keras YetiLogisticLoss defaults to the neighbor-pair DCG weight
+# (keras/losses.py:672), which this factory mirrors on lambda_weight=None,
+# while the python-generation make_loss_fn applies NO lambda weight to the
+# yeti key at all (python/losses.py:133 routes it through gbl_loss_kwargs,
+# which ignores self.lambda_weight). Pass NO_LAMBDA to reproduce the
+# python-generation recipe.
+NO_LAMBDA = 'no_lambda'
+
+
 def build_loss(
     loss_key: str,
     lambda_weight: Optional[lw.LambdaWeight] = None,
@@ -96,10 +106,13 @@ def build_loss(
 
   ``params`` are loss-specific constructor args (temperature, gamma, margin,
   epsilon, ordinal_size, ...). Keys that take no lambda weight ignore it, as
-  in the reference factory.
+  in the reference factory. ``lambda_weight=NO_LAMBDA`` suppresses any
+  key-specific default lambda weight (see NO_LAMBDA).
   """
   kw: Dict[str, Any] = dict(name=name or loss_key, **params)
-  if loss_key == RankingLossKey.YETI_LOGISTIC_LOSS and lambda_weight is None:
+  if isinstance(lambda_weight, str) and lambda_weight == NO_LAMBDA:
+    lambda_weight = None
+  elif loss_key == RankingLossKey.YETI_LOGISTIC_LOSS and lambda_weight is None:
     # Keras YetiLogisticLoss defaults to the neighbor-pair DCG weight
     # (tensorflow_ranking/python/keras/losses.py:672).
     lambda_weight = lw.create_yeti_dcg_lambda_weight()

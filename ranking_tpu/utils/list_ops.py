@@ -170,21 +170,25 @@ def sort_by_scores(
     # take_along_axis to per-element lane gathers (~0.26 ms per [128,
     # 200] channel on v5e) — the very cost the Pallas sort kernel's
     # permutation matmuls exist to avoid.
-    outs = []
+    misses = {}
     for f in features_list:
       fk = (id(scores), id(mask), id(f))
-      entry = cache.get(fk)
-      if entry is None:
-        _SORT_SCOPE.cache = None  # the full sort itself runs uncached
-        try:
-          full, = sort_by_scores(scores, [f], topn=list_size, mask=mask)
-        finally:
-          _SORT_SCOPE.cache = cache
+      if fk not in cache and fk not in misses:
+        misses[fk] = f
+    if misses:
+      _SORT_SCOPE.cache = None  # the full sort itself runs uncached
+      try:
+        # All missing channels ride ONE kernel (e.g. NDCG's
+        # [labels, weights] pair), like the unscoped call would.
+        fulls = sort_by_scores(scores, list(misses.values()),
+                               topn=list_size, mask=mask)
+      finally:
+        _SORT_SCOPE.cache = cache
+      for (fk, f), full in zip(misses.items(), fulls):
         # Holding refs to the operands pins their ids for the scope.
-        entry = (scores, mask, f, full)
-        cache[fk] = entry
-      outs.append(entry[3][:, :topn])
-    return outs
+        cache[fk] = (scores, mask, f, full)
+    return [cache[(id(scores), id(mask), id(f))][3][:, :topn]
+            for f in features_list]
 
   if key is None and _pallas_sort_ok(scores, features_list):
     # Opt-in fused in-VMEM sort (ops/pallas/sort.py): identical

@@ -635,3 +635,34 @@ class TestDistillationSanity:
     good = float(loss(teacher.copy(), jnp.asarray(aligned), key=key))
     bad = float(loss(teacher.copy(), jnp.asarray(reversed_), key=key))
     assert good < bad
+
+
+class TestNoLambdaOverride:
+
+  def test_yeti_no_lambda_suppresses_keras_default(self):
+    """lambda_weight=NO_LAMBDA reproduces the reference's python-generation
+    yeti recipe (python/losses.py:133: pairwise logistic on the Gumbel
+    sample with NO lambda weight), while the factory default mirrors the
+    keras YetiLogisticLoss (neighbor-pair DCG weight)."""
+    import numpy as np
+    from ranking_tpu import ops
+    from ranking_tpu.ops import lambda_weights as lw
+    from ranking_tpu.ops import loss_registry
+
+    plain_obj = loss_registry.build_loss(
+        'yeti_logistic_loss', lambda_weight=loss_registry.NO_LAMBDA)
+    assert plain_obj.lambda_weight is None
+    default_obj = loss_registry.build_loss('yeti_logistic_loss')
+    assert isinstance(default_obj.lambda_weight, lw.DCGLambdaWeightV2)
+
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(rng.randint(0, 3, size=(4, 9)).astype(np.float32))
+    logits = jnp.asarray(rng.randn(4, 9).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    plain = ops.make_loss_fn('yeti_logistic_loss',
+                             lambda_weight=loss_registry.NO_LAMBDA)
+    keras_default = ops.make_loss_fn('yeti_logistic_loss')
+    a = float(plain(labels, logits, key=key))
+    b = float(keras_default(labels, logits, key=key))
+    assert np.isfinite(a) and np.isfinite(b)
+    assert abs(a - b) > 1e-4  # genuinely different objectives
