@@ -164,6 +164,42 @@ def child():
       eps = BATCH * SCAN_ITERS / dt / n_chips
       print(f'SCAN {tag} {eps:.2f}', flush=True)
 
+  # Eval throughput: forward + the full default metric suite
+  # (NDCG@1/5/10/full + MRR; sorts shared across metrics via
+  # list_ops.shared_sort_scope), scan-dispatched like training.
+  model = models.RankingModel(
+      scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
+                              input_grad=False, use_batch_norm=False),
+      transform_name='log1p')
+  state = train.create_train_state(
+      model, optax.adam(1e-3), jax.random.PRNGKey(0),
+      batch.context, batch.examples, batch.mask)
+  state = jax.tree.map(
+      lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
+  metric_fns = {}
+  for topn in (1, 5, 10, None):
+    metric_fns[f'ndcg@{topn}' if topn else 'ndcg'] = (
+        ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG, topn=topn))
+  metric_fns['mrr'] = ops.make_ranking_metric_fn(ops.RankingMetricKey.MRR)
+  estep = train.make_eval_step(metric_fns)
+
+  @jax.jit
+  def eval_multi(state, bstack, states):
+    def body(st, b):
+      st, _ = estep(state, b, st)
+      return st, ()
+    return jax.lax.scan(body, states, bstack)[0]
+
+  states0 = train.init_metric_states(metric_fns)
+  states = eval_multi(state, stacked, states0)
+  float(states['mrr'].total)
+  for _ in range(CHUNKS):
+    t0 = time.perf_counter()
+    states = eval_multi(state, stacked, states0)
+    float(states['mrr'].total)
+    dt = time.perf_counter() - t0
+    print(f'EVALSCAN {BATCH * SCAN_ITERS / dt / n_chips:.2f}', flush=True)
+
   e2e(mesh, loss_fn, n_chips)
 
 
@@ -271,6 +307,8 @@ def main():
       # Scan chunks amortize tunnel dispatch: wall/steps ~= device time.
       by_tag.setdefault(parts[1], []).append(float(parts[2]))
       scan_by_tag.setdefault(parts[1], []).append(float(parts[2]))
+    elif parts[0] == 'EVALSCAN':
+      e2e_by_tag.setdefault('evalscan', []).append(float(parts[1]))
     elif parts[0] == 'E2E':
       e2e_by_tag.setdefault(parts[1], []).append(float(parts[2]))
     elif parts[0] == 'FLOPS':
@@ -351,6 +389,9 @@ def main():
       tflops = flops / (ms / 1000.0) / 1e12
       out[f'device_tflops_{tag}'] = round(tflops, 2)
       out[f'mfu_{tag}'] = round(tflops * 1e12 / PEAK_FLOPS, 4)
+  if e2e_by_tag.get('evalscan'):
+    # Forward + full default metric suite (NDCG@1/5/10/full + MRR).
+    out['eval_value'] = round(max(e2e_by_tag['evalscan']), 2)
   # Disk-to-device pipeline rate vs the synthetic-batch rate (the
   # reference's model.fit-over-build_ranking_dataset contract).
   if e2e_by_tag.get('e2e'):
