@@ -232,10 +232,16 @@ inline void decode_feature_values(const Slice& feat, const FeatureSpec& spec,
           if (!read_len_delim(q, qend, &packed)) return;
           size_t count = packed.n / 4;
           seen += static_cast<int>(count);
-          for (size_t i = 0; i < count && wrote < spec.size; ++i) {
-            float v;
-            std::memcpy(&v, packed.p + 4 * i, 4);
-            spec.fout[out_index * spec.size + wrote++] = v;
+          // Bulk copy the dense-feature common case: wire floats are
+          // already little-endian IEEE754, so the packed payload is the
+          // output bytes (memcpy handles the unaligned source).
+          if (wrote < spec.size) {
+            size_t take = count;
+            size_t room = static_cast<size_t>(spec.size - wrote);
+            if (take > room) take = room;
+            std::memcpy(spec.fout + out_index * spec.size + wrote,
+                        packed.p, take * 4);
+            wrote += static_cast<int>(take);
           }
         } else if (!skip_field(q, qend, vwt)) {
           return;
