@@ -157,6 +157,26 @@ def parsed_to_batch(
                       mask=mask)
 
 
+def _shard_paths(paths: List[str], shard_index: Optional[int],
+                 num_shards: Optional[int], file_pattern: str) -> List[str]:
+  """Multi-host input sharding: each process reads a disjoint file subset
+  (the auto-shard analog of tf.distribute's dataset distribution).
+  ``shard_index`` defaults to ``jax.process_index()``."""
+  if not num_shards:
+    return paths
+  if shard_index is None:
+    shard_index = jax.process_index()
+  if not 0 <= shard_index < num_shards:
+    raise ValueError(f'shard_index {shard_index} out of range for '
+                     f'num_shards={num_shards}')
+  paths = paths[shard_index::num_shards]
+  if not paths:
+    raise ValueError(
+        f'shard {shard_index}/{num_shards} got no files; need at least '
+        f'{num_shards} files matching {file_pattern!r}')
+  return paths
+
+
 def build_ranking_dataset(
     file_pattern: str,
     data_format: str,
@@ -193,17 +213,7 @@ def build_ranking_dataset(
   paths = sorted(glob_lib.glob(file_pattern))
   if not paths:
     raise FileNotFoundError(f'No files match {file_pattern!r}')
-  if num_shards:
-    # Multi-host input sharding: each process reads a disjoint file subset
-    # (the auto-shard analog of tf.distribute's dataset distribution).
-    # Defaults to jax.process_index() when shard_index is unset.
-    if shard_index is None:
-      shard_index = jax.process_index()
-    paths = paths[shard_index::num_shards]
-    if not paths:
-      raise ValueError(
-          f'shard {shard_index}/{num_shards} got no files; need at least '
-          f'{num_shards} files matching {file_pattern!r}')
+  paths = _shard_paths(paths, shard_index, num_shards, file_pattern)
   if list_size is None and batch_size > 1:
     raise ValueError('list_size must be set for batched parsing (static '
                      'shapes are required on TPU)')
@@ -366,17 +376,7 @@ def native_ranking_dataset(
   paths = sorted(glob_lib.glob(file_pattern))
   if not paths:
     raise FileNotFoundError(f'No files match {file_pattern!r}')
-  if num_shards:
-    # Multi-host input sharding — same contract as build_ranking_dataset:
-    # each process reads a disjoint file subset, defaulting to
-    # jax.process_index().
-    if shard_index is None:
-      shard_index = jax.process_index()
-    paths = paths[shard_index::num_shards]
-    if not paths:
-      raise ValueError(
-          f'shard {shard_index}/{num_shards} got no files; need at least '
-          f'{num_shards} files matching {file_pattern!r}')
+  paths = _shard_paths(paths, shard_index, num_shards, file_pattern)
   if list_size is None:
     raise ValueError('native loader requires a fixed list_size')
   loader = native.NativeLoader(

@@ -246,6 +246,11 @@ class Tower(nn.Module):
     """``row_mask`` (fused path only): [N] row validity — BN statistics
     become the exact masked moments, replacing the circular-padding
     approximation. Ignored by the standard path."""
+    if not self.input_grad:
+      # Same semantics on every path (the fused backward additionally
+      # exploits it to skip its largest HBM write) — a kernel must never
+      # be a semantic fork.
+      x = jax.lax.stop_gradient(x)
     if self._fused_ok(x, training):
       return self._fused_call(x, row_mask)
     act = _ACTIVATIONS[self.activation]

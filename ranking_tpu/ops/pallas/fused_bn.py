@@ -83,20 +83,34 @@ def enabled() -> bool:
 def supported(num_features: int, hidden_dims: Sequence[int]) -> bool:
   """VMEM feasibility of the per-layer kernels at these widths."""
   dims = [num_features] + list(hidden_dims)
-  for idx, (f_in, f_out) in enumerate(zip(dims[:-1], dims[1:])):
+  for f_in, f_out in zip(dims[:-1], dims[1:]):
     tf = min(f_out, MAX_TILE_F)
     # Tiled blocks are double-buffered by the pipeline (x2).
     fwd = 4 * (2 * TILE_N * (f_in + tf) + f_in * tf + 4 * f_in
                + 4 * tf + 4 * TILE_N)
     bwd = 4 * (2 * TILE_N_BWD * (2 * f_out + 2 * f_in) + 2 * f_in * f_out
                + 16 * f_out + 8 * f_in + 4 * TILE_N_BWD)
-    if idx == 1 and num_features % 8 == 0:
-      # Layer 1's backward kernel additionally streams the raw-feature
-      # tile and holds the first layer's A/B dW-term accumulators.
-      bwd += 4 * (2 * TILE_N_BWD * num_features + 2 * num_features * f_in)
+    # The layer-1 fold-dW0 extra is NOT counted here: when it does not
+    # fit, the backward just uses the dedicated first-layer dW kernel
+    # (fold_dw0_fits) — a wide tower must not lose the whole fused path
+    # over an optional optimization.
     if max(fwd, bwd) > VMEM_BUDGET:
       return False
   return True
+
+
+def fold_dw0_fits(f0: int, f_out0: int, f_out1: int) -> bool:
+  """VMEM feasibility of folding the first layer's dW terms into layer
+  1's backward kernel: the base layer-1 buffers plus the raw-feature
+  tile and the A/B accumulators must fit (f0 = num_features, f_out0 =
+  layer-0 width = layer-1's f_in, f_out1 = layer-1 width)."""
+  if f0 % 8 != 0:  # Mosaic's output-tile rule for the A/B blocks
+    return False
+  f_in = f_out0
+  bwd = 4 * (2 * TILE_N_BWD * (2 * f_out1 + 2 * f_in) + 2 * f_in * f_out1
+             + 16 * f_out1 + 8 * f_in + 4 * TILE_N_BWD)
+  extra = 4 * (2 * TILE_N_BWD * f0 + 2 * f0 * f_in)
+  return bwd + extra <= VMEM_BUDGET
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -652,7 +666,9 @@ def _fused_bwd(eps, act_dtype_name, input_grad, residuals, cotangents):
   # Fold the first layer's dW matmul terms into layer 1's kernel (the
   # raw-feature stream is narrow) when the feature count satisfies
   # Mosaic's 8-row output-tile rule; otherwise keep the dedicated kernel.
-  fold_dw0 = num_layers >= 2 and x_p.shape[1] % 8 == 0
+  fold_dw0 = (num_layers >= 2
+              and fold_dw0_fits(x_p.shape[1], ys[0].shape[1],
+                                ys[1].shape[1]))
   a0 = b0 = None
   for l in range(top, -1, -1):
     fold = folds[l]

@@ -331,7 +331,6 @@ def make_eval_step(
   def eval_step(state, batch: RankingBatch,
                 metric_states: Dict[str, MeanState]):
     logits, _ = _forward(state, batch, training=False)
-    out = {}
     # One shared sort order per (scores, mask) across the whole metric
     # suite (plus NDCG's ideal sorts): the default NDCG@1/5/10/full+MRR
     # suite otherwise issues five independent sorts of the same scores —

@@ -605,6 +605,12 @@ def test_native_loader_multi_host_file_sharding(tmp_path):
   import pytest as _pytest
   with _pytest.raises(ValueError, match='got no files'):
     qids(4, 5)
+  # Out-of-range index must raise, not silently return an
+  # overlapping/incomplete shard.
+  with _pytest.raises(ValueError, match='out of range'):
+    qids(2, 2)
+  with _pytest.raises(ValueError, match='out of range'):
+    qids(-1, 2)
 
 
 def test_native_loader_slow_consumer_bounded_and_ordered(tmp_path):

@@ -88,6 +88,23 @@ def test_fused_mlp_masked_forward_and_grads():
                                rtol=2e-3, atol=2e-4)
 
 
+def test_wide_tower_keeps_fused_path_without_fold():
+  """When the fold-dW0 VMEM extra does not fit, the fused path must
+  stay supported (the backward falls back to the dedicated first-layer
+  dW kernel) — a wide tower must not silently lose the whole kernel.
+  supported() therefore must NOT count the fold extra: there must exist
+  configs where the base kernels fit but the fold does not."""
+  assert fused_bn.fold_dw0_fits(136, 1024, 512)  # flagship folds
+  assert not fused_bn.fold_dw0_fits(132, 1024, 512)  # 8-row rule
+  decoupled = [
+      (f0, dims) for f0 in range(256, 2049, 64)
+      for dims in ((512, 512), (1024, 512), (768, 384))
+      if fused_bn.supported(f0, dims)
+      and not fused_bn.fold_dw0_fits(f0, dims[0], dims[1])]
+  assert decoupled, ('no config separates supported() from '
+                     'fold_dw0_fits — the gates are conflated again')
+
+
 def test_fused_mlp_grads_unaligned_features():
   """num_features % 8 != 0 disables the folded first-layer dW (Mosaic's
   8-row output-tile rule) — the dedicated _bwd_dw_only fallback must
