@@ -115,8 +115,37 @@ _WORKER = textwrap.dedent('''
     sloss = float(sm['loss'])
     assert np.isfinite(sloss)
 
+    # Phase 4: multi-host input sharding end to end — each process
+    # streams a DISJOINT file shard through the native C++ loader
+    # (shard_index=rank), contributes its half of every global batch,
+    # and the replicated params stay identical across processes.
+    from ranking_tpu.data import FixedLenFeature
+    from ranking_tpu.data.dataset import native_ranking_dataset
+    corpus = sys.argv[3]
+    nbatches = 0
+    for lb in native_ranking_dataset(
+        corpus + '/part-*.tfrecord', batch_size=4,
+        context_feature_spec={},
+        example_feature_spec={
+            'x': FixedLenFeature(shape=(4,), dtype='float32',
+                                 default_value=0.0),
+            'rel': FixedLenFeature(shape=(), dtype='int64',
+                                   default_value=0)},
+        label_feature_name='rel', list_size=6, epochs=1, shuffle=False,
+        drop_remainder=True, num_threads=2,
+        shard_index=rank, num_shards=2):
+      gb = parallel.local_batch_to_global(lb, mesh)
+      assert gb.labels.shape[0] == 8  # 4 local lists x 2 processes
+      state, metrics = step(state, gb, jax.random.PRNGKey(3))
+      nbatches += 1
+    dloss = float(metrics['loss'])
+    checksum2 = float(sum(jax.numpy.sum(jax.numpy.abs(l))
+                          for l in jax.tree.leaves(state.params)))
+
     print(f'RESULT rank={rank} loss={loss:.6f} checksum={checksum:.6f} '
-          f'embdiff={emb_diff:.8f} sloss={sloss:.6f}', flush=True)
+          f'embdiff={emb_diff:.8f} sloss={sloss:.6f} '
+          f'nbatches={nbatches} dloss={dloss:.6f} '
+          f'checksum2={checksum2:.6f}', flush=True)
 ''')
 
 
@@ -130,12 +159,28 @@ def test_two_process_data_parallel(tmp_path):
   worker = tmp_path / 'worker.py'
   worker.write_text(_WORKER)
 
+  # Phase-4 corpus: 4 files x 8 ELWC records (6 docs, 4 floats + rel)
+  # so each of the 2 processes owns 2 files = 16 records = 4 batches.
+  import numpy as np
+  from ranking_tpu.data import proto, tfrecord
+  corpus = tmp_path / 'corpus'
+  corpus.mkdir()
+  rng = np.random.RandomState(0)
+  for f in range(4):
+    recs = []
+    for _ in range(8):
+      docs = [{'x': rng.randn(4).astype(np.float32).tolist(),
+               'rel': [int(rng.randint(0, 3))]} for _ in range(6)]
+      recs.append(proto.make_elwc({}, docs).SerializeToString())
+    tfrecord.write_records(str(corpus / f'part-{f}.tfrecord'), recs)
+
   env = dict(os.environ)
   env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
   env.pop('JAX_PLATFORMS', None)
   procs = [
       subprocess.Popen(
-          [sys.executable, str(worker), coordinator, str(rank)],
+          [sys.executable, str(worker), coordinator, str(rank),
+           str(corpus)],
           stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
           cwd='/root/repo', env=env)
       for rank in range(2)
@@ -162,7 +207,11 @@ def test_two_process_data_parallel(tmp_path):
       if line.startswith('RESULT'):
         parts = dict(kv.split('=') for kv in line.split()[1:])
         results[parts['rank']] = (parts['loss'], parts['checksum'],
-                                  parts['embdiff'], parts['sloss'])
+                                  parts['embdiff'], parts['sloss'],
+                                  parts['nbatches'], parts['dloss'],
+                                  parts['checksum2'])
   assert set(results) == {'0', '1'}
-  # Same global computation on both processes: loss and params agree.
+  # Same global computation on both processes: loss and params agree,
+  # including after the sharded-ingestion training phase.
   assert results['0'] == results['1']
+  assert results['0'][4] == '4'  # 16 records per shard / 4 local lists
