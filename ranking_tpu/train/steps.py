@@ -36,7 +36,11 @@ MetricFn = Callable[..., Tuple[Array, Array]]
 
 def _masked_mean(values: Array, mask: Array) -> Array:
   mask = mask.astype(jnp.float32)
-  denom = jnp.maximum(jnp.sum(mask), 1.0)
+  # Multi-unit heads (ordinal/multiclass/click-EM: [B, L, units] logits)
+  # broadcast the [B, L] mask over the trailing unit axes.
+  if values.ndim > mask.ndim:
+    mask = mask.reshape(mask.shape + (1,) * (values.ndim - mask.ndim))
+  denom = jnp.maximum(jnp.sum(jnp.broadcast_to(mask, values.shape)), 1.0)
   return jnp.sum(values * mask) / denom
 
 

@@ -105,3 +105,18 @@ def test_generator_deterministic():
   np.testing.assert_array_equal(a[1], b[1])
   c = synth_web30k.generate(10, 16, seed=6)
   assert not np.array_equal(a[1], c[1])
+
+
+def test_keras_extras_recipes_train_one_step():
+  """Every keras-only key's benchmark recipe (multi-unit heads, score
+  derivations, label conventions) runs a real train step + eval scoring —
+  the multi-unit-head path through make_train_step that the
+  python-factory sweep never exercises."""
+  import keras_extras_quality as keq
+
+  feats, labels = synth_web30k.generate(8, 16, min_docs=8, seed=4)
+  data = (feats, labels, feats[:4], labels[:4])
+  for key_name, recipe in keq.recipes().items():
+    before, after = keq.run_key(key_name, recipe, seed=0, steps=2,
+                                data=data)
+    assert np.isfinite(before) and np.isfinite(after), key_name
