@@ -127,6 +127,55 @@ def _unflatten_vars(flat: Mapping[str, np.ndarray]) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Weight-only int8 quantization
+# ---------------------------------------------------------------------------
+
+_QVAL = '__q__'
+_QSCALE = '__scale__'
+# Leaves smaller than this stay f32: biases, BN vectors, LayerNorm gains —
+# quantizing them saves nothing and costs accuracy.
+_Q_MIN_SIZE = 4096
+
+
+def _quantize_leaf(w: np.ndarray):
+  """Symmetric int8 with per-channel scales.
+
+  Tall matrices (rows >= 4x cols — embedding tables) get per-row scales
+  (row norms vary wildly across a vocabulary); everything else (Dense
+  kernels [in, out], attention projections) per-output-channel scales.
+  """
+  w = np.asarray(w)
+  axis = tuple(range(1, w.ndim)) if w.shape[0] >= 4 * w.shape[-1] \
+      else tuple(range(w.ndim - 1))
+  amax = np.max(np.abs(w), axis=axis, keepdims=True)
+  scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+  q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+  return {_QVAL: q, _QSCALE: scale}
+
+
+def quantize_variables(variables):
+  """Replaces large float matrices with {__q__, __scale__} subtrees."""
+  def walk(node):
+    if isinstance(node, Mapping):
+      return {k: walk(v) for k, v in node.items()}
+    arr = np.asarray(node)
+    if (arr.ndim >= 2 and arr.size >= _Q_MIN_SIZE
+        and np.issubdtype(arr.dtype, np.floating)):
+      return _quantize_leaf(arr)
+    return node
+  return walk(variables)
+
+
+def dequantize_tree(tree):
+  """In-graph inverse: works on jnp tracers inside the exported apply."""
+  if isinstance(tree, Mapping):
+    if set(tree) == {_QVAL, _QSCALE}:
+      return tree[_QVAL].astype(jnp.float32) * tree[_QSCALE]
+    return {k: dequantize_tree(v) for k, v in tree.items()}
+  return tree
+
+
+# ---------------------------------------------------------------------------
 # Export
 # ---------------------------------------------------------------------------
 
@@ -148,6 +197,7 @@ def export_predictor(
     sample_batch: Any,
     list_size_buckets: Sequence[int] = (),
     label_feature_name: Optional[str] = None,
+    quantize: Optional[str] = None,
 ) -> str:
   """Writes a self-contained serving artifact to ``path``.
 
@@ -157,6 +207,12 @@ def export_predictor(
   works, and the list dimension is exported once per bucket in
   ``list_size_buckets`` (default: the sample's list size, plus 1 for the
   pointwise ``regress`` signature).
+
+  ``quantize='int8'`` stores every large float matrix (Dense kernels,
+  embedding tables) as symmetric int8 with per-channel float scales —
+  ~4x smaller params.npz — and bakes the dequantization into the
+  exported graph, so the artifact stays self-contained and the loader
+  is unchanged. Weight-only: activations and the math stay float.
   """
   example_feature_spec = {k: v for k, v in example_feature_spec.items()
                           if k != label_feature_name}
@@ -173,11 +229,17 @@ def export_predictor(
   os.makedirs(path, exist_ok=True)
 
   variables = _as_plain_dicts(dict(variables))
+  if quantize is not None:
+    if quantize != 'int8':
+      raise ValueError(f"quantize must be 'int8' or None, got {quantize!r}")
+    variables = quantize_variables(variables)
   var_avals = jax.tree.map(
       lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
       variables)
 
   def _apply(variables, context, examples, mask):
+    if quantize is not None:
+      variables = dequantize_tree(variables)
     return model.apply(variables, context, examples, mask, training=False)
 
   for bucket in buckets:
@@ -202,6 +264,9 @@ def export_predictor(
       'example_feature_spec': {k: spec_to_json(v)
                                for k, v in example_feature_spec.items()},
       'list_size_buckets': buckets,
+      # Informational: dequantization is baked into the exported graphs,
+      # so the loader needs no special handling.
+      'quantize': quantize,
   }
   with open(os.path.join(path, _MANIFEST), 'w') as f:
     json.dump(manifest, f, indent=2)

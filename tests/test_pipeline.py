@@ -719,3 +719,62 @@ def test_tensorboard_zero_valued_scalar_survives(tmp_path):
       if v.HasField('simple_value'):
         got[v.tag] = v.simple_value
   assert got.get('loss') == 0.0 and abs(got['ndcg'] - 0.5) < 1e-6
+
+
+def test_int8_quantized_export(tmp_path):
+  """quantize='int8': large float matrices stored as int8 + per-channel
+  scales with dequantization baked into the exported graph — the loader
+  is unchanged, scores track the f32 artifact, params.npz shrinks."""
+  import jax.random as jr
+
+  from ranking_tpu.data import parsers, tfrecord
+  from ranking_tpu.data.batch import RankingBatch
+  from ranking_tpu.pipeline import export as export_lib
+
+  context_spec, example_spec = _specs()
+  # Big enough tables that quantization actually engages (>= _Q_MIN_SIZE).
+  model = models.RankingModel(
+      scorer=models.EmbeddingDNNScorer(
+          hidden_layer_dims=(64, 32),
+          vocab_sizes={'query_tokens': 1024, 'document_tokens': 1024},
+          embedding_dim=16, dropout=0.0, use_batch_norm=False))
+
+  recs = list(tfrecord.read_records(f'{REF_DATA}/train_elwc.tfrecord'))[:6]
+  parsed = parsers.parse_example_list(
+      recs, context_spec,
+      {k: v for k, v in example_spec.items() if k != 'relevance'},
+      list_size=4)
+  batch = RankingBatch(context=parsed.context, examples=parsed.examples,
+                       labels=np.zeros(parsed.mask.shape, np.float32),
+                       mask=parsed.mask)
+  variables = model.init(jr.PRNGKey(3), batch.context, batch.examples,
+                         batch.mask, training=False)
+
+  f32_path = str(tmp_path / 'f32')
+  q_path = str(tmp_path / 'int8')
+  for path, quant in ((f32_path, None), (q_path, 'int8')):
+    export_lib.export_predictor(
+        model, variables, context_spec, example_spec, path,
+        sample_batch=batch, list_size_buckets=(4,),
+        label_feature_name='relevance', quantize=quant)
+
+  full = export_lib.load_predictor(f32_path)
+  quant = export_lib.load_predictor(q_path)
+  a = full.predict(recs)
+  b = quant.predict(recs)
+  spread = float(np.abs(a).max()) or 1.0
+  np.testing.assert_allclose(b, a, atol=0.03 * spread, rtol=0)
+  # Ranking agreement on the valid prefix of each list.
+  for i in range(a.shape[0]):
+    assert np.argmax(a[i]) == np.argmax(b[i]), (i, a[i], b[i])
+
+  # The tables are stored as int8 with per-row scales.
+  qv = quant.variables['params']['scorer']
+  tab = qv['embed_query_tokens']['embedding']
+  assert set(tab) == {'__q__', '__scale__'}
+  assert tab['__q__'].dtype == np.int8
+  assert tab['__scale__'].shape == (1024, 1)
+
+  size_f32 = os.path.getsize(os.path.join(f32_path, 'params.npz'))
+  size_q = os.path.getsize(os.path.join(q_path, 'params.npz'))
+  assert size_q < 0.45 * size_f32, (size_q, size_f32)
