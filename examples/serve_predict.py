@@ -31,6 +31,9 @@ def parse_args():
   p.add_argument('--output', default='/dev/stdout')
   p.add_argument('--artifact_path', default=None,
                  help='also write a self-contained StableHLO artifact here')
+  p.add_argument('--quantize', default=None, choices=['int8'],
+                 help='weight-only quantization for the artifact (~4x '
+                      'smaller params; dequant baked into the graph)')
   p.add_argument('--batch_size', type=int, default=32)
   p.add_argument('--list_size', type=int, default=50)
   p.add_argument('--hash_buckets', type=int, default=10000)
@@ -90,8 +93,9 @@ def main():
             labels=np.where(sample.mask, 0.0, -1.0).astype('float32'),
             mask=sample.mask),
         list_size_buckets=(args.list_size,),
-        label_feature_name='relevance')
-    print(f'self-contained artifact -> {args.artifact_path}')
+        label_feature_name='relevance', quantize=args.quantize)
+    print(f'self-contained artifact -> {args.artifact_path}'
+          + (f' (quantize={args.quantize})' if args.quantize else ''))
   with open(args.output, 'w', newline='') as f:
     writer = csv.writer(f)
     writer.writerow(['record', 'position', 'relevance', 'score'])

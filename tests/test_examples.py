@@ -111,9 +111,17 @@ def test_serve_predict_example(tmp_path, monkeypatch, capsys):
       f'--export_path={tmp_path}/model/export/latest',
       f'--input={REF_DATA}/eval_elwc.tfrecord',
       f'--output={tmp_path}/scores.csv',
+      f'--artifact_path={tmp_path}/artifact',
+      '--quantize=int8',
       '--query_tokens=10', '--document_tokens=60',
   ] + common)
   assert 'scored' in out
+  assert 'quantize=int8' in out
+  from ranking_tpu.pipeline import export as export_lib
+  from ranking_tpu.data import tfrecord
+  lp = export_lib.load_predictor(f'{tmp_path}/artifact')
+  recs = list(tfrecord.read_records(f'{REF_DATA}/eval_elwc.tfrecord'))[:3]
+  assert lp.predict(recs).shape[0] == 3
   lines = open(f'{tmp_path}/scores.csv').read().strip().splitlines()
   assert lines[0] == 'record,position,relevance,score'
   assert len(lines) > 1
