@@ -96,9 +96,9 @@ def run_key(key_name, recipe, seed, steps, data):
   if recipe['labels'] == 'clicks':
     fit_y = np.where(train_y >= 0, (train_y >= 2).astype(np.float32),
                      train_y)
-  elif recipe['labels'] == 'teacher':
-    fit_y = train_y  # graded labels ARE the teacher scores
   else:
+    # 'graded' trains on the labels directly; for 'teacher'
+    # (coupled_rankdistil) the graded labels ARE the teacher scores.
     fit_y = train_y
 
   units = recipe['units']

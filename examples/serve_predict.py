@@ -41,7 +41,11 @@ def parse_args():
   p.add_argument('--document_tokens', type=int, default=60)
   p.add_argument('--embedding_dim', type=int, default=20)
   p.add_argument('--hidden_layer_dims', default='64,32,16')
-  return p.parse_args()
+  args = p.parse_args()
+  if args.quantize and not args.artifact_path:
+    p.error('--quantize requires --artifact_path (it only affects the '
+            'self-contained artifact)')
+  return args
 
 
 def main():

@@ -154,16 +154,32 @@ def _quantize_leaf(w: np.ndarray):
 
 
 def quantize_variables(variables):
-  """Replaces large float matrices with {__q__, __scale__} subtrees."""
+  """Replaces large float matrices with {__q__, __scale__} subtrees.
+
+  Raises if nothing qualifies — a silent no-op would ship a full-size
+  artifact whose manifest claims int8.
+  """
+  hits = [0]
+
   def walk(node):
     if isinstance(node, Mapping):
       return {k: walk(v) for k, v in node.items()}
     arr = np.asarray(node)
+    # jnp.issubdtype covers bfloat16 (np.issubdtype does not — bf16
+    # params from mixed-precision training must not silently skip).
     if (arr.ndim >= 2 and arr.size >= _Q_MIN_SIZE
-        and np.issubdtype(arr.dtype, np.floating)):
-      return _quantize_leaf(arr)
+        and jnp.issubdtype(arr.dtype, jnp.floating)):
+      hits[0] += 1
+      return _quantize_leaf(arr.astype(np.float32))
     return node
-  return walk(variables)
+
+  out = walk(variables)
+  if not hits[0]:
+    raise ValueError(
+        'quantize=\'int8\' matched no variables (need float matrices with '
+        f'>= {_Q_MIN_SIZE} elements) — the artifact would be full-size '
+        'while claiming int8; export without quantize instead')
+  return out
 
 
 def dequantize_tree(tree):

@@ -98,8 +98,9 @@ def test_ranking_elwc_sharded_embeddings_ipw_gumbel(tmp_path, monkeypatch,
 
 def test_serve_predict_example(tmp_path, monkeypatch, capsys):
   # Train + export, then batch-score the eval file from the export.
+  # Tables sized to reach the int8 quantization floor (256*16 = 4096).
   common = ['--batch_size=4', '--list_size=5',
-            '--hash_buckets=100', '--embedding_dim=4',
+            '--hash_buckets=256', '--embedding_dim=16',
             '--hidden_layer_dims=8']
   _run_example(monkeypatch, capsys, 'examples/ranking_elwc_pipeline.py', [
       f'--train_pattern={REF_DATA}/train_elwc.tfrecord',
