@@ -140,6 +140,11 @@ def train_tf(loss_key, seed, steps, data, ref, ndcg_lambda=False):
   import tensorflow as tf
   losses_impl, metrics_impl, losses = ref
   train_x, train_y, vali_x, vali_y = data
+  # Without op determinism, TF-CPU (oneDNN) trajectories differ run to
+  # run even under set_seed — on the 9-query validation split that is
+  # enough to flip stochastic-loss rows near the tolerance. Make every
+  # matrix run reproducible.
+  tf.config.experimental.enable_op_determinism()
   tf.random.set_seed(seed)
 
   layers = [tf.keras.layers.Dense(h, activation='relu') for h in HIDDEN]
