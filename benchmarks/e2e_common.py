@@ -142,6 +142,9 @@ def write_corpus(directory: str, n_records: int, n_files: int = 4,
   written = 0
   for path in paths:
     chunk = min(per_file, n_records - written)
+    if chunk <= 0:  # n_records not divisible: trailing files get nothing
+      tfrecord.write_records(path, [])
+      continue
     feats = rng.randn(chunk, list_size, num_features).astype(np.float32)
     labels = rng.randint(0, 5, size=(chunk, list_size))
     tfrecord.write_records(path, encode_elwc_batch_fixed(feats, labels))

@@ -60,6 +60,9 @@ def write_split(split: str, num_queries: int, n_files: int, seed: int):
   written = 0
   for i in range(n_files):
     chunk = min(per_file, num_queries - written)
+    if chunk <= 0:  # num_queries not divisible: trailing files get nothing
+      tfrecord.write_records(os.path.join(d, f'part-{i:03d}.tfrecord'), [])
+      continue
     feats, labels = synth_web30k.generate(
         chunk, LIST_SIZE, min_docs=LIST_SIZE // 2, seed=seed * 1000 + i)
     counts = (labels >= 0).sum(1)
@@ -96,12 +99,16 @@ def run_ranking_tpu(train_pattern, vali_pattern, epochs, steps_cap=None):
   sharding = parallel.batch_sharding(mesh)
   sp = specs()
 
-  def stream(pattern, shuffle, eps):
+  def stream(pattern, shuffle, eps, drop_remainder=True):
+    # Eval passes drop_remainder=False so BOTH frameworks score the same
+    # full validation set (the reference's build_ranking_dataset keeps
+    # the final partial batch at num_epochs=1).
     return prefetch_to_device(
         native_ranking_dataset(
             pattern, batch_size=BATCH, label_feature_name='relevance',
             list_size=LIST_SIZE, epochs=eps, shuffle=shuffle,
-            shuffle_buffer_size=2048, drop_remainder=True, seed=11, **sp),
+            shuffle_buffer_size=2048, drop_remainder=drop_remainder,
+            seed=11, **sp),
         sharding, buffer_size=2)
 
   model = models.RankingModel(scorer=models.DNNScorer(
@@ -120,7 +127,7 @@ def run_ranking_tpu(train_pattern, vali_pattern, epochs, steps_cap=None):
   float(m['loss'])  # compile barrier before the clock starts
 
   t0 = time.perf_counter()
-  steps = 1
+  steps = 0  # timed steps only: the warm/compile step is outside the clock
   for batch in batches:
     state, m = step(state, batch, key)
     steps += 1
@@ -133,7 +140,7 @@ def run_ranking_tpu(train_pattern, vali_pattern, epochs, steps_cap=None):
   fwd = jax.jit(lambda s, b: train.steps._forward(s, b, training=False)[0])
   all_labels, all_logits = [], []
   t0 = time.perf_counter()
-  for batch in stream(vali_pattern, False, 1):
+  for batch in stream(vali_pattern, False, 1, drop_remainder=False):
     all_logits.append(np.asarray(fwd(state, batch)))
     all_labels.append(np.asarray(batch.labels))
   eval_wall = time.perf_counter() - t0
@@ -227,7 +234,7 @@ def run_tf_ranking(train_pattern, vali_pattern, epochs, ref,
   labels = tf.cast(to_labels(features), tf.float32)
   step(features, labels)  # trace/compile before the clock starts
   t0 = time.perf_counter()
-  steps = 1
+  steps = 0  # timed steps only, mirroring run_ranking_tpu
   for features in it:
     labels = tf.cast(to_labels(features), tf.float32)
     loss = step(features, labels)
@@ -338,6 +345,12 @@ def main():
       out['ranking_tpu_cpu'] = json.loads(line[len('CPUCHILD '):])
       print(json.dumps({'ranking_tpu_cpu': out['ranking_tpu_cpu']}),
             flush=True)
+  if 'ranking_tpu_cpu' not in out:
+    # The same-silicon row is the comparison that matters; a silently
+    # missing row must fail the run, not ship a partial artifact.
+    raise RuntimeError(
+        f'cpu-child produced no CPUCHILD line (rc={child.returncode}):\n'
+        f'{child.stdout[-2000:]}\n{child.stderr[-2000:]}')
 
   if not args.skip_tf:
     labels, logits, train_wall, steps, eval_wall = run_tf_ranking(

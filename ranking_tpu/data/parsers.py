@@ -52,7 +52,7 @@ class Vocabulary:
         # b'token\r' and send every lookup to the OOV bucket.
         tokens = [line.rstrip(b'\r\n') for line in f if line.rstrip(b'\r\n')]
     self.num_oov_buckets = max(1, num_oov_buckets)
-    self.tokens = tokens  # id order; the native decoder builds its table from
+    self.tokens = tokens  # id order; the native decoder's C++ table is built from it
     self._map = {t: i + self.num_oov_buckets for i, t in enumerate(tokens)}
     self.size = len(tokens) + self.num_oov_buckets
 
