@@ -260,6 +260,17 @@ def run_tf_ranking(train_pattern, vali_pattern, epochs, ref,
           train_wall, steps, eval_wall)
 
 
+def _row(train_wall, steps, eval_wall, metrics, backend):
+  return {
+      'backend': backend,
+      'train_wall_s': round(train_wall, 1),
+      'train_steps': steps,
+      'train_lists_per_s': round(steps * BATCH / train_wall, 1),
+      'eval_wall_s': round(eval_wall, 1),
+      **{k: round(v, 4) for k, v in metrics.items()},
+  }
+
+
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument('--train-queries', type=int, default=30000)
@@ -267,12 +278,17 @@ def main():
   ap.add_argument('--epochs', type=int, default=1)
   ap.add_argument('--steps-cap', type=int, default=None)
   ap.add_argument('--skip-tf', action='store_true')
-  ap.add_argument('--cpu-child', action='store_true',
-                  help='internal: run only the ranking_tpu side on the '
-                       'CPU backend and print one JSON line')
+  ap.add_argument('--child', default=None,
+                  choices=['device', 'cpu', 'tf'],
+                  help='internal: run ONE side in this process and print '
+                       'one "CHILD {json}" line. Every side runs in its '
+                       'own fresh subprocess — a resident sibling '
+                       'framework costs the measured side 25-40%% on '
+                       'this 4-core host, so in-process sequencing '
+                       'would bias whichever ran later.')
   args = ap.parse_args()
 
-  if args.cpu_child:
+  if args.child == 'cpu':
     import jax
     jax.config.update('jax_platforms', 'cpu')
 
@@ -284,24 +300,24 @@ def main():
   vali_pattern = write_split('vali', args.vali_queries, 2, seed=2)
   gen_wall = time.perf_counter() - t0
 
-  if args.cpu_child:
-    from quality_parity import eval_ref_metrics, load_reference_modules
-    labels, logits, train_wall, steps, eval_wall, backend = run_ranking_tpu(
-        train_pattern, vali_pattern, args.epochs, steps_cap=args.steps_cap)
+  if args.child:
     ref = load_reference_modules()
+    if args.child == 'tf':
+      labels, logits, train_wall, steps, eval_wall = run_tf_ranking(
+          train_pattern, vali_pattern, args.epochs, ref,
+          steps_cap=args.steps_cap)
+      backend = 'tensorflow-cpu (only available backend)'
+    else:
+      labels, logits, train_wall, steps, eval_wall, backend = (
+          run_ranking_tpu(train_pattern, vali_pattern, args.epochs,
+                          steps_cap=args.steps_cap))
     metrics = eval_ref_metrics(labels, logits, ref)
-    print('CPUCHILD ' + json.dumps({
-        'backend': backend,
-        'train_wall_s': round(train_wall, 1),
-        'train_steps': steps,
-        'train_lists_per_s': round(steps * BATCH / train_wall, 1),
-        'eval_wall_s': round(eval_wall, 1),
-        **{k: round(v, 4) for k, v in metrics.items()}}), flush=True)
+    print('CHILD ' + json.dumps(
+        _row(train_wall, steps, eval_wall, metrics, backend)), flush=True)
     return
+
   corpus_bytes = sum(os.path.getsize(p)
                      for p in glob.glob(f'{CORPUS_DIR}/*/part-*.tfrecord'))
-
-  ref = load_reference_modules()
   out = {
       'corpus': {
           'train_queries': args.train_queries,
@@ -315,57 +331,29 @@ def main():
       },
       'config': f'DNN{HIDDEN}, softmax_loss, Adam({LR}), B={BATCH}, '
                 f'epochs={args.epochs}',
+      'methodology': 'each side measured in its own fresh subprocess '
+                     '(equal isolation); identical full validation set',
   }
 
-  labels, logits, train_wall, steps, eval_wall, backend = run_ranking_tpu(
-      train_pattern, vali_pattern, args.epochs, steps_cap=args.steps_cap)
-  metrics = eval_ref_metrics(labels, logits, ref)
-  out['ranking_tpu'] = {
-      'backend': backend,
-      'train_wall_s': round(train_wall, 1),
-      'train_steps': steps,
-      'train_lists_per_s': round(steps * BATCH / train_wall, 1),
-      'eval_wall_s': round(eval_wall, 1),
-      **{k: round(v, 4) for k, v in metrics.items()},
-  }
-  print(json.dumps({'ranking_tpu': out['ranking_tpu']}), flush=True)
-
-  # Same-silicon comparison: ranking_tpu's full pipeline on the CPU
-  # backend (TF's only backend here) in a subprocess (the tunneled-TPU
-  # backend cannot be switched off once initialized in-process).
   import subprocess
-  child = subprocess.run(
-      [sys.executable, os.path.abspath(__file__), '--cpu-child',
-       f'--train-queries={args.train_queries}',
-       f'--vali-queries={args.vali_queries}', f'--epochs={args.epochs}']
-      + ([f'--steps-cap={args.steps_cap}'] if args.steps_cap else []),
-      capture_output=True, text=True)
-  for line in child.stdout.splitlines():
-    if line.startswith('CPUCHILD '):
-      out['ranking_tpu_cpu'] = json.loads(line[len('CPUCHILD '):])
-      print(json.dumps({'ranking_tpu_cpu': out['ranking_tpu_cpu']}),
-            flush=True)
-  if 'ranking_tpu_cpu' not in out:
-    # The same-silicon row is the comparison that matters; a silently
-    # missing row must fail the run, not ship a partial artifact.
-    raise RuntimeError(
-        f'cpu-child produced no CPUCHILD line (rc={child.returncode}):\n'
-        f'{child.stdout[-2000:]}\n{child.stderr[-2000:]}')
-
+  sides = [('ranking_tpu', 'device'), ('ranking_tpu_cpu', 'cpu')]
   if not args.skip_tf:
-    labels, logits, train_wall, steps, eval_wall = run_tf_ranking(
-        train_pattern, vali_pattern, args.epochs, ref,
-        steps_cap=args.steps_cap)
-    metrics = eval_ref_metrics(labels, logits, ref)
-    out['tf_ranking'] = {
-        'backend': 'tensorflow-cpu (only available backend)',
-        'train_wall_s': round(train_wall, 1),
-        'train_steps': steps,
-        'train_lists_per_s': round(steps * BATCH / train_wall, 1),
-        'eval_wall_s': round(eval_wall, 1),
-        **{k: round(v, 4) for k, v in metrics.items()},
-    }
-    print(json.dumps({'tf_ranking': out['tf_ranking']}), flush=True)
+    sides.append(('tf_ranking', 'tf'))
+  for name, kind in sides:
+    child = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), f'--child={kind}',
+         f'--train-queries={args.train_queries}',
+         f'--vali-queries={args.vali_queries}', f'--epochs={args.epochs}']
+        + ([f'--steps-cap={args.steps_cap}'] if args.steps_cap else []),
+        capture_output=True, text=True)
+    for line in child.stdout.splitlines():
+      if line.startswith('CHILD '):
+        out[name] = json.loads(line[len('CHILD '):])
+        print(json.dumps({name: out[name]}), flush=True)
+    if name not in out:
+      raise RuntimeError(
+          f'{kind} child produced no CHILD line (rc={child.returncode}):\n'
+          f'{child.stdout[-2000:]}\n{child.stderr[-2000:]}')
 
   with open(os.path.join(REPO, 'WEB30K_SCALE_RUN.json'), 'w') as f:
     json.dump(out, f, indent=2)
