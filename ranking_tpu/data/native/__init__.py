@@ -221,6 +221,45 @@ def available() -> bool:
   return _load() is not None
 
 
+def loader_supported(context_spec, example_spec,
+                     data_format: str = 'example_list_with_context',
+                     list_size=None) -> bool:
+  """True iff NativeLoader can serve these specs — the side-effect-free
+  mirror of the validation in NativeLoader.__init__/specs_for (kept in
+  lockstep: anything this accepts must construct, anything it rejects
+  falls back to the Python parser). Lets the pipeline's 'auto' engine
+  choose the C++ streaming loader without constructing one."""
+  from ranking_tpu.data import parsers
+  if not available() or list_size is None:
+    return False
+  try:
+    _loader_format(data_format)
+  except ValueError:
+    return False
+  for spec_map in (context_spec, example_spec):
+    for spec in spec_map.values():
+      if isinstance(spec, parsers.FixedLenFeature):
+        if spec.dtype == 'string':
+          return False
+      elif isinstance(spec, parsers.VarLenFeature):
+        if spec.max_len is None or spec.pad_value != -1:
+          return False
+        if spec.dtype == 'string':
+          if spec.vocab is not None:
+            if spec.vocab.size > 2**31 - 1:
+              return False
+          elif spec.hash_buckets:
+            if spec.hash_buckets > 2**31 - 1:
+              return False
+          else:
+            return False
+        elif spec.dtype != 'int64':
+          return False
+      else:
+        return False
+  return True
+
+
 def check_presence(outputs, valid_rows) -> None:
   """Enforces the strict Python-parser semantics on the native fast path.
 

@@ -63,10 +63,12 @@ class DatasetHparams:
   size_feature_name: Optional[str] = None
   # Cycle-interleave width across input files (tf.data interleave analog).
   interleave_files: int = 1
-  # 'python' = threaded python stream with native per-batch decode;
-  # 'native_loader' = the C++ loader runtime owns read/shuffle/decode/batch
-  # end to end (data/native/loader.cc).
-  dataset_engine: str = 'python'
+  # 'auto' (default) = the C++ loader runtime (data/native/loader.cc:
+  # read/shuffle/decode/batch end to end, multi-threaded) whenever the
+  # specs/format support it (native.loader_supported), else the threaded
+  # python stream; 'native_loader' forces the C++ loader (raises on
+  # unsupported specs); 'python' forces the python stream.
+  dataset_engine: str = 'auto'
 
 
 def from_yaml(path: str):

@@ -45,7 +45,13 @@ class SimpleDatasetBuilder:
 
   def _batches(self, pattern, batch_size, list_size, shuffle, epochs):
     from ranking_tpu.data import dataset as ds
-    if getattr(self.hparams, 'dataset_engine', 'python') == 'native_loader':
+    engine = getattr(self.hparams, 'dataset_engine', 'auto')
+    if engine == 'auto':
+      from ranking_tpu.data import native
+      engine = ('native_loader' if native.loader_supported(
+          self.context_feature_spec, self.example_feature_spec,
+          self.hparams.dataset_reader, list_size) else 'python')
+    if engine == 'native_loader':
       return ds.native_ranking_dataset(
           pattern,
           data_format=self.hparams.dataset_reader,

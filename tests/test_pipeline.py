@@ -778,3 +778,45 @@ def test_int8_quantized_export(tmp_path):
   size_f32 = os.path.getsize(os.path.join(f32_path, 'params.npz'))
   size_q = os.path.getsize(os.path.join(q_path, 'params.npz'))
   assert size_q < 0.45 * size_f32, (size_q, size_f32)
+
+
+def test_dataset_engine_auto_selects_native_and_falls_back(tmp_path):
+  """dataset_engine='auto' (the default) routes supported specs through
+  the C++ streaming loader and unsupported ones through the Python
+  stream — same batches either way."""
+  from ranking_tpu.data import native
+  from ranking_tpu.data import dataset as ds
+
+  context_spec, example_spec = _specs()
+  assert native.loader_supported(context_spec, example_spec,
+                                 'example_list_with_context', 5)
+  # Unsupported: varlen with a non-default pad value.
+  bad_spec = dict(example_spec)
+  bad_spec['document_tokens'] = VarLenFeature(
+      dtype='string', max_len=20, hash_buckets=100, pad_value=0)
+  assert not native.loader_supported(context_spec, bad_spec,
+                                     'example_list_with_context', 5)
+  assert not native.loader_supported(context_spec, example_spec,
+                                     'example_in_example', 5)
+  assert not native.loader_supported(context_spec, example_spec,
+                                     'example_list_with_context', None)
+
+  hp = pipeline.DatasetHparams(
+      train_input_pattern=f'{REF_DATA}/train_elwc.tfrecord',
+      valid_input_pattern=f'{REF_DATA}/eval_elwc.tfrecord',
+      train_batch_size=4, valid_batch_size=4, list_size=5)
+  assert hp.dataset_engine == 'auto'
+  builder = pipeline.SimpleDatasetBuilder(context_spec, example_spec, hp,
+                                          seed=3)
+  native_batch = next(iter(builder.train_batches()))
+
+  import dataclasses as _dc
+  hp_py = _dc.replace(hp, dataset_engine='python')
+  py_builder = pipeline.SimpleDatasetBuilder(context_spec, example_spec,
+                                             hp_py, seed=3)
+  py_batch = next(iter(py_builder.train_batches()))
+  # Same spec surface and shapes on both engines (shuffle orders differ
+  # by design: the native loader owns its seeded shuffle).
+  assert set(native_batch.examples) == set(py_batch.examples)
+  assert native_batch.labels.shape == py_batch.labels.shape
+  assert native_batch.mask.shape == py_batch.mask.shape
