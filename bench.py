@@ -37,9 +37,17 @@ E2E_CORPUS_DIR = '/tmp/ranking_tpu_e2e_corpus'
 E2E_RECORDS = 8192  # ~1 GB on disk at the flagship shape
 E2E_CHUNKS = 4
 E2E_BATCHES_PER_CHUNK = 24
-# MFU denominator: TPU v5e bf16 systolic peak (per chip). Other device
-# kinds are reported with the same denominator and flagged via device_kind.
-PEAK_FLOPS = 197e12
+# MFU denominator: per-chip bf16 systolic peak by device kind. Unknown
+# kinds get no mfu_* fields (device_tflops_* still reported) rather than
+# a silently-wrong fraction.
+PEAK_FLOPS_BY_KIND = {
+    'TPU v5 lite': 197e12,   # v5e
+    'TPU v5e': 197e12,
+    'TPU v5p': 459e12,
+    'TPU v4': 275e12,
+    'TPU v6 lite': 918e12,   # v6e / Trillium
+    'TPU v6e': 918e12,
+}
 
 if os.environ.get('RANKING_BENCH_SMOKE'):
   # Plumbing check on CPU: tiny shapes/iterations, same code paths.
@@ -376,8 +384,11 @@ def main():
   # Device-time, achieved TFLOP/s, and MFU per variant, from the
   # scan-dispatch chunks (per-step wall there ~= device time) and the
   # compiled program's optimized-HLO FLOP count. MFU denominator is the
-  # v5e bf16 peak for every variant; the f32 rows therefore read as
-  # "fraction of the chip's ceiling", not of an f32-specific peak.
+  # device kind's bf16 peak for every variant; the f32 rows therefore
+  # read as "fraction of the chip's ceiling", not of an f32 peak.
+  peak = PEAK_FLOPS_BY_KIND.get(extras.get('device_kind', ''))
+  if peak:
+    out['mfu_denominator_tflops'] = round(peak / 1e12, 1)
   for tag in ('bnoff', 'bnon', 'bf16'):
     scans = scan_by_tag.get(tag)
     flops = flops_by_tag.get(tag)
@@ -388,7 +399,8 @@ def main():
     if flops:
       tflops = flops / (ms / 1000.0) / 1e12
       out[f'device_tflops_{tag}'] = round(tflops, 2)
-      out[f'mfu_{tag}'] = round(tflops * 1e12 / PEAK_FLOPS, 4)
+      if peak:
+        out[f'mfu_{tag}'] = round(tflops * 1e12 / peak, 4)
   if e2e_by_tag.get('evalscan'):
     # Forward + full default metric suite (NDCG@1/5/10/full + MRR).
     out['eval_value'] = round(max(e2e_by_tag['evalscan']), 2)

@@ -1,10 +1,13 @@
 """Host input-pipeline throughput: python parse vs native decode vs native
-loader (thread-count sweep, hashed + vocabulary-file workloads). Run on any
-machine; results are records/s of ELWC ingestion.
+loader (thread-count sweep, hashed + vocabulary-file workloads), plus the
+flagship Web30K-shaped scaling curve (reader-only ceiling + rec/s at
+1/2/3/4 decode threads) — committed as DATA_BENCH.json so "scales with
+cores" is a curve, not a sentence.
 
 Reference bar: tf.data's reader_num_threads/num_parser_threads AUTOTUNE
 pipeline (tensorflow_ranking/python/data.py:924-1011)."""
 
+import ctypes
 import json
 import os
 import sys
@@ -12,6 +15,76 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The flagship train step's measured device appetite (bench.py, TPU v5e,
+# B128xL200xF136 f32): used to extrapolate the decode-core count at which
+# host ingestion feeds the chip.
+DEVICE_LISTS_PER_S = 110_000
+
+
+def web30k_curve():
+  """Flagship-shape (L=200, F=136 ELWC) ingestion: reader-only ceiling
+  and the end-to-end loader thread curve."""
+  import numpy as np
+
+  import e2e_common
+  from ranking_tpu.data import native
+  from ranking_tpu.data.dataset import native_ranking_dataset
+
+  if not native.available():
+    return None
+  corpus_dir = os.path.join(tempfile.gettempdir(),
+                            'ranking_tpu_e2e_corpus')
+  paths = e2e_common.write_corpus(corpus_dir, 4096, n_files=4)
+  total_bytes = sum(os.path.getsize(p) for p in paths)
+
+  out = {'records': 4096, 'list_size': e2e_common.LIST_SIZE,
+         'num_features': e2e_common.NUM_FEATURES,
+         'corpus_mb': round(total_bytes / 1e6, 1)}
+
+  # Reader-only ceiling: TFRecord framing scan over the raw bytes (the
+  # loader's reader thread does exactly this over the mmap).
+  lib = native._load()
+  blobs = [open(p, 'rb').read() for p in paths]  # page cache warm either way
+  n_total = 0
+  t0 = time.perf_counter()
+  for data in blobs:
+    max_records = max(16, len(data) // 16)
+    offs = np.zeros(max_records, np.int64)
+    lens = np.zeros(max_records, np.int64)
+    n_total += lib.rt_scan_tfrecord(
+        data, len(data),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_records)
+  dt = time.perf_counter() - t0
+  out['reader_only_rec_per_s'] = round(n_total / dt)
+  out['reader_only_gb_per_s'] = round(total_bytes / dt / 1e9, 2)
+
+  specs = e2e_common.corpus_specs()
+  for threads in (1, 2, 3, 4):
+    t0 = time.perf_counter()
+    n = 0
+    for b in native_ranking_dataset(
+        os.path.join(corpus_dir, 'part-*.tfrecord'), batch_size=128,
+        label_feature_name='relevance', list_size=e2e_common.LIST_SIZE,
+        epochs=1, shuffle=True, drop_remainder=False,
+        num_threads=threads, **specs):
+      n += b.batch_size
+    out[f'loader_t{threads}_lists_per_s'] = round(
+        n / (time.perf_counter() - t0))
+
+  # Per-decoder marginal rate from the curve tail; cores to feed the chip.
+  r1 = out['loader_t1_lists_per_s']
+  r4 = out['loader_t4_lists_per_s']
+  marginal = max((r4 - r1) / 3.0, 1.0)
+  need = 1 + max(0.0, DEVICE_LISTS_PER_S - r1) / marginal
+  out['device_lists_per_s'] = DEVICE_LISTS_PER_S
+  out['extrapolated_decode_cores_to_feed_device'] = round(need, 1)
+  return out
 
 
 def main():
@@ -97,6 +170,11 @@ def main():
       out[f'native_loader_vocab_t{threads}_rec_per_s'] = round(
           run(vocab_specs, threads))
 
+  curve = web30k_curve()
+  if curve:
+    out['web30k_shape'] = curve
+  with open(os.path.join(REPO, 'DATA_BENCH.json'), 'w') as f:
+    json.dump(out, f, indent=2)
   print(json.dumps(out))
 
 

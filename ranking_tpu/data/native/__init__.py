@@ -629,9 +629,11 @@ class NativeLoader:
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if n < 0:
       raise ValueError(
-          'malformed record in native loader stream (decode failed); '
-          'the data is corrupt — the one-shot parser raises for the '
-          'same input')
+          'native loader stream error: a record failed to decode (the '
+          'data is corrupt — the one-shot parser raises for the same '
+          'input) or an input file became unreadable mid-stream '
+          '(truncated read / fstat failure); training on the partial '
+          'corpus would be silent data loss')
     if n == 0:
       raise StopIteration
 

@@ -106,13 +106,24 @@ struct RecordRef {
   int64_t len = 0;
 };
 
-std::shared_ptr<FileBuf> open_file(const std::string& path) {
+// Opens `path` for zero-copy reading. nullptr = hard error (unreadable,
+// fstat failure, short read): the caller must surface it — silently
+// skipping would train on a partial corpus with no signal. `*skip` is set
+// instead for non-regular files (FIFOs/sockets), which are skipped by
+// design.
+std::shared_ptr<FileBuf> open_file(const std::string& path, bool* skip) {
+  *skip = false;
   auto buf = std::make_shared<FileBuf>();
   int fd = ::open(path.c_str(), O_RDONLY);
   if (fd < 0) return nullptr;
   struct stat st;
-  if (fstat(fd, &st) != 0 || !S_ISREG(st.st_mode) || st.st_size < 0) {
+  if (fstat(fd, &st) != 0 || st.st_size < 0) {
     ::close(fd);
+    return nullptr;
+  }
+  if (!S_ISREG(st.st_mode)) {
+    ::close(fd);
+    *skip = true;
     return nullptr;
   }
   buf->size = static_cast<size_t>(st.st_size);
@@ -352,9 +363,24 @@ void read_loop(Loader* L) {
       if (L->stop) break;
       // mmap (fallback: full read) — records are zero-copy views into the
       // mapping, kept alive by the shared FileBuf until the last in-flight
-      // record from this file drains. Non-regular files (FIFOs) skip.
-      std::shared_ptr<FileBuf> buf = open_file(path);
-      if (!buf || buf->size == 0) continue;
+      // record from this file drains. Non-regular files (FIFOs) skip;
+      // unreadable/short-read files are a loader error (rt_loader_next
+      // returns -1), matching decode-failure strictness.
+      bool skip = false;
+      std::shared_ptr<FileBuf> buf = open_file(path, &skip);
+      if (!buf) {
+        if (skip) continue;
+        {
+          std::lock_guard<std::mutex> lock(L->mu);
+          L->error = true;
+          L->stop = true;
+        }
+        L->cv_out.notify_all();
+        L->cv_work.notify_all();
+        L->cv_space.notify_all();
+        break;
+      }
+      if (buf->size == 0) continue;
       int64_t size = static_cast<int64_t>(buf->size);
       int64_t max_records = size / 16 + 16;
       std::vector<int64_t> offs(max_records), lens(max_records);

@@ -134,16 +134,36 @@ _ACTIVATIONS: Dict[str, Callable[[Array], Array]] = {
     'linear': lambda x: x,
 }
 
+# Kernel initializers by name (strings keep the modules hashable).
+# 'glorot_uniform' is the reference create_tower's effective init (keras
+# Dense default); 'lecun_normal' is flax's.
+_INITIALIZERS: Dict[str, Callable[..., Any]] = {
+    'lecun_normal': nn.initializers.lecun_normal,
+    'lecun_uniform': nn.initializers.lecun_uniform,
+    'glorot_uniform': nn.initializers.glorot_uniform,
+    'glorot_normal': nn.initializers.glorot_normal,
+    'he_normal': nn.initializers.he_normal,
+    'he_uniform': nn.initializers.he_uniform,
+}
+
+
+def kernel_initializer(name: str) -> Callable[..., Any]:
+  if name not in _INITIALIZERS:
+    raise ValueError(
+        f'Unknown kernel_init {name!r}; one of {sorted(_INITIALIZERS)}')
+  return _INITIALIZERS[name]()
+
 
 class _DenseParams(nn.Module):
   """Owns a Dense layer's params (same names/init as nn.Dense) without
   running the matmul — the fused-BN path reads them into its kernels."""
 
   features: int
+  kernel_init: str = 'lecun_normal'
 
   @nn.compact
   def __call__(self, in_features: int):
-    kernel = self.param('kernel', nn.initializers.lecun_normal(),
+    kernel = self.param('kernel', kernel_initializer(self.kernel_init),
                         (in_features, self.features))
     bias = self.param('bias', nn.initializers.zeros_init(),
                       (self.features,))
@@ -204,6 +224,8 @@ class Tower(nn.Module):
   # the backward). Only set False when nothing trainable feeds the tower
   # (raw batch features) — embeddings/encoders upstream need the default.
   input_grad: bool = True
+  # Dense-kernel initializer by name (models/layers.py _INITIALIZERS).
+  kernel_init: str = 'lecun_normal'
 
   def _fused_ok(self, x: Array, training: bool) -> bool:
     from ranking_tpu.ops.pallas import fused_bn
@@ -219,7 +241,8 @@ class Tower(nn.Module):
     ws, bs, gammas, betas, bn_mods = [], [], [], [], []
     f_in = x.shape[-1]
     for idx, dim in enumerate(self.hidden_layer_dims):
-      kernel, bias = _DenseParams(dim, name=f'Dense_{idx}')(f_in)
+      kernel, bias = _DenseParams(
+          dim, kernel_init=self.kernel_init, name=f'Dense_{idx}')(f_in)
       bn = _BNParams(dim, self.batch_norm_momentum, name=f'BatchNorm_{idx}')
       scale, offset = bn()
       ws.append(kernel)
@@ -236,7 +259,8 @@ class Tower(nn.Module):
     for bn, mu, var in zip(bn_mods, means, vars_):
       bn(jax.lax.stop_gradient(mu), jax.lax.stop_gradient(var))
     kernel, bias = _DenseParams(
-        self.output_units, name=f'Dense_{len(self.hidden_layer_dims)}')(f_in)
+        self.output_units, kernel_init=self.kernel_init,
+        name=f'Dense_{len(self.hidden_layer_dims)}')(f_in)
     out = out @ kernel.astype(self.dtype) + bias.astype(self.dtype)
     return out.astype(jnp.float32)
 
@@ -260,7 +284,8 @@ class Tower(nn.Module):
           use_running_average=not training,
           momentum=self.batch_norm_momentum, dtype=self.dtype)(x)
     for dim in self.hidden_layer_dims:
-      x = nn.Dense(dim, dtype=self.dtype)(x)
+      x = nn.Dense(dim, dtype=self.dtype,
+                   kernel_init=kernel_initializer(self.kernel_init))(x)
       if self.use_batch_norm:
         x = nn.BatchNorm(
             use_running_average=not training,
@@ -268,7 +293,8 @@ class Tower(nn.Module):
       x = act(x)
       if self.dropout:
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
-    x = nn.Dense(self.output_units, dtype=self.dtype)(x)
+    x = nn.Dense(self.output_units, dtype=self.dtype,
+                 kernel_init=kernel_initializer(self.kernel_init))(x)
     return x.astype(jnp.float32)
 
 

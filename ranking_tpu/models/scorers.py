@@ -47,6 +47,9 @@ class DNNScorer(nn.Module):
   # skips its largest HBM write). EmbeddingDNNScorer-style wrappers that
   # pass trainable features MUST leave this True.
   input_grad: bool = True
+  # Dense-kernel initializer ('glorot_uniform' matches the reference
+  # create_tower, keras Dense default; 'lecun_normal' is flax's).
+  kernel_init: str = 'lecun_normal'
 
   @nn.compact
   def __call__(self, context: FeatureDict, examples: FeatureDict,
@@ -90,8 +93,9 @@ class DNNScorer(nn.Module):
         batch_norm_momentum=self.batch_norm_momentum,
         dropout=self.dropout,
         dtype=self.dtype,
-        input_grad=self.input_grad)(flat, training=training,
-                                    row_mask=row_mask)
+        input_grad=self.input_grad,
+        kernel_init=self.kernel_init)(flat, training=training,
+                                      row_mask=row_mask)
     if self.output_units == 1:
       return layers_lib.restore_list(scores, mask)
     logits = scores.reshape(batch, list_size, self.output_units)

@@ -95,6 +95,22 @@ _LAMBDA_KEYS = frozenset({
 # python-generation recipe.
 NO_LAMBDA = 'no_lambda'
 
+# The factory defaults these keys to the scale-invariant Approx* recipe
+# (per-list logit standardization, sharpness 0.25 — see
+# losses._standardize_logits and APPROX_NDCG_DIAG.json): the reference's
+# fixed ÷0.1 recipe lets trained logit growth saturate the rank sigmoid
+# at realistic list sizes (measured: BOTH frameworks land ~0.49-0.51
+# NDCG@5 at L=128 where the standardized form lands 0.68, with lower
+# seed variance than either). Pass scale_invariant=False (and
+# temperature, default then 0.1) for the reference-exact recipe —
+# tests/test_reference_parity.py pins value parity that way.
+_SCALE_INVARIANT_DEFAULT_KEYS = frozenset({
+    RankingLossKey.APPROX_NDCG_LOSS,
+    RankingLossKey.APPROX_MRR_LOSS,
+    RankingLossKey.GUMBEL_APPROX_NDCG_LOSS,
+})
+SCALE_INVARIANT_TEMPERATURE = 0.25
+
 
 def build_loss(
     loss_key: str,
@@ -110,6 +126,10 @@ def build_loss(
   key-specific default lambda weight (see NO_LAMBDA).
   """
   kw: Dict[str, Any] = dict(name=name or loss_key, **params)
+  if loss_key in _SCALE_INVARIANT_DEFAULT_KEYS:
+    kw.setdefault('scale_invariant', True)
+    if kw['scale_invariant']:
+      kw.setdefault('temperature', SCALE_INVARIANT_TEMPERATURE)
   if isinstance(lambda_weight, str) and lambda_weight == NO_LAMBDA:
     lambda_weight = None
   elif loss_key == RankingLossKey.YETI_LOGISTIC_LOSS and lambda_weight is None:

@@ -541,19 +541,55 @@ def _mask_to_min_offset(logits: Array, mask: Array) -> Array:
       mask, logits, -1e3 + jnp.min(logits, axis=-1, keepdims=True))
 
 
+def _standardize_logits(logits: Array, mask: Array,
+                        temperature: float) -> Array:
+  """Per-list masked standardization + sharpness for the Approx* losses.
+
+  ``(s - mean) / (std * temperature)`` over valid entries. This makes the
+  loss invariant to the overall logit scale: the sigmoid in approx_ranks
+  sees score differences in units of the list's own std, so the gradient
+  signal cannot vanish by logit growth. With the reference recipe (a fixed
+  ÷0.1), trained logit magnitudes grow unboundedly (measured std 6.7-8.3
+  after 400 steps at L=128) and the sigmoid saturates — optimization
+  freezes at a seed-chaotic ranking; see APPROX_NDCG_DIAG.json. The
+  standardization is differentiated through (mean/std are functions of
+  the scores), so scale growth is simply not a descent direction."""
+  valid = mask.astype(jnp.float32)
+  count = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1.0)
+  mean = jnp.sum(jnp.where(mask, logits, 0.0), axis=-1,
+                 keepdims=True) / count
+  var = jnp.sum(jnp.where(mask, (logits - mean) ** 2, 0.0), axis=-1,
+                keepdims=True) / count
+  std = jnp.sqrt(var + 1e-12)
+  return (logits - mean) / (std * temperature)
+
+
 @dataclasses.dataclass(frozen=True)
 class ApproxNDCGLoss(_ListwiseLoss):
   """-NDCG with sigmoid-approximated ranks (Qin et al.).
 
   Default temperature 0.1 (tensorflow_ranking/python/losses_impl.py:1579).
+
+  ``scale_invariant=True`` standardizes logits per list before the
+  temperature (see _standardize_logits): at long list sizes the reference
+  recipe's fixed ÷0.1 lets logit growth saturate the rank sigmoid and
+  freeze optimization; the standardized form keeps the gradient alive for
+  the whole run and measures ~+0.08 NDCG@5 over the stock recipe of
+  EITHER framework at L=128 (APPROX_NDCG_DIAG.json).
   """
 
   temperature: float = 0.1
+  scale_invariant: bool = False
 
   def unreduced(self, labels, logits, mask=None, key=None):
     if mask is None:
       mask = list_ops.is_label_valid(labels)
     labels = jnp.where(mask, labels, 0.0)
+    if self.scale_invariant:
+      # __call__ already divided by temperature; standardization cancels
+      # that (and any) prior scale, then reapplies temperature as the
+      # post-normalization sharpness.
+      logits = _standardize_logits(logits, mask, self.temperature)
     logits = _mask_to_min_offset(logits, mask)
     label_sum = jnp.sum(labels, axis=1, keepdims=True)
     nonzero = label_sum > 0.0
@@ -564,14 +600,19 @@ class ApproxNDCGLoss(_ListwiseLoss):
 
 @dataclasses.dataclass(frozen=True)
 class ApproxMRRLoss(_ListwiseLoss):
-  """-MRR with sigmoid-approximated ranks; default temperature 0.1."""
+  """-MRR with sigmoid-approximated ranks; default temperature 0.1.
+
+  ``scale_invariant``: see ApproxNDCGLoss."""
 
   temperature: float = 0.1
+  scale_invariant: bool = False
 
   def unreduced(self, labels, logits, mask=None, key=None):
     if mask is None:
       mask = list_ops.is_label_valid(labels)
     labels = jnp.where(mask, labels, 0.0)
+    if self.scale_invariant:
+      logits = _standardize_logits(logits, mask, self.temperature)
     logits = _mask_to_min_offset(logits, mask)
     label_sum = jnp.sum(labels, axis=1, keepdims=True)
     nonzero = label_sum > 0.0

@@ -16,12 +16,16 @@ Three kernel families, three measured wins on TPU v5e (PARITY.md):
 ``set_enabled`` policy: None (default) = auto — each fast path engages
 on TPU only in its measured-win domain: pairwise at list size >=
 ``MIN_LIST_SIZE``, sort within its VMEM domain. True forces the
-pairwise/approx kernels for any shape and lifts the sort kernel's
+pairwise kernel for any shape and lifts the sort kernel's
 TPU requirement (interpret mode for tests) — the sort kernel's hard
 VMEM bound (L <= 512, ``utils.list_ops._pallas_sort_ok``) and its
 float-channel requirement still apply even when forced; False
 disables everything. Forcing True off-TPU without interpret mode is
-ignored for the pairwise/approx kernels (no backend to run them on).
+ignored for the pairwise kernel (no backend to run it on).
+
+(A fused approx-ranks kernel was carried through rounds 2-3 and retired
+in round 4: two full sweeps showed XLA fusion at parity on every shape
+— 0.95-1.06x — so it never earned an auto domain.)
 """
 
 from __future__ import annotations
@@ -30,7 +34,6 @@ from typing import Optional
 
 import jax
 
-from ranking_tpu.ops.pallas import approx
 from ranking_tpu.ops.pallas import pairwise
 from ranking_tpu.ops.pallas.pairwise import (
     DISCOUNT_INVERSE,
@@ -70,9 +73,8 @@ def enabled(list_size: Optional[int] = None) -> bool:
     if _ENABLED and jax.default_backend() != 'tpu':
       # Forcing on without a TPU only works in interpret mode (tests);
       # otherwise fall back rather than crash in Mosaic lowering.
-      from ranking_tpu.ops.pallas import approx as _ax
       from ranking_tpu.ops.pallas import pairwise as _pw
-      return bool(_pw._INTERPRET or _ax._INTERPRET)
+      return bool(_pw._INTERPRET)
     return _ENABLED
   if list_size is None:
     return False
@@ -191,7 +193,6 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
 
 
 __all__ = [
-    'approx',
     'DISCOUNT_INVERSE',
     'DISCOUNT_LOG2_INVERSE',
     'LAMBDA_DCG_V2',

@@ -46,27 +46,23 @@ class SimpleDatasetBuilder:
   def _batches(self, pattern, batch_size, list_size, shuffle, epochs):
     from ranking_tpu.data import dataset as ds
     engine = getattr(self.hparams, 'dataset_engine', 'auto')
-    if engine == 'auto':
+    auto = engine == 'auto'
+    if auto:
       from ranking_tpu.data import native
       engine = ('native_loader' if native.loader_supported(
           self.context_feature_spec, self.example_feature_spec,
           self.hparams.dataset_reader, list_size) else 'python')
     if engine == 'native_loader':
-      return ds.native_ranking_dataset(
-          pattern,
-          data_format=self.hparams.dataset_reader,
-          batch_size=batch_size,
-          context_feature_spec=self.context_feature_spec,
-          example_feature_spec=self.example_feature_spec,
-          label_feature_name=self.label_feature_name,
-          list_size=list_size,
-          convert_labels_to_binary=self.hparams.convert_labels_to_binary,
-          epochs=epochs,
-          shuffle=shuffle,
-          shuffle_buffer_size=self.hparams.shuffle_buffer_size,
-          mask_feature_name=self.hparams.mask_feature_name,
-          size_feature_name=self.hparams.size_feature_name,
-          seed=self.seed)
+      try:
+        return self._native_batches(pattern, batch_size, list_size,
+                                    shuffle, epochs)
+      except ValueError:
+        # loader_supported() mirrors NativeLoader's validation; if the
+        # two ever drift in the permissive direction, 'auto' must fall
+        # back to the python stream instead of raising (explicit
+        # 'native_loader' still surfaces the error).
+        if not auto:
+          raise
     return ds.build_ranking_dataset(
         pattern,
         data_format=self.hparams.dataset_reader,
@@ -82,6 +78,24 @@ class SimpleDatasetBuilder:
         mask_feature_name=self.hparams.mask_feature_name,
         size_feature_name=self.hparams.size_feature_name,
         interleave_files=self.hparams.interleave_files,
+        seed=self.seed)
+
+  def _native_batches(self, pattern, batch_size, list_size, shuffle, epochs):
+    from ranking_tpu.data import dataset as ds
+    return ds.native_ranking_dataset(
+        pattern,
+        data_format=self.hparams.dataset_reader,
+        batch_size=batch_size,
+        context_feature_spec=self.context_feature_spec,
+        example_feature_spec=self.example_feature_spec,
+        label_feature_name=self.label_feature_name,
+        list_size=list_size,
+        convert_labels_to_binary=self.hparams.convert_labels_to_binary,
+        epochs=epochs,
+        shuffle=shuffle,
+        shuffle_buffer_size=self.hparams.shuffle_buffer_size,
+        mask_feature_name=self.hparams.mask_feature_name,
+        size_feature_name=self.hparams.size_feature_name,
         seed=self.seed)
 
   def train_batches(self) -> Iterator[RankingBatch]:

@@ -321,6 +321,82 @@ class TestApproxLosses:
     np.testing.assert_allclose(float(padded), float(compact), rtol=1e-4)
 
 
+class TestScaleInvariantApprox:
+  """The scale-invariant Approx* recipe (losses._standardize_logits):
+  the framework's factory default for the approx keys — the reference's
+  fixed temperature saturates at realistic list sizes
+  (APPROX_NDCG_DIAG.json)."""
+
+  def _data(self):
+    rng = np.random.RandomState(7)
+    labels = rng.randint(0, 4, size=(4, 16)).astype(np.float32)
+    labels[:, -3:] = -1.0
+    logits = rng.randn(4, 16).astype(np.float32)
+    return jnp.array(labels), jnp.array(logits)
+
+  @pytest.mark.parametrize('cls', [losses.ApproxNDCGLoss,
+                                   losses.ApproxMRRLoss])
+  def test_scale_and_shift_invariance(self, cls):
+    labels, logits = self._data()
+    loss = cls(scale_invariant=True)
+    base = float(loss(labels, logits))
+    scaled = float(loss(labels, logits * 37.5 - 11.0))
+    np.testing.assert_allclose(scaled, base, rtol=1e-5)
+    # The reference recipe is NOT scale invariant (sanity of the test).
+    ref = cls(scale_invariant=False)
+    assert abs(float(ref(labels, logits * 37.5 - 11.0))
+               - float(ref(labels, logits))) > 1e-4
+
+  def test_relative_gradient_signal_is_scale_free(self):
+    """The property that prevents the saturation death spiral: the SI
+    form's RELATIVE gradient signal (||grad|| x logit scale) is exactly
+    constant in the logit scale, so logit growth during training cannot
+    quench the learning signal. The reference recipe's decays with
+    scale (the sigmoid saturates)."""
+    labels, logits = self._data()
+
+    def rel_signal(si, c):
+      g = jax.grad(
+          lambda s: losses.ApproxNDCGLoss(scale_invariant=si)(labels, s)
+      )(logits * c)
+      return float(jnp.linalg.norm(g)) * c
+
+    si_ratio = rel_signal(True, 100.0) / rel_signal(True, 1.0)
+    np.testing.assert_allclose(si_ratio, 1.0, rtol=1e-4)
+    ref_ratio = rel_signal(False, 100.0) / rel_signal(False, 1.0)
+    assert ref_ratio < 0.99
+
+  def test_factory_defaults_to_scale_invariant(self):
+    from ranking_tpu.ops import loss_registry
+    labels, logits = self._data()
+    got = float(loss_registry.make_loss_fn('approx_ndcg_loss')(
+        labels, logits))
+    explicit = float(losses.ApproxNDCGLoss(
+        scale_invariant=True,
+        temperature=loss_registry.SCALE_INVARIANT_TEMPERATURE)(
+            labels, logits))
+    np.testing.assert_allclose(got, explicit, rtol=1e-6)
+    # Explicit opt-out reproduces the reference recipe.
+    ref = float(loss_registry.make_loss_fn(
+        'approx_ndcg_loss', params={'scale_invariant': False})(
+            labels, logits))
+    assert abs(got - ref) > 1e-5
+
+  def test_masked_padding_equivalence(self):
+    loss = losses.ApproxNDCGLoss(scale_invariant=True)
+    padded = loss(jnp.array([[1.0, 2.0, 0.0, -1.0, -1.0]]),
+                  jnp.array([[1.0, 3.0, -0.5, 100.0, -100.0]]))
+    compact = loss(jnp.array([[1.0, 2.0, 0.0]]),
+                   jnp.array([[1.0, 3.0, -0.5]]))
+    np.testing.assert_allclose(float(padded), float(compact), rtol=1e-5)
+
+  def test_single_valid_doc_is_finite(self):
+    loss = losses.ApproxNDCGLoss(scale_invariant=True)
+    val = float(loss(jnp.array([[2.0, -1.0, -1.0]]),
+                     jnp.array([[0.7, 1.0, 2.0]])))
+    assert np.isfinite(val)
+
+
 class TestNeuralSortLosses:
 
   def test_neural_sort_ndcg_identity_when_sorted(self):

@@ -415,7 +415,28 @@ def test_native_loader_surfaces_decode_failure(tmp_path):
       [path], {}, {'rel': parsers.FixedLenFeature(shape=(), dtype='int64',
                                                   default_value=0)},
       batch_size=2, list_size=4, shuffle=False, epochs=1)
-  with pytest.raises(ValueError, match='malformed'):
+  with pytest.raises(ValueError, match='failed to decode'):
+    for _ in loader:
+      pass
+
+
+def test_native_loader_surfaces_unreadable_file(tmp_path):
+  """An input file that cannot be read (here: vanished after listing)
+  is a loader error, not a silent skip — otherwise a truncated corpus
+  trains on partial data with no signal (round-3 ADVICE)."""
+  from ranking_tpu.data import native, parsers, proto, tfrecord
+  if not native.available():
+    pytest.skip('native decoder unavailable')
+  good = proto.make_elwc(
+      {}, [{'rel': [1]}, {'rel': [0]}]).SerializeToString()
+  ok_path = str(tmp_path / 'ok.tfrecord')
+  tfrecord.write_records(ok_path, [good] * 4)
+  loader = native.NativeLoader(
+      [ok_path, str(tmp_path / 'gone.tfrecord')], {},
+      {'rel': parsers.FixedLenFeature(shape=(), dtype='int64',
+                                      default_value=0)},
+      batch_size=2, list_size=4, shuffle=False, epochs=1)
+  with pytest.raises(ValueError, match='unreadable'):
     for _ in loader:
       pass
 

@@ -369,7 +369,12 @@ def test_make_loss_fn_single_key_parity(ref):
               'mean_squared_loss', 'unique_softmax_loss'):
     ref_fn = ref_losses.make_loss_fn(key)
     expected = float(ref_fn(tf.constant(labels), tf.constant(logits), None))
-    got = float(ops.make_loss_fn(key)(labels, logits))
+    # Our factory defaults the approx keys to the scale-invariant recipe
+    # (a measured quality win, loss_registry._SCALE_INVARIANT_DEFAULT_KEYS);
+    # reference value parity is pinned via the explicit opt-out.
+    params = ({'scale_invariant': False} if key.startswith('approx')
+              else {})
+    got = float(ops.make_loss_fn(key, params=params)(labels, logits))
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5,
                                err_msg=key)
 
@@ -659,8 +664,11 @@ def test_gumbel_loss_factory_parity(ref, key, weighted):
         gumbel_params={'sample_size': s, 'temperature': gt})
     expected = float(ref_fn(tf.constant(labels), tf.constant(logits),
                             {'doc_w': tf.constant(weights)}))
+    # scale_invariant=False pins the reference-exact approx recipe (the
+    # factory defaults the gumbel_approx key to the scale-invariant one).
+    params = ({'scale_invariant': False} if 'approx' in key else {})
     our_fn = loss_registry.make_loss_fn(
-        key, weights_feature_name=wname,
+        key, weights_feature_name=wname, params=params,
         gumbel_params={'sample_size': s, 'temperature': gt})
     got = float(our_fn(labels, logits, features={'doc_w': weights},
                        key=jax.random.PRNGKey(3)))
