@@ -211,18 +211,24 @@ def child():
   e2e(mesh, loss_fn, n_chips)
 
 
-def e2e(mesh, loss_fn, n_chips):
+def e2e(mesh, loss_fn, n_chips, variants=(('e2e', 'f32'),
+                                          ('e2e_bf16', 'bf16'))):
   """Disk -> C++ decode -> host->device feed -> jitted step, at the same
   flagship shape as the synthetic-batch measurement (the reference's
   implicit model.fit-over-build_ranking_dataset contract,
-  python/data.py:1015 prefetch AUTOTUNE)."""
+  python/data.py:1015 prefetch AUTOTUNE). Uses the PRODUCTION dispatch
+  mode: steps_per_execution-style stacked multi-step scan
+  (pipeline/pipeline.py train_and_validate chunk>1 path), one host
+  dispatch per E2E_BATCHES_PER_CHUNK steps."""
+  import numpy as np
+
   import jax
   import jax.numpy as jnp
   import optax
 
   from ranking_tpu import models, parallel, train
-  from ranking_tpu.data.dataset import (native_ranking_dataset,
-                                        prefetch_to_device)
+  from ranking_tpu.data.batch import stack_numpy_batches
+  from ranking_tpu.data.dataset import native_ranking_dataset
 
   sys.path.insert(0, os.path.join(
       os.path.dirname(os.path.abspath(__file__)), 'benchmarks'))
@@ -230,9 +236,11 @@ def e2e(mesh, loss_fn, n_chips):
 
   write_corpus(E2E_CORPUS_DIR, E2E_RECORDS)
   specs = corpus_specs()
-  sharding = parallel.batch_sharding(mesh)
+  stacked_sharding = jax.sharding.NamedSharding(
+      mesh, jax.sharding.PartitionSpec(None, parallel.DATA_AXIS))
 
-  for tag, dtype in (('e2e', jnp.float32), ('e2e_bf16', jnp.bfloat16)):
+  for tag, dtype_name in variants:
+    dtype = jnp.bfloat16 if dtype_name == 'bf16' else jnp.float32
     model = models.RankingModel(
         scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
                                 input_grad=False,
@@ -256,26 +264,95 @@ def e2e(mesh, loss_fn, n_chips):
                   if v.dtype == 'float32' else v)
               for k, v in b.examples.items()})
       stream = _cast(stream)
-    batches = prefetch_to_device(stream, sharding, buffer_size=2)
 
-    first = next(batches)
+    first = next(stream)
     state = train.create_train_state(
         model, optax.adam(1e-3), jax.random.PRNGKey(0),
         first.context, first.examples, first.mask)
     state = jax.tree.map(
         lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
-    step = jax.jit(train.make_train_step(loss_fn), donate_argnums=0)
+    step_fn = train.make_train_step(loss_fn)
+    multi = jax.jit(train.make_multi_step(step_fn), donate_argnums=0)
     key = jax.random.PRNGKey(1)
-    state, metrics = step(state, first, key)
-    float(metrics['loss'])  # compile barrier
+
+    def dispatch(state, host_batches):
+      stacked = jax.tree.map(
+          lambda x: jax.device_put(x, stacked_sharding),
+          stack_numpy_batches([
+              jax.tree.map(np.asarray, b) for b in host_batches]))
+      return multi(state, stacked, key)
+
+    import itertools
+    state, metrics = dispatch(state, [first] + list(
+        itertools.islice(stream, E2E_BATCHES_PER_CHUNK - 1)))
+    float(metrics['loss'][-1])  # compile barrier
     for _ in range(E2E_CHUNKS):
       t0 = time.perf_counter()
-      for _ in range(E2E_BATCHES_PER_CHUNK):
-        state, metrics = step(state, next(batches), key)
-      float(metrics['loss'])
+      state, metrics = dispatch(
+          state, list(itertools.islice(stream, E2E_BATCHES_PER_CHUNK)))
+      float(metrics['loss'][-1])
       dt = time.perf_counter() - t0
       eps = BATCH * E2E_BATCHES_PER_CHUNK / dt / n_chips
       print(f'E2E {tag} {eps:.2f}', flush=True)
+
+
+def cpu_e2e_child():
+  """CPU-backend disk->device e2e fraction (round-4 verdict item 3).
+
+  The TPU e2e number on THIS environment measures the ~50 MB/s axon
+  tunnel, not the framework. The CPU backend runs the IDENTICAL code
+  path (C++ loader -> stacked production dispatch -> jitted step) with a
+  memcpy 'transfer', so e2e/synthetic isolates the framework's ability
+  to feed its accelerator. Prints CPUSYNTH (synthetic-batch rate) and
+  E2E e2e_cpu (disk->step rate) lines for the parent."""
+  global E2E_CHUNKS, E2E_BATCHES_PER_CHUNK
+  import jax
+  jax.config.update('jax_platforms', 'cpu')
+  import numpy as np
+  import optax
+
+  from ranking_tpu import models, ops, parallel, train
+  from ranking_tpu.data.batch import batch_from_labels
+
+  # The flagship step is ~1-2 s on this 4-core CPU; keep chunks short.
+  scan_iters = 3
+  E2E_CHUNKS, E2E_BATCHES_PER_CHUNK = 2, 3
+
+  rng = np.random.RandomState(0)
+  labels = rng.randint(0, 5, size=(BATCH, LIST_SIZE)).astype(np.float32)
+  labels[:, -LIST_SIZE // 8:] = -1.0
+  batch = batch_from_labels(
+      labels=labels,
+      examples={'float_features': rng.randn(
+          BATCH, LIST_SIZE, NUM_FEATURES).astype(np.float32)})
+  mesh = parallel.make_mesh()
+  batch = parallel.shard_batch(batch, mesh)
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  model = models.RankingModel(
+      scorer=models.DNNScorer(hidden_layer_dims=HIDDEN, dropout=0.0,
+                              input_grad=False, use_batch_norm=False),
+      transform_name='log1p')
+  state = train.create_train_state(
+      model, optax.adam(1e-3), jax.random.PRNGKey(0),
+      batch.context, batch.examples, batch.mask)
+  step_fn = train.make_train_step(loss_fn)
+  multi = jax.jit(train.make_multi_step(step_fn), donate_argnums=0)
+  import jax.numpy as jnp
+  stacked = jax.jit(lambda b: jax.tree.map(
+      lambda x: jnp.broadcast_to(x[None], (scan_iters,) + x.shape),
+      b))(batch)
+  key = jax.random.PRNGKey(1)
+  state, metrics = multi(state, stacked, key)
+  float(metrics['loss'][-1])
+  best = 0.0
+  for _ in range(2):
+    t0 = time.perf_counter()
+    state, metrics = multi(state, stacked, key)
+    float(metrics['loss'][-1])
+    best = max(best, BATCH * scan_iters / (time.perf_counter() - t0))
+  print(f'CPUSYNTH {best:.2f}', flush=True)
+
+  e2e(mesh, loss_fn, n_chips=1, variants=(('e2e_cpu', 'f32'),))
 
 
 def main():
@@ -321,6 +398,8 @@ def main():
       e2e_by_tag.setdefault(parts[1], []).append(float(parts[2]))
     elif parts[0] == 'FLOPS':
       flops_by_tag[parts[1]] = float(parts[2])
+    elif parts[0] == 'CPUSYNTH':
+      extras['synthetic_cpu_value'] = float(parts[1])
     elif parts[0] == 'DEVKIND':
       extras['device_kind'] = ' '.join(parts[1:])
 
@@ -344,6 +423,22 @@ def main():
         _consume(lines.get(timeout=0.5))
     except queue.Empty:
       pass
+  # CPU-backend e2e fraction: identical code path, memcpy transfer —
+  # isolates the framework feed from the tunnel (own child, own clock).
+  cpu_proc = subprocess.Popen(
+      [sys.executable, os.path.abspath(__file__), '--cpu-e2e'],
+      stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+      cwd=os.path.dirname(os.path.abspath(__file__)))
+  try:
+    cpu_deadline = time.time() + CHILD_TIMEOUT_S
+    while time.time() < cpu_deadline and cpu_proc.poll() is None:
+      time.sleep(0.5)
+  finally:
+    if cpu_proc.poll() is None:
+      cpu_proc.kill()
+    for line in (cpu_proc.stdout.read() or '').splitlines():
+      _consume(line)
+
   results = by_tag['bnoff']
   bn_results = by_tag['bnon']
   bf16_results = by_tag['bf16']
@@ -411,11 +506,20 @@ def main():
     out['e2e_frac_of_synthetic'] = round(out['e2e_value'] / value, 4)
   if e2e_by_tag.get('e2e_bf16'):
     out['e2e_bf16_value'] = round(max(e2e_by_tag['e2e_bf16']), 2)
+  # CPU-backend fraction: same code path with a memcpy transfer — the
+  # framework-not-tunnel certificate (>= 0.8 means the input pipeline
+  # feeds the accelerator whenever the link is sane).
+  if e2e_by_tag.get('e2e_cpu') and extras.get('synthetic_cpu_value'):
+    out['e2e_cpu_value'] = round(max(e2e_by_tag['e2e_cpu']), 2)
+    out['e2e_frac_of_synthetic_cpu'] = round(
+        out['e2e_cpu_value'] / extras['synthetic_cpu_value'], 4)
   print(json.dumps(out))
 
 
 if __name__ == '__main__':
   if '--child' in sys.argv:
     child()
+  elif '--cpu-e2e' in sys.argv:
+    cpu_e2e_child()
   else:
     main()

@@ -29,7 +29,16 @@ CHUNKS = 3
 DOCS = 16384  # B * L held constant across rows
 
 
-def measure(list_size, dtype_name, force_kernel):
+def _lambda_weight(recipe):
+  from ranking_tpu import ops
+  return {
+      'v1': ops.lambda_weights.create_ndcg_lambda_weight,
+      'v2': ops.lambda_weights.create_ndcg_lambda_weight_v2,
+      'yeti': ops.lambda_weights.create_yeti_dcg_lambda_weight,
+  }[recipe]()
+
+
+def measure(list_size, dtype_name, force_kernel, recipe='v2'):
   import jax
   import jax.numpy as jnp
   import numpy as np
@@ -61,8 +70,7 @@ def measure(list_size, dtype_name, force_kernel):
         model, optax.adam(1e-3), jax.random.PRNGKey(0),
         batch.context, batch.examples, batch.mask)
     loss_fn = ops.make_loss_fn(
-        'pairwise_logistic_loss',
-        lambda_weight=ops.lambda_weights.create_ndcg_lambda_weight_v2())
+        'pairwise_logistic_loss', lambda_weight=_lambda_weight(recipe))
     step = train.make_train_step(loss_fn)
     multi = jax.jit(train.make_multi_step(step), donate_argnums=0)
     stacked = jax.jit(lambda b: jax.tree.map(
@@ -83,36 +91,51 @@ def measure(list_size, dtype_name, force_kernel):
 
 
 def main():
+  import argparse
   import jax
   global DOCS
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--recipes', type=str, default='v2,v1,yeti')
+  args = ap.parse_args()
+
+  path = os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), 'PAIRWISE_SWEEP.json')
   rows = []
+  if os.path.exists(path):
+    with open(path) as f:
+      rows = [r for r in json.load(f).get('rows', [])
+              if r.get('recipe', 'v2') not in args.recipes.split(',')]
   # Tile-aligned sweep at constant B*L, plus the exact flagship shape
   # (B128 x L200 — deliberately tile-UNALIGNED, it prices the padding).
-  for list_size, batch in ((128, 128), (200, 128), (256, 64), (512, 32),
-                           (1024, 16)):
-    DOCS = list_size * batch
-    for dtype_name in ('f32', 'bf16'):
-      off = measure(list_size, dtype_name, force_kernel=False)
-      on = measure(list_size, dtype_name, force_kernel=True)
-      row = {'list_size': list_size, 'batch': batch,
-             'dtype': dtype_name, 'xla_ms': round(off, 4),
-             'kernel_ms': round(on, 4),
-             'kernel_speedup': round(off / on, 3)}
-      rows.append(row)
-      print(json.dumps(row), flush=True)
+  for recipe in args.recipes.split(','):
+    for list_size, batch in ((128, 128), (200, 128), (256, 64), (512, 32),
+                             (1024, 16)):
+      DOCS = list_size * batch
+      for dtype_name in ('f32', 'bf16'):
+        off = measure(list_size, dtype_name, force_kernel=False,
+                      recipe=recipe)
+        on = measure(list_size, dtype_name, force_kernel=True,
+                     recipe=recipe)
+        row = {'recipe': recipe, 'list_size': list_size, 'batch': batch,
+               'dtype': dtype_name, 'xla_ms': round(off, 4),
+               'kernel_ms': round(on, 4),
+               'kernel_speedup': round(off / on, 3)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
   out = {
-      'workload': (f'LambdaRank train step: pairwise logistic x DCG-v2 '
-                   f'lambda, DNN{HIDDEN}, F={NUM_FEATURES}, '
-                   f'scan x{SCAN_ITERS} dispatch, best of {CHUNKS}'),
-      'decision': ('auto domain set to: engage when L %% 128 == 0 and '
+      'workload': (f'LambdaRank train step: pairwise logistic x lambda '
+                   f'recipe (v1 = canonical DCG w/ smooth_fraction, '
+                   f'v2, yeti = neighbor pairs), DNN{HIDDEN}, '
+                   f'F={NUM_FEATURES}, scan x{SCAN_ITERS} dispatch, '
+                   f'best of {CHUNKS}'),
+      'decision': ('auto domain: engage when L %% 128 == 0 and '
                    'L >= 128, or L >= 1024 (ops/pallas/__init__.py '
-                   'enabled()); tile-aligned L wins 3-8.5%%, unaligned '
-                   'L=200 is 0.97-1.01x so XLA keeps it'),
+                   'enabled()); tile-aligned L wins, unaligned '
+                   'L=200 stays on XLA — one policy for all recipes'),
       'device': jax.devices()[0].device_kind,
       'rows': rows,
   }
-  with open(os.path.join(os.path.dirname(os.path.dirname(
-      os.path.abspath(__file__))), 'PAIRWISE_SWEEP.json'), 'w') as f:
+  with open(path, 'w') as f:
     json.dump(out, f, indent=2)
 
 

@@ -210,13 +210,17 @@ def build_ranking_dataset(
   if data_format not in PARSER_FNS:
     raise ValueError(f'Unknown data_format {data_format!r}; '
                      f'one of {sorted(PARSER_FNS)}')
+  if list_size is None and data_format != 'example_list_with_context':
+    # Dynamic bucketed lists need the cheap serialized-length probe,
+    # which exists for ELWC only (parsers.elwc_list_sizes).
+    raise ValueError(
+        'list_size=None (bucketed dynamic list sizes) is supported for '
+        "data_format='example_list_with_context' only; set an explicit "
+        'list_size for other formats (static shapes on TPU)')
   paths = sorted(glob_lib.glob(file_pattern))
   if not paths:
     raise FileNotFoundError(f'No files match {file_pattern!r}')
   paths = _shard_paths(paths, shard_index, num_shards, file_pattern)
-  if list_size is None and batch_size > 1:
-    raise ValueError('list_size must be set for batched parsing (static '
-                     'shapes are required on TPU)')
   if shuffle_examples and data_format not in (
       'example_list_with_context', 'example_in_example'):
     raise ValueError(
@@ -239,20 +243,20 @@ def build_ranking_dataset(
 
   warned_fallback = [False]
 
-  def _native_parse(records: List[bytes]):
+  def _native_parse(records: List[bytes], batch_list_size):
     """C++ fast path for plain ELWC batches (data/native/decoder.cc);
     returns None when the config isn't natively decodable."""
     if (data_format not in ('example_list_with_context',
                             'sequence_example', 'example_in_example')
-        or shuffle_examples or list_size is None):
+        or shuffle_examples or batch_list_size is None):
       return None
     try:
       from ranking_tpu.data import native
       if not native.available():
         return None
       return native.decode_elwc_batch(
-          records, list_size, context_feature_spec, example_feature_spec,
-          data_format=data_format)
+          records, batch_list_size, context_feature_spec,
+          example_feature_spec, data_format=data_format)
     except (ValueError, RuntimeError) as e:
       # Capability fallback to the (strict, authoritative) Python parser.
       # Warn once: a silent per-batch fallback would hide both strictness
@@ -267,7 +271,17 @@ def build_ranking_dataset(
 
   def _parse(records: List[bytes],
              shuffle_seed: Optional[int] = None) -> RankingBatch:
-    parsed = _native_parse(records)
+    batch_list_size = list_size
+    if batch_list_size is None:
+      # Bucketed dynamic list sizes: pad each batch to its longest list
+      # rounded up the half-step power-of-two ladder — bounded distinct
+      # compile shapes (one jit cache entry per bucket), <= 33% padding,
+      # vs. the reference's fully-dynamic per-batch shapes
+      # (python/data.py:169-183), which would recompile per length.
+      from ranking_tpu.data.parsers import (bucket_list_size,
+                                            elwc_list_sizes)
+      batch_list_size = bucket_list_size(elwc_list_sizes(records).max())
+    parsed = _native_parse(records, batch_list_size)
     if parsed is None:
       kwargs = {}
       if data_format in ('example_list_with_context', 'example_in_example'):
@@ -278,7 +292,7 @@ def build_ranking_dataset(
                       rng=np.random.RandomState(shuffle_seed)
                       if shuffle_seed is not None else None)
       parsed = parse_fn(records, context_feature_spec, example_feature_spec,
-                        list_size=list_size, **kwargs)
+                        list_size=batch_list_size, **kwargs)
     return parsed_to_batch(
         parsed, label_feature_name,
         convert_labels_to_binary=convert_labels_to_binary,

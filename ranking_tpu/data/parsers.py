@@ -254,6 +254,19 @@ def _read_varint(buf: bytes, pos: int):
       raise ValueError('varint too long')
 
 
+def bucket_list_size(longest: int) -> int:
+  """Pads a list size up the half-step power-of-two ladder
+  (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, ...): bounded distinct compile
+  shapes with at most 33% padding overhead. Shared by the serving
+  dynamic-shape path (pipeline/serving.py Predictor.predict) and
+  training-side bucketed batches (dataset.build_ranking_dataset with
+  ``list_size=None``)."""
+  longest = max(1, int(longest))
+  pow2 = 1 << (longest - 1).bit_length()
+  half_step = (pow2 // 4) * 3
+  return half_step if half_step >= longest else pow2
+
+
 def elwc_list_sizes(serialized: Sequence[bytes]) -> np.ndarray:
   """[B] int32 list lengths from serialized ELWC protos.
 

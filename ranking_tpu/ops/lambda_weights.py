@@ -18,7 +18,7 @@ from typing import Callable, Optional
 
 import jax.numpy as jnp
 
-from ranking_tpu.utils import list_ops
+from ranking_tpu.utils import fns, list_ops
 
 Array = jnp.ndarray
 ScalarFn = Callable[[Array], Array]
@@ -209,22 +209,26 @@ def create_ndcg_lambda_weight(
     topn: Optional[int] = None,
     smooth_fraction: float = 0.0,
 ) -> DCGLambdaWeight:
-  """NDCG LambdaWeight: gain 2^l - 1, discount 1/log1p(rank), normalized."""
+  """NDCG LambdaWeight: gain 2^l - 1, discount 1/log1p(rank), normalized.
+
+  Uses the NAMED registry fns (utils/fns.py) rather than inline lambdas so
+  the fused pairwise kernel's identity checks recognize factory-built
+  weights (ops/pallas maybe_fused_pairwise)."""
   return DCGLambdaWeight(
       topn=topn,
-      gain_fn=lambda labels: jnp.exp2(labels) - 1.0,
-      rank_discount_fn=lambda rank: 1.0 / jnp.log1p(rank),
+      gain_fn=fns.pow_minus_1,
+      rank_discount_fn=fns.log1p_inverse,
       normalized=True,
       smooth_fraction=smooth_fraction)
 
 
 def create_ndcg_lambda_weight_v2(
     topn: Optional[int] = None) -> DCGLambdaWeightV2:
-  """V2 NDCG LambdaWeight (better topn handling)."""
+  """V2 NDCG LambdaWeight (better topn handling); named registry fns."""
   return DCGLambdaWeightV2(
       topn=topn,
-      gain_fn=lambda labels: jnp.exp2(labels) - 1.0,
-      rank_discount_fn=lambda rank: 1.0 / jnp.log1p(rank),
+      gain_fn=fns.pow_minus_1,
+      rank_discount_fn=fns.log1p_inverse,
       normalized=True)
 
 
@@ -238,8 +242,8 @@ def create_yeti_dcg_lambda_weight(
   """
   return YetiDCGLambdaWeight(
       topn=topn,
-      gain_fn=lambda labels: jnp.exp2(labels) - 1.0,
-      rank_discount_fn=lambda rank: jnp.log(2.0) / jnp.log1p(rank),
+      gain_fn=fns.pow_minus_1,
+      rank_discount_fn=fns.log2_inverse,
       normalized=False)
 
 

@@ -37,8 +37,11 @@ import jax
 from ranking_tpu.ops.pallas import pairwise
 from ranking_tpu.ops.pallas.pairwise import (
     DISCOUNT_INVERSE,
+    DISCOUNT_LOG1P_INVERSE,
     DISCOUNT_LOG2_INVERSE,
+    LAMBDA_DCG_V1,
     LAMBDA_DCG_V2,
+    LAMBDA_DCG_V2_NEIGHBOR,
     LAMBDA_LABELDIFF,
     LAMBDA_NONE,
     LOSS_HINGE,
@@ -90,7 +93,8 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
 
   Reproduces _PairwiseLoss.__call__ semantics exactly: temperature scaling,
   left-item weight normalization, lambda weights (None / LabelDiff /
-  DCGLambdaWeightV2 with registry discount fns), and the SUM / MEAN /
+  DCGLambdaWeight incl. smooth_fraction / DCGLambdaWeightV2 /
+  YetiDCGLambdaWeight, with registry discount fns), and the SUM / MEAN /
   SUM_BY_NONZERO_WEIGHTS reductions.
   """
   import jax.numpy as jnp
@@ -126,16 +130,22 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
   lamw = loss.lambda_weight
   lambda_mode, gain, ranks, scale = LAMBDA_NONE, None, None, None
   discount_kind, topn = DISCOUNT_LOG2_INVERSE, 1e9
+  smooth_fraction = 0.0
   explicit_mask = mask is not None
   if mask is None:
     mask = list_ops.is_label_valid(labels)
   logits = loss.get_logits(logits)
 
+  dcg_modes = {
+      lw.DCGLambdaWeight: LAMBDA_DCG_V1,
+      lw.DCGLambdaWeightV2: LAMBDA_DCG_V2,
+      lw.YetiDCGLambdaWeight: LAMBDA_DCG_V2_NEIGHBOR,
+  }
   if lamw is None:
     pass
   elif type(lamw) is lw.LabelDiffLambdaWeight:
     lambda_mode = LAMBDA_LABELDIFF
-  elif type(lamw) is lw.DCGLambdaWeightV2:
+  elif type(lamw) in dcg_modes:
     if explicit_mask:
       # The lambda pair gains are zeroed by LABEL-validity pairs in the
       # jnp path (lambda_weights.py _valid_pairs_and_clean_labels) while
@@ -147,9 +157,20 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
       discount_kind = DISCOUNT_LOG2_INVERSE
     elif lamw.rank_discount_fn is fns.inverse:
       discount_kind = DISCOUNT_INVERSE
+    elif lamw.rank_discount_fn is fns.log1p_inverse:
+      discount_kind = DISCOUNT_LOG1P_INVERSE
     else:
       return None
-    lambda_mode = LAMBDA_DCG_V2
+    lambda_mode = dcg_modes[type(lamw)]
+    if (lambda_mode == LAMBDA_DCG_V2_NEIGHBOR and _ENABLED is None
+        and labels.shape[-1] < MIN_LIST_SIZE):
+      # Round-4 sweep (PAIRWISE_SWEEP.json yeti rows): the neighbor-pair
+      # weight zeroes all but ~2L of the L^2 pairs, so XLA's fused slab
+      # is cheap and the kernel's tile overhead only pays off at
+      # L >= 1024 (0.85-0.99x below, 1.03x at 1024).
+      return None
+    if lambda_mode == LAMBDA_DCG_V1:
+      smooth_fraction = float(lamw.smooth_fraction)
     # pair_weights cleans labels via is_label_valid (lambda_weights.py),
     # independent of any caller-supplied mask.
     clean = jnp.where(list_ops.is_label_valid(labels), labels, 0.0)
@@ -177,7 +198,8 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
   sums = fused_pairwise_sums(
       labels, logits, mask, norm_w, loss_type,
       lambda_mode=lambda_mode, gain=gain, ranks=ranks, scale=scale,
-      discount_kind=discount_kind, topn=topn)
+      discount_kind=discount_kind, topn=topn,
+      smooth_fraction=smooth_fraction)
   num = jnp.sum(sums[:, 0])
   if reduction == Reduction.SUM:
     return num
@@ -194,8 +216,11 @@ def maybe_fused_pairwise(loss, labels, logits, weights, mask, reduction,
 
 __all__ = [
     'DISCOUNT_INVERSE',
+    'DISCOUNT_LOG1P_INVERSE',
     'DISCOUNT_LOG2_INVERSE',
+    'LAMBDA_DCG_V1',
     'LAMBDA_DCG_V2',
+    'LAMBDA_DCG_V2_NEIGHBOR',
     'LAMBDA_LABELDIFF',
     'LAMBDA_NONE',
     'LOSS_HINGE',

@@ -21,8 +21,12 @@ Lambda-weight support (static ``lambda_mode``):
   1-based ranks ``r`` are computed outside (O(B L log L)); the O(L^2) work
   stays in VMEM. ``scale_b`` folds the ``* list_size`` rescale and the
   optional 1/maxDCG normalization.
-
-The rank-mixing DCGLambdaWeight (smooth_fraction) stays on the jnp path.
+* ``dcg_v1``     — the reference-default LambdaRank weight
+  (DCGLambdaWeight, losses_impl.py:299-369): LambdaLoss discount u mixed
+  with the LambdaMART discount v by ``smooth_fraction``, masked to pairs
+  with min rank <= topn.
+* ``dcg_v2_neighbor`` — YetiDCGLambdaWeight (losses_impl.py:397-407):
+  the v2 weight restricted to adjacent-rank pairs.
 
 Padding strategy: the batch axis pads to TILE_B and the list axis to
 TILE_ROWS with ``mask = 0`` / ``weight = 0`` rows, which zero every pair
@@ -52,9 +56,12 @@ LOSS_SOFT_ZERO_ONE = 2
 LAMBDA_NONE = 0
 LAMBDA_LABELDIFF = 1
 LAMBDA_DCG_V2 = 2
+LAMBDA_DCG_V1 = 3           # smooth_fraction mix + topn pair mask
+LAMBDA_DCG_V2_NEIGHBOR = 4  # YetiDCGLambdaWeight: V2 x (|r_i - r_j| == 1)
 
-DISCOUNT_LOG2_INVERSE = 0  # D(r) = 1 / log2(1 + r)
-DISCOUNT_INVERSE = 1       # D(r) = 1 / r
+DISCOUNT_LOG2_INVERSE = 0   # D(r) = log(2) / log(1 + r)
+DISCOUNT_INVERSE = 1        # D(r) = 1 / r
+DISCOUNT_LOG1P_INVERSE = 2  # D(r) = 1 / log(1 + r) (losses-factory default)
 
 _INTERPRET = False  # flipped by CPU tests
 
@@ -66,6 +73,8 @@ def _discount(kind: int, r: Array) -> Array:
     return _LN2 / jnp.log1p(r)
   if kind == DISCOUNT_INVERSE:
     return 1.0 / r
+  if kind == DISCOUNT_LOG1P_INVERSE:
+    return 1.0 / jnp.log1p(r)
   raise ValueError(f'unknown discount kind {kind}')
 
 
@@ -104,7 +113,8 @@ def _rows_of(x, sel):
       x, sel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
 
-def _slab(full_refs, scale_ref, sel, lambda_mode, discount_kind, topn):
+def _slab(full_refs, scale_ref, sel, lambda_mode, discount_kind, topn,
+          smooth_fraction):
   """Pair weights W and logit diffs D for one row tile ``[TB, TR, L]``."""
   lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref = full_refs
   lab, log, msk = lab_ref[:], log_ref[:], msk_ref[:]
@@ -117,7 +127,7 @@ def _slab(full_refs, scale_ref, sel, lambda_mode, discount_kind, topn):
   pw = pref * valid
   if lambda_mode == LAMBDA_LABELDIFF:
     pw = pw * jnp.abs(lab_r[:, :, None] - lab[:, None, :])
-  elif lambda_mode == LAMBDA_DCG_V2:
+  elif lambda_mode in (LAMBDA_DCG_V2, LAMBDA_DCG_V2_NEIGHBOR):
     g_r, r_r = _rows_of(g, sel), _rows_of(r, sel)
     pair_gain = jnp.abs(g_r[:, :, None] - g[:, None, :])
     rank_diff = jnp.abs(r_r[:, :, None] - r[:, None, :])
@@ -131,6 +141,31 @@ def _slab(full_refs, scale_ref, sel, lambda_mode, discount_kind, topn):
         jnp.abs(_discount(discount_kind, jnp.maximum(rank_diff, 1e-12))
                 - _discount(discount_kind, rank_diff + 1.0)) * mult,
         0.0)
+    if lambda_mode == LAMBDA_DCG_V2_NEIGHBOR:
+      # Yeti: only adjacent-rank pairs carry weight
+      # (losses_impl.py:397-407; ranks are integral floats, so the
+      # equality test is exact).
+      pair_disc = pair_disc * (rank_diff == 1.0).astype(jnp.float32)
+    pw = pw * pair_gain * pair_disc * scale[:, :, None]
+  elif lambda_mode == LAMBDA_DCG_V1:
+    # DCGLambdaWeight (losses_impl.py:299-369): the LambdaLoss pair
+    # discount u mixed with the LambdaMART discount v by
+    # smooth_fraction, masked to pairs with min(r_i, r_j) <= topn.
+    g_r, r_r = _rows_of(g, sel), _rows_of(r, sel)
+    pair_gain = jnp.abs(g_r[:, :, None] - g[:, None, :])
+    rank_diff = jnp.abs(r_r[:, :, None] - r[:, None, :])
+    pair_valid_rank = jnp.logical_or(r_r[:, :, None] <= topn,
+                                     r[:, None, :] <= topn)
+    u = jnp.where(
+        (rank_diff > 0.0) & pair_valid_rank,
+        jnp.abs(_discount(discount_kind, jnp.maximum(rank_diff, 1e-12))
+                - _discount(discount_kind, rank_diff + 1.0)),
+        0.0)
+    capped = jnp.where(r > topn, 0.0, _discount(discount_kind, r))
+    capped_r = jnp.where(r_r > topn, 0.0, _discount(discount_kind, r_r))
+    v = jnp.abs(capped_r[:, :, None] - capped[:, None, :])
+    pair_disc = ((1.0 - smooth_fraction) * u + smooth_fraction * v)
+    pair_disc = pair_disc * pair_valid_rank.astype(jnp.float32)
     pw = pw * pair_gain * pair_disc * scale[:, :, None]
   # Left-item normalized weights apply to every pair (i, j)
   # (losses_impl.py:917-930).
@@ -139,7 +174,8 @@ def _slab(full_refs, scale_ref, sel, lambda_mode, discount_kind, topn):
 
 
 def _fwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
-                out_ref, *, loss_type, lambda_mode, discount_kind, topn):
+                out_ref, *, loss_type, lambda_mode, discount_kind, topn,
+                smooth_fraction):
   j = pl.program_id(1)
 
   @pl.when(j == 0)
@@ -149,7 +185,7 @@ def _fwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
   sel = _select_matrix(j * TILE_ROWS, lab_ref.shape[1])
   pw, diff = _slab(
       (lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref),
-      scale_ref, sel, lambda_mode, discount_kind, topn)
+      scale_ref, sel, lambda_mode, discount_kind, topn, smooth_fraction)
   losses, _ = _loss_and_grad(loss_type, diff)
   # Keep every intermediate >= 2-D: Mosaic layouts are (sublane, lane).
   loss_sum = jnp.sum(jnp.sum(losses * pw, axis=2), axis=1,
@@ -163,7 +199,7 @@ def _fwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
 
 def _bwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
                 ct_ref, dlog_ref, *, loss_type, lambda_mode,
-                discount_kind, topn):
+                discount_kind, topn, smooth_fraction):
   j = pl.program_id(1)
 
   @pl.when(j == 0)
@@ -173,7 +209,7 @@ def _bwd_kernel(lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref, scale_ref,
   sel = _select_matrix(j * TILE_ROWS, lab_ref.shape[1])
   pw, diff = _slab(
       (lab_ref, log_ref, msk_ref, w_ref, g_ref, r_ref),
-      scale_ref, sel, lambda_mode, discount_kind, topn)
+      scale_ref, sel, lambda_mode, discount_kind, topn, smooth_fraction)
   _, grad = _loss_and_grad(loss_type, diff)
   wg = pw * grad                                      # [TB, TR, L]
   # d loss_sum / d s_i = sum_j wg[i, j] - sum_j wg[j, i]: the row sums
@@ -210,12 +246,13 @@ def _pad_inputs(labels, logits, mask, norm_w, gain, ranks, scale):
                     TILE_B, 0.0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _pairwise_sums(labels, logits, mask, norm_w, gain, ranks, scale,
-                   loss_type, lambda_mode, discount_kind, topn):
+                   loss_type, lambda_mode, discount_kind, topn,
+                   smooth_fraction):
   out, _ = _pairwise_sums_fwd(labels, logits, mask, norm_w, gain, ranks,
                               scale, loss_type, lambda_mode, discount_kind,
-                              topn)
+                              topn, smooth_fraction)
   return out
 
 
@@ -229,7 +266,8 @@ def _grid_and_specs(bp: int, lp: int):
 
 
 def _pairwise_sums_fwd(labels, logits, mask, norm_w, gain, ranks, scale,
-                       loss_type, lambda_mode, discount_kind, topn):
+                       loss_type, lambda_mode, discount_kind, topn,
+                       smooth_fraction):
   b, l = labels.shape
   args = _pad_inputs(labels, logits, mask, norm_w, gain, ranks, scale)
   bp, lp = args[0].shape
@@ -237,7 +275,8 @@ def _pairwise_sums_fwd(labels, logits, mask, norm_w, gain, ranks, scale,
   out = pl.pallas_call(
       functools.partial(_fwd_kernel, loss_type=loss_type,
                         lambda_mode=lambda_mode,
-                        discount_kind=discount_kind, topn=topn),
+                        discount_kind=discount_kind, topn=topn,
+                        smooth_fraction=smooth_fraction),
       grid=grid,
       in_specs=[spec2] * 6 + [spec1],
       out_specs=pl.BlockSpec((TILE_B, 128), lambda i, j: (i, 0),
@@ -253,7 +292,7 @@ def _pairwise_sums_fwd(labels, logits, mask, norm_w, gain, ranks, scale,
 
 
 def _pairwise_sums_bwd(loss_type, lambda_mode, discount_kind, topn,
-                       residuals, ct):
+                       smooth_fraction, residuals, ct):
   labels, logits, mask, norm_w, gain, ranks, scale = residuals
   b, l = labels.shape
   args = _pad_inputs(labels, logits, mask, norm_w, gain, ranks, scale)
@@ -265,7 +304,8 @@ def _pairwise_sums_bwd(loss_type, lambda_mode, discount_kind, topn,
   dlog = pl.pallas_call(
       functools.partial(_bwd_kernel, loss_type=loss_type,
                         lambda_mode=lambda_mode,
-                        discount_kind=discount_kind, topn=topn),
+                        discount_kind=discount_kind, topn=topn,
+                        smooth_fraction=smooth_fraction),
       grid=grid,
       in_specs=[spec2] * 6 + [spec1, spec_ct],
       out_specs=spec2,
@@ -296,12 +336,14 @@ def fused_pairwise_sums(
     scale: Optional[Array] = None,
     discount_kind: int = DISCOUNT_LOG2_INVERSE,
     topn: float = 1e9,
+    smooth_fraction: float = 0.0,
 ) -> Array:
   """Per-list ``[B, 3]`` (loss_sum, weight_sum, nonzero_count).
 
   ``norm_weights`` are the left-item weights ``[B, L]`` (already masked).
-  For ``dcg_v2`` pass per-item ``gain`` (cleaned labels through gain_fn),
-  1-based ``ranks``, and per-list ``scale`` (list_size x optional 1/maxDCG).
+  For the dcg modes pass per-item ``gain`` (cleaned labels through
+  gain_fn), 1-based ``ranks``, and per-list ``scale`` (list_size x
+  optional 1/maxDCG); ``smooth_fraction`` applies to ``dcg_v1`` only.
   """
   b, l = labels.shape
   zeros = jnp.zeros((b, l), jnp.float32)
@@ -312,4 +354,5 @@ def fused_pairwise_sums(
       zeros if ranks is None else jnp.asarray(ranks, jnp.float32),
       jnp.ones((b,), jnp.float32) if scale is None
       else jnp.asarray(scale, jnp.float32),
-      loss_type, lambda_mode, discount_kind, float(topn))
+      loss_type, lambda_mode, discount_kind, float(topn),
+      float(smooth_fraction))

@@ -356,6 +356,14 @@ class SimplePipeline:
     first = next(raw_iter)
     state = self._build(first)
     spe = max(1, int(hp.steps_per_execution))
+    ds_hp = getattr(self.dataset_builder, 'hparams', None)
+    if (spe > 1 and ds_hp is not None
+        and getattr(ds_hp, 'list_size', 0) is None):
+      # Bucketed dynamic list sizes (list_size=None): consecutive batches
+      # can land in different buckets, so the [K, B, L, ...] stack of the
+      # multi-step dispatch is ill-shaped. One step per dispatch keeps
+      # each bucket a separate (cached) jit shape.
+      spe = 1
     if spe > 1:
       # Multi-step dispatch consumes host batches and stacks them itself.
       train_iter = itertools.chain([first], raw_iter)

@@ -88,10 +88,8 @@ class Predictor:
     list_size = self.list_size
     if list_size is None:
       # Cheap top-level varint walk (C++ when available) — no full parse.
-      longest = max(1, int(parsers.elwc_list_sizes(serialized_elwcs).max()))
-      pow2 = 1 << (longest - 1).bit_length()
-      half_step = (pow2 // 4) * 3
-      list_size = half_step if half_step >= longest else pow2
+      list_size = parsers.bucket_list_size(
+          parsers.elwc_list_sizes(serialized_elwcs).max())
     parsed = None
     try:
       # C++ decode fast path (data/native/decoder.cc) when the specs are

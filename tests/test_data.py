@@ -234,6 +234,56 @@ def test_pad_final_batch(tmp_path):
   assert (last.labels[1] == -1.0).all()
 
 
+def test_bucketed_dynamic_list_size(tmp_path):
+  """list_size=None: each batch pads to its longest list rounded up the
+  half-step power-of-two ladder (bounded compile shapes on TPU); values
+  and masks match the fixed-size parse of the same records."""
+  spec = {
+      'f': FixedLenFeature(shape=(1,), dtype='float32', default_value=0.0),
+      'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0)}
+  lengths = [5, 9, 2, 7, 11, 3]
+  recs = [_elwc_bytes({}, [{'f': [float(i * 100 + d)], 'rel': [d % 3]}
+                           for d in range(n)])
+          for i, n in enumerate(lengths)]
+  path = str(tmp_path / 'dyn.tfrecord')
+  tfrecord.write_records(path, recs)
+  kwargs = dict(data_format='example_list_with_context', batch_size=2,
+                context_feature_spec={}, example_feature_spec=spec,
+                label_feature_name='rel', epochs=1, shuffle=False,
+                drop_remainder=False)
+  batches = list(build_ranking_dataset(path, list_size=None, **kwargs))
+  assert len(batches) == 3
+  # Buckets: max(5,9)=9 -> 12; max(2,7)=7 -> 8; max(11,3)=11 -> 12.
+  assert [b.labels.shape[1] for b in batches] == [12, 8, 12]
+  assert [int(b.mask.sum()) for b in batches] == [14, 9, 14]
+  # Same records parsed at a fixed size agree on every valid entry.
+  fixed = list(build_ranking_dataset(path, list_size=12, **kwargs))
+  for dyn, fix in zip(batches, fixed):
+    L = dyn.labels.shape[1]
+    np.testing.assert_array_equal(dyn.mask, fix.mask[:, :L])
+    np.testing.assert_array_equal(dyn.labels[dyn.mask],
+                                  fix.labels[:, :L][dyn.mask])
+    np.testing.assert_array_equal(dyn.examples['f'][dyn.mask],
+                                  fix.examples['f'][:, :L][dyn.mask])
+
+
+def test_bucket_list_size_ladder():
+  got = [parsers.bucket_list_size(n) for n in
+         (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 13, 100, 128, 129, 200)]
+  assert got == [1, 1, 2, 3, 4, 6, 6, 8, 8, 12, 12, 16, 128, 128,
+                 192, 256]
+
+
+def test_dynamic_list_size_rejected_for_other_formats(tmp_path):
+  with pytest.raises(ValueError, match='example_list_with_context'):
+    list(build_ranking_dataset(
+        str(tmp_path / 'none.tfrecord'), data_format='sequence_example',
+        batch_size=2, context_feature_spec={}, example_feature_spec={
+            'rel': FixedLenFeature(shape=(), dtype='int64',
+                                   default_value=0)},
+        label_feature_name='rel', list_size=None))
+
+
 def test_interleave_files_round_robins(tmp_path):
   from ranking_tpu.data import build_ranking_dataset
   for fi in range(3):

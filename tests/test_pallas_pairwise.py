@@ -59,6 +59,24 @@ LOSSES = [
         lambda_weight=lw.DCGLambdaWeightV2(
             topn=5, normalized=True,
             gain_fn=fns.pow_minus_1, rank_discount_fn=fns.log2_inverse)),
+    # The canonical LambdaRank recipe: DCG-v1 from the factory (round-4
+    # kernelization; the factory now returns named registry fns so the
+    # kernel's identity checks recognize it).
+    losses_lib.PairwiseLogisticLoss(
+        lambda_weight=lw.create_ndcg_lambda_weight()),
+    losses_lib.PairwiseLogisticLoss(
+        lambda_weight=lw.create_ndcg_lambda_weight(smooth_fraction=0.4)),
+    losses_lib.PairwiseHingeLoss(
+        lambda_weight=lw.DCGLambdaWeight(
+            topn=5, smooth_fraction=1.0, gain_fn=fns.pow_minus_1,
+            rank_discount_fn=fns.log2_inverse)),
+    losses_lib.PairwiseLogisticLoss(
+        lambda_weight=lw.create_ndcg_lambda_weight_v2()),
+    # Yeti neighbor-pair restriction.
+    losses_lib.PairwiseLogisticLoss(
+        lambda_weight=lw.create_yeti_dcg_lambda_weight()),
+    losses_lib.PairwiseLogisticLoss(
+        lambda_weight=lw.create_yeti_dcg_lambda_weight(topn=4)),
 ]
 
 REDUCTIONS = [Reduction.SUM, Reduction.MEAN, Reduction.SUM_BY_NONZERO_WEIGHTS]
@@ -87,6 +105,39 @@ def test_gradient_matches_jnp(loss):
 
   g_fused = jax.grad(f_fused)(logits)
   g_ref = jax.grad(f_ref)(logits)
+  np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                             rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize('loss', LOSSES, ids=lambda l: repr(l)[:60])
+def test_kernel_engages(loss, monkeypatch):
+  """Every LOSSES case must actually reach the kernel — otherwise the
+  parity tests above compare the jnp path with itself (vacuous)."""
+  calls = []
+  orig = pallas_ops.fused_pairwise_sums
+
+  def counting(*a, **k):
+    calls.append(1)
+    return orig(*a, **k)
+
+  monkeypatch.setattr(pallas_ops, 'fused_pairwise_sums', counting)
+  labels, logits, weights = _data()
+  loss(labels, logits, weights=weights)
+  assert calls, f'kernel did not engage for {loss!r}'
+
+
+@pytest.mark.parametrize('lamw', [
+    lw.create_ndcg_lambda_weight(),
+    lw.create_ndcg_lambda_weight(smooth_fraction=0.3),
+    lw.create_yeti_dcg_lambda_weight(),
+], ids=['v1', 'v1_smooth', 'yeti'])
+def test_gradient_matches_jnp_dcg_v1_and_yeti(lamw):
+  loss = losses_lib.PairwiseLogisticLoss(lambda_weight=lamw)
+  labels, logits, weights = _data(seed=6)
+  g_fused = jax.grad(lambda s: loss(labels, s, weights=weights))(logits)
+  pallas_ops.set_enabled(False)
+  g_ref = jax.grad(lambda s: loss(labels, s, weights=weights))(logits)
+  pallas_ops.set_enabled(True)
   np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                              rtol=1e-4, atol=1e-6)
 

@@ -73,6 +73,33 @@ def test_simple_pipeline_end_to_end(tmp_path):
   assert (tmp_path / 'model' / 'metrics.jsonl').exists()
 
 
+def test_pipeline_bucketed_dynamic_list_size(tmp_path):
+  """list_size=None: bucketed dynamic lists through the full pipeline
+  (python engine; the spe>1 multi-step stack is auto-disabled because
+  consecutive batches can land in different buckets)."""
+  context_spec, example_spec = _specs()
+  builder = pipeline.SimpleDatasetBuilder(
+      context_spec, example_spec,
+      pipeline.DatasetHparams(
+          train_input_pattern=f'{REF_DATA}/train_elwc.tfrecord',
+          valid_input_pattern=f'{REF_DATA}/eval_elwc.tfrecord',
+          train_batch_size=4,
+          valid_batch_size=4,
+          list_size=None,
+          shuffle_buffer_size=10),
+      seed=3)
+  pipe = pipeline.SimplePipeline(
+      _model(), builder, _hparams(tmp_path, steps_per_execution=4))
+  history = pipe.train_and_validate()
+  assert np.isfinite(history['loss'])
+  assert int(pipe.final_state.step) == 6
+  # The stream really is bucketed: batch list sizes are ladder values.
+  sizes = {b.labels.shape[1] for _, b in zip(range(3),
+                                             builder.train_batches())}
+  from ranking_tpu.data.parsers import bucket_list_size
+  assert all(s == bucket_list_size(s) for s in sizes)
+
+
 def test_pipeline_resumes_from_checkpoint(tmp_path):
   pipe = pipeline.SimplePipeline(_model(), _builder(), _hparams(tmp_path))
   pipe.train_and_validate()
