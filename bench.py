@@ -58,6 +58,34 @@ if os.environ.get('RANKING_BENCH_SMOKE'):
   CHILD_TIMEOUT_S = 240
 
 
+def _xplane_device_ms(trace_dir):
+  """Total on-device XLA-module time (ms) from a jax.profiler trace —
+  the dispatch-free device time (same extraction as
+  benchmarks/profile_step.py). None if the xplane protos are
+  unavailable."""
+  import glob as glob_mod
+  from collections import defaultdict
+  try:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+  except Exception:
+    return None
+  total_ps = 0
+  for path in glob_mod.glob(f'{trace_dir}/**/*.xplane.pb', recursive=True):
+    xs = xplane_pb2.XSpace()
+    with open(path, 'rb') as f:
+      xs.ParseFromString(f.read())
+    for plane in xs.planes:
+      if not plane.name.startswith('/device:'):
+        continue
+      for line in plane.lines:
+        if line.name == 'XLA Modules':
+          agg = defaultdict(int)
+          for ev in line.events:
+            agg[ev.metadata_id] += ev.duration_ps
+          total_ps += sum(agg.values())
+  return total_ps / 1e9 if total_ps else None
+
+
 def child():
   import jax
   if os.environ.get('RANKING_BENCH_SMOKE'):
@@ -135,9 +163,17 @@ def child():
                                 input_grad=False,
                                 use_batch_norm=use_bn, dtype=dtype),
         transform_name='log1p')
+    tag_batch = batch
+    if dtype == jnp.bfloat16:
+      # bf16 training feeds bf16 activations from the data layer (the
+      # e2e bf16 variant host-casts the same way): drops the on-device
+      # f32->bf16 convert of the [B, L, F] input (~2% of the step).
+      tag_batch = batch.replace(examples={
+          k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v)
+          for k, v in batch.examples.items()})
     state = train.create_train_state(
         model, optax.adam(1e-3), jax.random.PRNGKey(0),
-        batch.context, batch.examples, batch.mask)
+        tag_batch.context, tag_batch.examples, tag_batch.mask)
     state = jax.tree.map(
         lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
     step = train.make_train_step(loss_fn)
@@ -146,7 +182,7 @@ def child():
     # tunnel is minutes of transfer; the steps' compute is identical.
     stacked = jax.jit(lambda b: jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (SCAN_ITERS,) + x.shape),
-        b))(batch)
+        b))(tag_batch)
     try:
       # Optimized-HLO FLOP count for ONE train step (the scan program's
       # cost analysis counts the loop body once, not x trip count, so the
@@ -154,7 +190,7 @@ def child():
       # pairs it with the scan-path per-step device time for
       # device_tflops / MFU.
       one = jax.jit(train.make_train_step(loss_fn))
-      ca = one.lower(state, batch, key).compile().cost_analysis()
+      ca = one.lower(state, tag_batch, key).compile().cost_analysis()
       if isinstance(ca, (list, tuple)):
         ca = ca[0]
       flops = float(ca.get('flops', 0.0))
@@ -171,6 +207,21 @@ def child():
       dt = time.perf_counter() - t0
       eps = BATCH * SCAN_ITERS / dt / n_chips
       print(f'SCAN {tag} {eps:.2f}', flush=True)
+    # True per-step DEVICE time from the profiler xplane (the scan wall
+    # above still carries per-dispatch tunnel/host overhead amortized
+    # over SCAN_ITERS; the xplane counts only on-device module time).
+    try:
+      import tempfile
+      trace_dir = tempfile.mkdtemp(prefix='rt_bench_trace_')
+      jax.profiler.start_trace(trace_dir)
+      state, metrics = multi(state, stacked, key)
+      float(metrics['loss'][-1])
+      jax.profiler.stop_trace()
+      dev_ms = _xplane_device_ms(trace_dir)
+      if dev_ms:
+        print(f'DEVMS {tag} {dev_ms / SCAN_ITERS:.4f}', flush=True)
+    except Exception:
+      pass  # profiling is best-effort; wall numbers stand alone
 
   # Eval throughput: forward + the full default metric suite
   # (NDCG@1/5/10/full + MRR; sorts shared across metrics via
@@ -380,6 +431,7 @@ def main():
   scan_by_tag = {}
   e2e_by_tag = {}
   flops_by_tag = {}
+  devms_by_tag = {}
   extras = {}
 
   def _consume(line):
@@ -398,6 +450,8 @@ def main():
       e2e_by_tag.setdefault(parts[1], []).append(float(parts[2]))
     elif parts[0] == 'FLOPS':
       flops_by_tag[parts[1]] = float(parts[2])
+    elif parts[0] == 'DEVMS':
+      devms_by_tag[parts[1]] = float(parts[2])
     elif parts[0] == 'CPUSYNTH':
       extras['synthetic_cpu_value'] = float(parts[1])
     elif parts[0] == 'DEVKIND':
@@ -487,10 +541,18 @@ def main():
   for tag in ('bnoff', 'bnon', 'bf16'):
     scans = scan_by_tag.get(tag)
     flops = flops_by_tag.get(tag)
-    if not scans:
+    if not scans and tag not in devms_by_tag:
       continue
-    ms = BATCH / max(scans) * 1000.0
-    out[f'device_ms_{tag}'] = round(ms, 4)
+    # Prefer the profiler's on-device module time; the scan-wall proxy
+    # (which also carries amortized dispatch overhead) is the fallback.
+    if tag in devms_by_tag:
+      ms = devms_by_tag[tag]
+      out[f'device_ms_{tag}'] = round(ms, 4)
+      if scans:
+        out[f'scan_wall_ms_{tag}'] = round(BATCH / max(scans) * 1000.0, 4)
+    else:
+      ms = BATCH / max(scans) * 1000.0
+      out[f'device_ms_{tag}'] = round(ms, 4)
     if flops:
       tflops = flops / (ms / 1000.0) / 1e12
       out[f'device_tflops_{tag}'] = round(tflops, 2)

@@ -39,10 +39,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import synth_web30k
 from e2e_common import encode_elwc_batch_fixed
 
-LIST_SIZE = 128
+# Round-4: the reference's CANONICAL Web30K recipe — list_size 200
+# (examples/tf_ranking_libsvm.py:90-91), hidden >= 512
+# (research/dasalc.py:81-106; here the flagship 1024/512/256 tower),
+# B=128. Round 3 proved the win at a lightweight config only
+# (DNN(256,128), B=32, L=128).
+LIST_SIZE = 200
 NUM_FEATURES = synth_web30k.NUM_FEATURES
-HIDDEN = (256, 128)
-BATCH = 32
+HIDDEN = (1024, 512, 256)
+BATCH = 128
 LR = 0.003
 CORPUS_DIR = '/tmp/ranking_tpu_web30k_scale'
 
@@ -52,7 +57,7 @@ def write_split(split: str, num_queries: int, n_files: int, seed: int):
   d = os.path.join(CORPUS_DIR, split)
   os.makedirs(d, exist_ok=True)
   marker = os.path.join(d, 'MARKER.txt')
-  stamp = f'v1 q={num_queries} files={n_files} L={LIST_SIZE} seed={seed}'
+  stamp = f'v2 q={num_queries} files={n_files} L={LIST_SIZE} seed={seed}'
   pattern = os.path.join(d, 'part-*.tfrecord')
   if os.path.exists(marker) and open(marker).read() == stamp:
     return pattern
@@ -293,7 +298,28 @@ def main():
     jax.config.update('jax_platforms', 'cpu')
 
   sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-  from quality_parity import eval_ref_metrics, load_reference_modules
+  from quality_parity import load_reference_modules
+
+  def eval_metrics(labels, logits, ref):
+    """NDCG@5, NDCG@10, MRR[rel>=3] via the reference metrics_impl.
+    Plain MRR is saturated by construction on this corpus (~half the
+    docs have rel>=1, so every list has a hit at rank 1-2); the
+    binarized rel>=3 form is the discriminative second metric (round-3
+    verdict items 3/6)."""
+    import tensorflow as tf
+    _, metrics_impl, _ = ref
+    hard = np.where(labels >= 0, (labels >= 3).astype(np.float32), labels)
+    out = {}
+    for name, metric, lab in (
+        ('ndcg@5', metrics_impl.NDCGMetric(name='n5', topn=5), labels),
+        ('ndcg@10', metrics_impl.NDCGMetric(name='n10', topn=10), labels),
+        ('mrr[rel>=3]', metrics_impl.MRRMetric(name='mrr', topn=None),
+         hard)):
+      values, weights = metric.compute(
+          tf.constant(lab), tf.constant(logits), None)
+      v, w = np.asarray(values), np.asarray(weights)
+      out[name] = float((v * w).sum() / w.sum())
+    return out
 
   t0 = time.perf_counter()
   train_pattern = write_split('train', args.train_queries, 8, seed=1)
@@ -311,7 +337,7 @@ def main():
       labels, logits, train_wall, steps, eval_wall, backend = (
           run_ranking_tpu(train_pattern, vali_pattern, args.epochs,
                           steps_cap=args.steps_cap))
-    metrics = eval_ref_metrics(labels, logits, ref)
+    metrics = eval_metrics(labels, logits, ref)
     print('CHILD ' + json.dumps(
         _row(train_wall, steps, eval_wall, metrics, backend)), flush=True)
     return
