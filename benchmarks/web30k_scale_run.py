@@ -92,7 +92,11 @@ def specs():
                                        default_value=0)})
 
 
-def run_ranking_tpu(train_pattern, vali_pattern, epochs, steps_cap=None):
+CHUNK_STEPS = 32  # throughput window; best chunk = least VM interference
+
+
+def run_ranking_tpu(train_pattern, vali_pattern, epochs, steps_cap=None,
+                    seed=0):
   import jax
   import optax
 
@@ -113,29 +117,41 @@ def run_ranking_tpu(train_pattern, vali_pattern, epochs, steps_cap=None):
             pattern, batch_size=BATCH, label_feature_name='relevance',
             list_size=LIST_SIZE, epochs=eps, shuffle=shuffle,
             shuffle_buffer_size=2048, drop_remainder=drop_remainder,
-            seed=11, **sp),
+            seed=11 + seed, **sp),
         sharding, buffer_size=2)
 
   model = models.RankingModel(scorer=models.DNNScorer(
-      hidden_layer_dims=HIDDEN, dropout=0.0, use_batch_norm=False))
+      hidden_layer_dims=HIDDEN, dropout=0.0, use_batch_norm=False,
+      # Recipe fidelity: the reference tower is keras Dense, whose default
+      # init is glorot_uniform — part of the canonical recipe under test.
+      kernel_init='glorot_uniform'))
   batches = stream(train_pattern, True, epochs)
   first = next(batches)
   state = train.create_train_state(
-      model, optax.adam(LR), jax.random.PRNGKey(0),
+      model, optax.adam(LR), jax.random.PRNGKey(seed),
       first.context, first.examples, first.mask)
   state = jax.tree.map(
       lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
   step = jax.jit(train.make_train_step(
       ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)), donate_argnums=0)
-  key = jax.random.PRNGKey(1)
+  key = jax.random.PRNGKey(seed + 1)
   state, m = step(state, first, key)
   float(m['loss'])  # compile barrier before the clock starts
 
   t0 = time.perf_counter()
+  tc = t0
   steps = 0  # timed steps only: the warm/compile step is outside the clock
+  best_chunk = 0.0
   for batch in batches:
     state, m = step(state, batch, key)
     steps += 1
+    if steps % CHUNK_STEPS == 0:
+      # Per-chunk barrier + clock: best chunk rate de-noises shared-VM
+      # interference (same device, so the barrier costs one fetch).
+      float(m['loss'])
+      now = time.perf_counter()
+      best_chunk = max(best_chunk, BATCH * CHUNK_STEPS / (now - tc))
+      tc = now
     if steps_cap and steps >= steps_cap:
       break
   float(m['loss'])
@@ -150,7 +166,7 @@ def run_ranking_tpu(train_pattern, vali_pattern, epochs, steps_cap=None):
     all_labels.append(np.asarray(batch.labels))
   eval_wall = time.perf_counter() - t0
   return (np.concatenate(all_labels), np.concatenate(all_logits),
-          train_wall, steps, eval_wall, jax.default_backend())
+          train_wall, steps, eval_wall, best_chunk, jax.default_backend())
 
 
 def load_reference_data_module(ref):
@@ -181,8 +197,9 @@ def load_reference_data_module(ref):
 
 
 def run_tf_ranking(train_pattern, vali_pattern, epochs, ref,
-                   steps_cap=None):
+                   steps_cap=None, seed=0):
   import tensorflow as tf
+  tf.random.set_seed(seed)
   losses_impl, metrics_impl, losses = ref
   ref_data = load_reference_data_module(ref)
 
@@ -239,11 +256,18 @@ def run_tf_ranking(train_pattern, vali_pattern, epochs, ref,
   labels = tf.cast(to_labels(features), tf.float32)
   step(features, labels)  # trace/compile before the clock starts
   t0 = time.perf_counter()
+  tc = t0
   steps = 0  # timed steps only, mirroring run_ranking_tpu
+  best_chunk = 0.0
   for features in it:
     labels = tf.cast(to_labels(features), tf.float32)
     loss = step(features, labels)
     steps += 1
+    if steps % CHUNK_STEPS == 0:
+      _ = float(loss)  # same per-chunk barrier as the jax side
+      now = time.perf_counter()
+      best_chunk = max(best_chunk, BATCH * CHUNK_STEPS / (now - tc))
+      tc = now
     if steps_cap and steps >= steps_cap:
       break
   _ = float(loss)
@@ -262,15 +286,18 @@ def run_tf_ranking(train_pattern, vali_pattern, epochs, ref,
     all_logits.append(logits.numpy())
   eval_wall = time.perf_counter() - t0
   return (np.concatenate(all_labels), np.concatenate(all_logits),
-          train_wall, steps, eval_wall)
+          train_wall, steps, eval_wall, best_chunk)
 
 
-def _row(train_wall, steps, eval_wall, metrics, backend):
+def _row(train_wall, steps, eval_wall, best_chunk, metrics, backend):
   return {
       'backend': backend,
       'train_wall_s': round(train_wall, 1),
       'train_steps': steps,
       'train_lists_per_s': round(steps * BATCH / train_wall, 1),
+      # Best CHUNK_STEPS window: the de-noised rate (this host is a
+      # shared VM; whole-epoch walls of IDENTICAL runs vary 1.5x).
+      'train_lists_per_s_best_chunk': round(best_chunk, 1),
       'eval_wall_s': round(eval_wall, 1),
       **{k: round(v, 4) for k, v in metrics.items()},
   }
@@ -283,6 +310,21 @@ def main():
   ap.add_argument('--epochs', type=int, default=1)
   ap.add_argument('--steps-cap', type=int, default=None)
   ap.add_argument('--skip-tf', action='store_true')
+  ap.add_argument('--sides', default='device,cpu,tf',
+                  help='comma list of sides to (re)measure; others keep '
+                       'their rows from an existing WEB30K_SCALE_RUN.json '
+                       '(lets the tunnel-exposed device side run/retry '
+                       'separately from the CPU sides)')
+  ap.add_argument('--child-timeout', type=int, default=1200,
+                  help='seconds before a child is killed and retried '
+                       '(the axon tunnel can hang a device fetch forever)')
+  ap.add_argument('--child-retries', type=int, default=2)
+  ap.add_argument('--seed', type=int, default=0,
+                  help='internal: the seed a --child run trains with')
+  ap.add_argument('--seeds', type=int, default=3,
+                  help='independent training runs per side; quality is '
+                       'reported as mean +/- std, throughput as the best '
+                       'de-noised chunk across runs')
   ap.add_argument('--child', default=None,
                   choices=['device', 'cpu', 'tf'],
                   help='internal: run ONE side in this process and print '
@@ -329,17 +371,19 @@ def main():
   if args.child:
     ref = load_reference_modules()
     if args.child == 'tf':
-      labels, logits, train_wall, steps, eval_wall = run_tf_ranking(
-          train_pattern, vali_pattern, args.epochs, ref,
-          steps_cap=args.steps_cap)
+      labels, logits, train_wall, steps, eval_wall, best_chunk = (
+          run_tf_ranking(train_pattern, vali_pattern, args.epochs, ref,
+                         steps_cap=args.steps_cap, seed=args.seed))
       backend = 'tensorflow-cpu (only available backend)'
     else:
-      labels, logits, train_wall, steps, eval_wall, backend = (
-          run_ranking_tpu(train_pattern, vali_pattern, args.epochs,
-                          steps_cap=args.steps_cap))
+      (labels, logits, train_wall, steps, eval_wall, best_chunk,
+       backend) = run_ranking_tpu(
+          train_pattern, vali_pattern, args.epochs,
+          steps_cap=args.steps_cap, seed=args.seed)
     metrics = eval_metrics(labels, logits, ref)
     print('CHILD ' + json.dumps(
-        _row(train_wall, steps, eval_wall, metrics, backend)), flush=True)
+        _row(train_wall, steps, eval_wall, best_chunk, metrics, backend)),
+        flush=True)
     return
 
   corpus_bytes = sum(os.path.getsize(p)
@@ -356,32 +400,83 @@ def main():
                        'label skew, fixed nonlinear scoring function)',
       },
       'config': f'DNN{HIDDEN}, softmax_loss, Adam({LR}), B={BATCH}, '
-                f'epochs={args.epochs}',
-      'methodology': 'each side measured in its own fresh subprocess '
-                     '(equal isolation); identical full validation set',
+                f'epochs={args.epochs}, seeds={args.seeds}',
+      'methodology': 'each (side, seed) measured in its own fresh '
+                     'subprocess (equal isolation); identical full '
+                     'validation set; quality = mean +/- std over seeds; '
+                     'throughput = best 32-step chunk across runs '
+                     '(shared-VM host: whole-epoch walls of identical '
+                     'runs vary up to 1.5x)',
   }
 
   import subprocess
-  sides = [('ranking_tpu', 'device'), ('ranking_tpu_cpu', 'cpu')]
-  if not args.skip_tf:
-    sides.append(('tf_ranking', 'tf'))
+  wanted = {s.strip() for s in args.sides.split(',') if s.strip()}
+  sides = [(n, k) for n, k in (('ranking_tpu', 'device'),
+                               ('ranking_tpu_cpu', 'cpu'),
+                               ('tf_ranking', 'tf'))
+           if k in wanted and not (k == 'tf' and args.skip_tf)]
+  # Partial --sides runs merge into the existing artifact.
+  result_path = os.path.join(REPO, 'WEB30K_SCALE_RUN.json')
+  if len(sides) < 3 - args.skip_tf and os.path.exists(result_path):
+    prev = json.load(open(result_path))
+    for k in ('ranking_tpu', 'ranking_tpu_cpu', 'tf_ranking'):
+      if k in prev and k not in dict(sides):
+        out[k] = prev[k]
+  metric_keys = ('ndcg@5', 'ndcg@10', 'mrr[rel>=3]')
   for name, kind in sides:
-    child = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), f'--child={kind}',
-         f'--train-queries={args.train_queries}',
-         f'--vali-queries={args.vali_queries}', f'--epochs={args.epochs}']
-        + ([f'--steps-cap={args.steps_cap}'] if args.steps_cap else []),
-        capture_output=True, text=True)
-    for line in child.stdout.splitlines():
-      if line.startswith('CHILD '):
-        out[name] = json.loads(line[len('CHILD '):])
-        print(json.dumps({name: out[name]}), flush=True)
-    if name not in out:
-      raise RuntimeError(
-          f'{kind} child produced no CHILD line (rc={child.returncode}):\n'
-          f'{child.stdout[-2000:]}\n{child.stderr[-2000:]}')
+    runs = []
+    for seed in range(args.seeds):
+      for attempt in range(1 + args.child_retries):
+        try:
+          child = subprocess.run(
+              [sys.executable, os.path.abspath(__file__),
+               f'--child={kind}', f'--seed={seed}',
+               f'--train-queries={args.train_queries}',
+               f'--vali-queries={args.vali_queries}',
+               f'--epochs={args.epochs}']
+              + ([f'--steps-cap={args.steps_cap}'] if args.steps_cap
+                 else []),
+              capture_output=True, text=True,
+              timeout=args.child_timeout)
+        except subprocess.TimeoutExpired:
+          # Known axon-tunnel failure mode: a device fetch can hang
+          # forever; the kill releases the tunnel, a fresh child
+          # typically succeeds.
+          print(json.dumps({f'{name}[{seed}]':
+                            f'timeout after {args.child_timeout}s '
+                            f'(attempt {attempt + 1})'}), flush=True)
+          continue
+        for line in child.stdout.splitlines():
+          if line.startswith('CHILD '):
+            runs.append(json.loads(line[len('CHILD '):]))
+            print(json.dumps({f'{name}[{seed}]': runs[-1]}), flush=True)
+        if len(runs) == seed + 1:
+          break
+        print(json.dumps({f'{name}[{seed}]':
+                          f'no CHILD line rc={child.returncode} '
+                          f'(attempt {attempt + 1})'}), flush=True)
+        sys.stderr.write(child.stdout[-2000:] + child.stderr[-2000:])
+      if len(runs) != seed + 1:
+        raise RuntimeError(
+            f'{kind} seed {seed} failed after '
+            f'{1 + args.child_retries} attempts')
+    agg = {
+        'backend': runs[0]['backend'],
+        'train_steps': runs[0]['train_steps'],
+        'train_lists_per_s_best_chunk': max(
+            r['train_lists_per_s_best_chunk'] for r in runs),
+        'train_lists_per_s_epoch_walls': [
+            r['train_lists_per_s'] for r in runs],
+        'eval_wall_s': min(r['eval_wall_s'] for r in runs),
+    }
+    for mk in metric_keys:
+      vals = np.array([r[mk] for r in runs])
+      agg[mk] = round(float(vals.mean()), 4)
+      agg[f'{mk}_std'] = round(float(vals.std()), 4)
+      agg[f'{mk}_seeds'] = [round(float(v), 4) for v in vals]
+    out[name] = agg
 
-  with open(os.path.join(REPO, 'WEB30K_SCALE_RUN.json'), 'w') as f:
+  with open(result_path, 'w') as f:
     json.dump(out, f, indent=2)
   print(json.dumps({'done': True}))
 
