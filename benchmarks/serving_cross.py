@@ -58,7 +58,7 @@ def make_requests():
   return batches
 
 
-def run_ranking_tpu():
+def run_ranking_tpu(quantize=None):
   import tempfile
 
   import jax
@@ -93,7 +93,8 @@ def run_ranking_tpu():
   with tempfile.TemporaryDirectory(prefix='rt_serving_cross_') as d:
     export_lib.export_predictor(
         model, state.variables, {}, example_spec, d, sample,
-        list_size_buckets=(96, 128), label_feature_name='relevance')
+        list_size_buckets=(96, 128), label_feature_name='relevance',
+        quantize=quantize)
     predictor = export_lib.load_predictor(d)
     for b in batches:           # warm every bucket's compile/deserialize
       scores = predictor.predict(b)
@@ -172,15 +173,20 @@ def run_tf():
 
 def main():
   ap = argparse.ArgumentParser()
-  ap.add_argument('--sides', default='rt_tpu,rt_cpu,tf')
-  ap.add_argument('--child', choices=['rt_cpu', 'rt_tpu', 'tf'])
+  ap.add_argument('--sides', default='rt_tpu,rt_cpu,rt_cpu_int8,tf')
+  ap.add_argument('--child', choices=['rt_cpu', 'rt_cpu_int8', 'rt_tpu',
+                                      'tf'])
   args = ap.parse_args()
 
   if args.child:
-    if args.child == 'rt_cpu':
+    if args.child.startswith('rt_cpu'):
       import jax
       jax.config.update('jax_platforms', 'cpu')
-    dt, backend = run_tf() if args.child == 'tf' else run_ranking_tpu()
+    if args.child == 'tf':
+      dt, backend = run_tf()
+    else:
+      dt, backend = run_ranking_tpu(
+          quantize='int8' if args.child == 'rt_cpu_int8' else None)
     lists = BATCH * N_BATCHES * ROUNDS
     print('CHILD ' + json.dumps({
         'backend': backend,
@@ -199,13 +205,13 @@ def main():
                      "the reference Signatures -> tf.saved_model.save/"
                      'load -> predict signature)',
   }
+  names = {'rt_tpu': 'ranking_tpu_tpu', 'rt_cpu': 'ranking_tpu_cpu',
+           'rt_cpu_int8': 'ranking_tpu_cpu_int8', 'tf': 'tf_ranking'}
   if os.path.exists(RESULT):
     prev = json.load(open(RESULT))
-    for k in ('ranking_tpu_tpu', 'ranking_tpu_cpu', 'tf_ranking'):
+    for k in names.values():
       if k in prev:
         out[k] = prev[k]
-  names = {'rt_tpu': 'ranking_tpu_tpu', 'rt_cpu': 'ranking_tpu_cpu',
-           'tf': 'tf_ranking'}
   for kind in [s.strip() for s in args.sides.split(',') if s.strip()]:
     child = subprocess.run(
         [sys.executable, os.path.abspath(__file__), f'--child={kind}'],
