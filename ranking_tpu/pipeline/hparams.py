@@ -45,6 +45,19 @@ class PipelineHparams:
   # a strict superset of the reference's TensorBoard callback.
   profile_dir: Optional[str] = None
   profile_epoch: int = 1
+  # Deterministic mid-training data resume — beyond the reference, whose
+  # BackupAndRestore restarts model.fit's dataset from the beginning
+  # (keras/pipeline.py:493-495): a resumed reference run re-trains on the
+  # stream's earliest batches and may never see its tail. When True, a
+  # restored pipeline fast-forwards the (seed-deterministic) train stream
+  # by the restored step count — one batch per completed step — so an
+  # interrupted-and-resumed run consumes exactly the batch sequence the
+  # uninterrupted run would have (bit-identical final params; see
+  # tests/test_pipeline.py::test_resume_dataset_bitwise_identical).
+  # Replay cost: skipped batches are re-decoded at ingest speed (the C++
+  # loader streams ~10k+ Web30K lists/s per 2 cores). Default False =
+  # reference-parity restart-from-the-top.
+  resume_dataset: bool = False
 
 
 @dataclasses.dataclass

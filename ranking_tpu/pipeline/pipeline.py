@@ -364,11 +364,20 @@ class SimplePipeline:
       # multi-step dispatch is ill-shaped. One step per dispatch keeps
       # each bucket a separate (cached) jit shape.
       spe = 1
+    base_iter = itertools.chain([first], raw_iter)
+    if hp.resume_dataset and int(state.step) > 0:
+      # Deterministic data resume (hparams.resume_dataset): the train
+      # stream is a pure function of its construction args, so skipping
+      # one batch per completed step re-synchronizes it with where the
+      # interrupted run stopped — the resumed run then consumes exactly
+      # the uninterrupted run's batch sequence.
+      for _ in range(int(state.step)):
+        next(base_iter)
     if spe > 1:
       # Multi-step dispatch consumes host batches and stacks them itself.
-      train_iter = itertools.chain([first], raw_iter)
+      train_iter = base_iter
     else:
-      train_iter = prefetch_to_device(itertools.chain([first], raw_iter),
+      train_iter = prefetch_to_device(base_iter,
                                       parallel.batch_sharding(self.mesh))
     key = jax.random.PRNGKey((hp.seed or 0) + 1)
 

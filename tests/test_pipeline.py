@@ -111,6 +111,43 @@ def test_pipeline_resumes_from_checkpoint(tmp_path):
   assert int(pipe2.final_state.step) == 9
 
 
+def test_resume_dataset_bitwise_identical(tmp_path):
+  """hparams.resume_dataset: interrupted-and-resumed training consumes
+  exactly the uninterrupted run's batch sequence (the stream is seed-
+  deterministic, the restore fast-forwards it one batch per completed
+  step), so the final params are BITWISE equal to a straight run. The
+  reference's BackupAndRestore restarts the dataset instead
+  (keras/pipeline.py:493-495)."""
+  import jax
+
+  # Straight run: 2 epochs x 3 steps, no interruption.
+  straight = pipeline.SimplePipeline(
+      _model(), _builder(), _hparams(tmp_path / 'straight',
+                                     resume_dataset=True))
+  straight.train_and_validate()
+  assert int(straight.final_state.step) == 6
+
+  # Interrupted: 1 epoch, checkpoint at step 3; then resume to 2 epochs.
+  pipeline.SimplePipeline(
+      _model(), _builder(), _hparams(tmp_path / 'resumed', num_epochs=1,
+                                     resume_dataset=True)
+  ).train_and_validate()
+  resumed = pipeline.SimplePipeline(
+      _model(), _builder(), _hparams(tmp_path / 'resumed', num_epochs=2,
+                                     resume_dataset=True))
+  resumed.train_and_validate()
+  assert int(resumed.final_state.step) == 6
+
+  flat_a = jax.tree_util.tree_leaves_with_path(straight.final_state.params)
+  flat_b = dict(jax.tree_util.tree_leaves_with_path(
+      resumed.final_state.params))
+  assert flat_a
+  for path, leaf in flat_a:
+    np.testing.assert_array_equal(
+        np.asarray(leaf), np.asarray(flat_b[path]),
+        err_msg=f'param {jax.tree_util.keystr(path)} diverged on resume')
+
+
 def test_serving_parity_listwise_vs_pointwise(tmp_path):
   context_spec, example_spec = _specs()
   pipe = pipeline.SimplePipeline(_model(), _builder(), _hparams(tmp_path))
