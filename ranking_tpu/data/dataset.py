@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import glob as glob_lib
+import itertools
 import queue
 import threading
 from typing import (Any, Callable, Dict, Iterable, Iterator, List, Mapping,
@@ -200,12 +201,19 @@ def build_ranking_dataset(
     shard_index: Optional[int] = None,
     num_shards: Optional[int] = None,
     interleave_files: int = 1,
+    skip_batches: int = 0,
 ) -> Iterator[RankingBatch]:
   """Streams RankingBatches from TFRecord files of ranking protos.
 
   The parse stage runs on a thread pool with ``prefetch_batches`` batches in
   flight (protobuf upb parsing releases the GIL) — the AUTOTUNE-prefetch
   analog of python/data.py:1015.
+
+  ``skip_batches``: parse-free fast-forward for deterministic data resume
+  (pipeline ``resume_dataset``): the leading record batches are pulled
+  through the (seed-deterministic) shuffle and dropped unparsed, so the
+  stream continues bitwise-equal to ``batches[skip_batches:]`` of an
+  unskipped run at record-scan speed.
   """
   if data_format not in PARSER_FNS:
     raise ValueError(f'Unknown data_format {data_format!r}; '
@@ -240,6 +248,8 @@ def build_ranking_dataset(
   if shuffle:
     stream = _shuffled(stream, shuffle_buffer_size, rng)
   batches = _batched(stream, batch_size, drop_remainder)
+  if skip_batches:
+    batches = itertools.islice(batches, int(skip_batches), None)
 
   warned_fallback = [False]
 
@@ -378,6 +388,7 @@ def native_ranking_dataset(
     num_threads: Optional[int] = None,
     shard_index: Optional[int] = None,
     num_shards: Optional[int] = None,
+    skip_batches: int = 0,
 ) -> Iterator[RankingBatch]:
   """ELWC stream fully driven by the native loader (data/native/loader.cc):
   a C++ reader thread owns file reading, shuffling, and batch assembly;
@@ -385,7 +396,12 @@ def native_ranking_dataset(
   min(8, cpus)); Python only wraps finished arrays. The record/batch
   stream is bit-identical for every ``num_threads`` — order is fixed by
   the reader's seeded shuffle, not by decode scheduling. Same batch
-  contract as ``build_ranking_dataset``."""
+  contract as ``build_ranking_dataset``.
+
+  ``skip_batches``: decode-free fast-forward (pipeline ``resume_dataset``)
+  — the C++ reader drops the leading record batches at mmap-scan speed
+  (~2M rec/s); the stream continues bitwise-equal to
+  ``batches[skip_batches:]`` of an unskipped run."""
   from ranking_tpu.data import native
   paths = sorted(glob_lib.glob(file_pattern))
   if not paths:
@@ -398,7 +414,8 @@ def native_ranking_dataset(
       batch_size=batch_size, list_size=list_size, shuffle=shuffle,
       shuffle_buffer=shuffle_buffer_size, epochs=epochs,
       drop_remainder=drop_remainder, seed=seed or 0,
-      data_format=data_format, num_threads=num_threads)
+      data_format=data_format, num_threads=num_threads,
+      skip_batches=skip_batches)
   try:
     for parsed in loader:
       yield parsed_to_batch(

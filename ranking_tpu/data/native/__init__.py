@@ -474,7 +474,7 @@ def _register_loader_api(lib) -> None:
       ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
       ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
       ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
-      ctypes.c_int, ctypes.c_int,
+      ctypes.c_int, ctypes.c_int, ctypes.c_int64,
   ]
   lib.rt_loader_next.restype = ctypes.c_int
   lib.rt_loader_next.argtypes = [
@@ -499,7 +499,8 @@ class NativeLoader:
   def __init__(self, paths, context_spec, example_spec, batch_size,
                list_size, shuffle=True, shuffle_buffer=1000, epochs=1,
                drop_remainder=True, seed=0, ring_capacity=None,
-               data_format='example_list_with_context', num_threads=None):
+               data_format='example_list_with_context', num_threads=None,
+               skip_batches=0):
     import numpy as np
     from ranking_tpu.data import parsers
     lib = _load()
@@ -582,7 +583,12 @@ class NativeLoader:
         len(self.example_spec),
         batch_size, list_size, int(shuffle), shuffle_buffer,
         0 if epochs is None else epochs, int(drop_remainder), seed,
-        ring_capacity, _loader_format(data_format), self.num_threads)
+        ring_capacity, _loader_format(data_format), self.num_threads,
+        # Decode-free fast-forward (deterministic data resume): the C++
+        # reader drops this many leading record batches at mmap-scan
+        # speed; the stream after the skip is bitwise-equal to
+        # batches[skip:] of an unskipped run.
+        int(skip_batches))
 
   def __iter__(self):
     return self

@@ -165,6 +165,13 @@ struct Loader {
   int num_threads;
   bool shuffle, drop_remainder;
   uint64_t seed;
+  // Decode-free fast-forward (deterministic data resume): the reader
+  // assembles and DROPS this many leading record batches — the shuffle
+  // RNG advances identically, no decode work is dispatched, so the
+  // stream after the skip is bitwise-equal to batches[skip:] of an
+  // unskipped run at mmap-scan speed (~2M rec/s) instead of decode
+  // speed. Reader-thread-only field (no locking).
+  int64_t skip_batches = 0;
 
   // Reader -> decoders (bounded; also bounds total in-flight batches).
   std::deque<Work> work_q;
@@ -334,8 +341,13 @@ void read_loop(Loader* L) {
   auto emit = [&](RecordRef&& rec) {
     pending.push_back(std::move(rec));
     if (static_cast<int>(pending.size()) == L->batch_size) {
-      push_work(L, std::move(pending));
-      pending = {};
+      if (L->skip_batches > 0) {
+        --L->skip_batches;  // fast-forward: drop without dispatching decode
+        pending.clear();
+      } else {
+        push_work(L, std::move(pending));
+        pending = {};
+      }
       pending.reserve(L->batch_size);
     }
   };
@@ -395,8 +407,12 @@ void read_loop(Loader* L) {
       std::shuffle(shuffle_buf.begin(), shuffle_buf.end(), rng);
       for (auto& rec : shuffle_buf) emit(std::move(rec));
     }
-    if (!pending.empty() && !L->drop_remainder)
-      push_work(L, std::move(pending));
+    if (!pending.empty() && !L->drop_remainder) {
+      if (L->skip_batches > 0)
+        --L->skip_batches;  // the final partial batch counts too
+      else
+        push_work(L, std::move(pending));
+    }
   }
   {
     std::lock_guard<std::mutex> lock(L->mu);
@@ -415,7 +431,8 @@ void* rt_loader_create(const char** paths, int n_paths,
                        FeatureSpec* ex_specs, int n_ex, int batch_size,
                        int list_size, int shuffle, int shuffle_buffer,
                        int epochs, int drop_remainder, uint64_t seed,
-                       int ring_capacity, int format, int num_threads) {
+                       int ring_capacity, int format, int num_threads,
+                       int64_t skip_batches) {
   auto* L = new Loader();
   for (int i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
   auto copy = [](FeatureSpec* specs, int n, std::vector<OwnedSpec>* out) {
@@ -439,6 +456,7 @@ void* rt_loader_create(const char** paths, int n_paths,
   // the reorder buffer awaiting the consumer.
   L->ring_capacity = ring_capacity > 0 ? ring_capacity : 4;
   L->format = format;
+  L->skip_batches = skip_batches > 0 ? skip_batches : 0;
   L->live_decoders = L->num_threads;
   L->threads.reserve(L->num_threads + 1);
   for (int i = 0; i < L->num_threads; ++i)

@@ -54,9 +54,11 @@ class PipelineHparams:
   # interrupted-and-resumed run consumes exactly the batch sequence the
   # uninterrupted run would have (bit-identical final params; see
   # tests/test_pipeline.py::test_resume_dataset_bitwise_identical).
-  # Replay cost: skipped batches are re-decoded at ingest speed (the C++
-  # loader streams ~10k+ Web30K lists/s per 2 cores). Default False =
-  # reference-parity restart-from-the-top.
+  # Fast-forward cost: builders whose train_batches accepts skip_batches
+  # (the bundled ones) skip parse-free — the C++ reader drops record
+  # batches at mmap-scan speed (~2M rec/s), the python engine at record-
+  # scan speed; other builders replay by pull-and-discard at ingest
+  # speed. Default False = reference-parity restart-from-the-top.
   resume_dataset: bool = False
 
 

@@ -43,7 +43,8 @@ class SimpleDatasetBuilder:
         hparams.label_feature_name if label_feature_name is None
         else label_feature_name)
 
-  def _batches(self, pattern, batch_size, list_size, shuffle, epochs):
+  def _batches(self, pattern, batch_size, list_size, shuffle, epochs,
+               skip_batches=0):
     from ranking_tpu.data import dataset as ds
     engine = getattr(self.hparams, 'dataset_engine', 'auto')
     auto = engine == 'auto'
@@ -55,7 +56,8 @@ class SimpleDatasetBuilder:
     if engine == 'native_loader':
       try:
         return self._native_batches(pattern, batch_size, list_size,
-                                    shuffle, epochs)
+                                    shuffle, epochs,
+                                    skip_batches=skip_batches)
       except ValueError:
         # loader_supported() mirrors NativeLoader's validation; if the
         # two ever drift in the permissive direction, 'auto' must fall
@@ -78,9 +80,11 @@ class SimpleDatasetBuilder:
         mask_feature_name=self.hparams.mask_feature_name,
         size_feature_name=self.hparams.size_feature_name,
         interleave_files=self.hparams.interleave_files,
+        skip_batches=skip_batches,
         seed=self.seed)
 
-  def _native_batches(self, pattern, batch_size, list_size, shuffle, epochs):
+  def _native_batches(self, pattern, batch_size, list_size, shuffle, epochs,
+                      skip_batches=0):
     from ranking_tpu.data import dataset as ds
     return ds.native_ranking_dataset(
         pattern,
@@ -96,12 +100,17 @@ class SimpleDatasetBuilder:
         shuffle_buffer_size=self.hparams.shuffle_buffer_size,
         mask_feature_name=self.hparams.mask_feature_name,
         size_feature_name=self.hparams.size_feature_name,
+        skip_batches=skip_batches,
         seed=self.seed)
 
-  def train_batches(self) -> Iterator[RankingBatch]:
+  def train_batches(self, skip_batches: int = 0) -> Iterator[RankingBatch]:
+    """``skip_batches``: parse-free fast-forward for deterministic data
+    resume (pipeline ``resume_dataset``) — the stream continues
+    bitwise-equal to ``batches[skip_batches:]`` of an unskipped one."""
     return self._batches(self.hparams.train_input_pattern,
                          self.hparams.train_batch_size,
-                         self.hparams.list_size, shuffle=True, epochs=None)
+                         self.hparams.list_size, shuffle=True, epochs=None,
+                         skip_batches=skip_batches)
 
   def valid_batches(self) -> Iterator[RankingBatch]:
     return self._batches(self.hparams.valid_input_pattern,
@@ -370,9 +379,23 @@ class SimplePipeline:
       # stream is a pure function of its construction args, so skipping
       # one batch per completed step re-synchronizes it with where the
       # interrupted run stopped — the resumed run then consumes exactly
-      # the uninterrupted run's batch sequence.
-      for _ in range(int(state.step)):
-        next(base_iter)
+      # the uninterrupted run's batch sequence. Builders that accept
+      # skip_batches fast-forward parse-free (the C++ reader drops record
+      # batches at mmap-scan speed, ~100x ingest); others replay by
+      # pulling and discarding decoded batches.
+      import inspect
+      skip = int(state.step)
+      try:
+        fast = ('skip_batches' in inspect.signature(
+            self.dataset_builder.train_batches).parameters)
+      except (TypeError, ValueError):
+        fast = False
+      if fast:
+        base_iter = iter(self.dataset_builder.train_batches(
+            skip_batches=skip))
+      else:
+        for _ in range(skip):
+          next(base_iter)
     if spe > 1:
       # Multi-step dispatch consumes host batches and stacks them itself.
       train_iter = base_iter

@@ -176,6 +176,76 @@ def test_native_loader_shuffles_and_repeats(tmp_path):
   assert not np.array_equal(ids_a, np.sort(ids_a))
 
 
+def test_native_loader_skip_batches_bitwise(tmp_path):
+  """skip_batches (decode-free fast-forward for resume_dataset): the
+  skipped stream is bitwise-equal to batches[skip:] of an unskipped run
+  — the reader's shuffle RNG advances identically, only the decode
+  dispatch is suppressed. Covers multi-thread decode, shuffle on, and
+  the final partial batch (drop_remainder=False)."""
+  from ranking_tpu.data.dataset import native_ranking_dataset
+
+  recs = [proto.make_elwc({}, [{'uid': [float(i)], 'rel': [1]}]
+                          ).SerializeToString() for i in range(23)]
+  path = str(tmp_path / 'skip.tfrecord')
+  tfrecord.write_records(path, recs)
+
+  kwargs = dict(
+      batch_size=5,
+      context_feature_spec={},
+      example_feature_spec={
+          'uid': FixedLenFeature(shape=(1,), dtype='float32',
+                                 default_value=-7.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64',
+                                 default_value=0)},
+      label_feature_name='rel',
+      list_size=2, shuffle=True, shuffle_buffer_size=8,
+      drop_remainder=False, epochs=2, seed=5, num_threads=3)
+
+  full = list(native_ranking_dataset(path, **kwargs))
+  assert len(full) == 10  # 46 records -> 9 full batches + partial(1)
+  for skip in (1, 3, len(full) - 1, len(full), len(full) + 4):
+    skipped = list(native_ranking_dataset(path, skip_batches=skip,
+                                          **kwargs))
+    assert len(skipped) == max(0, len(full) - skip)
+    for a, b in zip(full[skip:], skipped):
+      np.testing.assert_array_equal(a.labels, b.labels)
+      np.testing.assert_array_equal(a.examples['uid'], b.examples['uid'])
+      np.testing.assert_array_equal(a.mask, b.mask)
+
+
+def test_python_stream_skip_batches_bitwise(tmp_path):
+  """The python engine's skip_batches has the same bitwise-suffix
+  contract (record batches are pulled through the seeded shuffle and
+  dropped unparsed)."""
+  from ranking_tpu.data.dataset import build_ranking_dataset
+
+  recs = [proto.make_elwc({}, [{'uid': [float(i)], 'rel': [1]}]
+                          ).SerializeToString() for i in range(23)]
+  path = str(tmp_path / 'skip_py.tfrecord')
+  tfrecord.write_records(path, recs)
+
+  kwargs = dict(
+      data_format='example_list_with_context',
+      batch_size=5,
+      context_feature_spec={},
+      example_feature_spec={
+          'uid': FixedLenFeature(shape=(1,), dtype='float32',
+                                 default_value=-7.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64',
+                                 default_value=0)},
+      label_feature_name='rel',
+      list_size=2, shuffle=True, shuffle_buffer_size=8,
+      drop_remainder=False, epochs=2, seed=5)
+
+  full = list(build_ranking_dataset(path, **kwargs))
+  assert len(full) == 10
+  skipped = list(build_ranking_dataset(path, skip_batches=3, **kwargs))
+  assert len(skipped) == len(full) - 3
+  for a, b in zip(full[3:], skipped):
+    np.testing.assert_array_equal(a.labels, b.labels)
+    np.testing.assert_array_equal(a.examples['uid'], b.examples['uid'])
+
+
 def test_native_sequence_example_matches_python():
   rng = np.random.RandomState(4)
   recs = []
