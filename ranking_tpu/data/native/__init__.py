@@ -476,13 +476,15 @@ def _register_loader_api(lib) -> None:
       ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
       ctypes.c_int, ctypes.c_int, ctypes.c_int64,
   ]
-  lib.rt_loader_next.restype = ctypes.c_int
-  lib.rt_loader_next.argtypes = [
+  lib.rt_loader_submit.restype = ctypes.c_int
+  lib.rt_loader_submit.argtypes = [
       ctypes.c_void_p,
       ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
       ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
       ctypes.POINTER(ctypes.c_int32),
   ]
+  lib.rt_loader_wait.restype = ctypes.c_int
+  lib.rt_loader_wait.argtypes = [ctypes.c_void_p]
   lib.rt_loader_destroy.restype = None
   lib.rt_loader_destroy.argtypes = [ctypes.c_void_p]
   lib._loader_registered = True
@@ -590,49 +592,71 @@ class NativeLoader:
         # batches[skip:] of an unskipped run.
         int(skip_batches))
 
-  def __iter__(self):
-    return self
+    # Direct-write buffer ring: K freshly-allocated numpy buffer sets are
+    # registered with the C++ side ahead of consumption; decode workers
+    # write feature values (and page-fault the fresh pages) straight into
+    # them in parallel, so the consumer thread copies nothing — it waits,
+    # wraps the oldest finished set, and submits a replacement. The ring
+    # also IS the loader's backpressure (a worker cannot decode batch k
+    # until set k is submitted).
+    import collections
+    self._ring = collections.deque()
+    self._ended = False
+    for _ in range(self.num_threads + 2):
+      self._submit_set()
 
-  def __next__(self):
-    np, parsers = self._np, self._parsers
-
-    def alloc(spec_map, structs, rows):
-      # np.empty is safe: the C++ side decoded (and prefilled) every row it
-      # returns, rt_loader_next memcpys those rows out, and finalize /
-      # check_presence only touch rows < n — the uninitialized tail of a
-      # partial final batch is sliced away.
-      outputs = {}
-      for i, name in enumerate(sorted(spec_map)):
-        spec = spec_map[name]
-        st = structs[i]
-        presence = None
-        if st.kind == KIND_FIXED_FLOAT:
-          arr = np.empty((rows, st.size), np.float32)
-          st.fout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        elif st.kind in (KIND_FIXED_INT64, KIND_VARLEN_INT64):
-          arr = np.empty((rows, st.size), np.int64)
-          st.lout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
-        else:
-          arr = np.empty((rows, st.size), np.int32)
-          st.iout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        if st.kind in (KIND_FIXED_FLOAT, KIND_FIXED_INT64):
-          presence = np.empty(rows, np.int32)
-          st.present = presence.ctypes.data_as(
-              ctypes.POINTER(ctypes.c_int32))
-        outputs[name] = (arr, spec, presence)
-      return outputs
-
-    ctx_out = alloc(self.context_spec, self._ctx_structs, self.batch_size)
-    ex_out = alloc(self.example_spec, self._ex_structs,
-                   self.batch_size * self.list_size)
-    sizes = np.zeros(self.batch_size, np.int32)
-    n = self._lib.rt_loader_next(
+  def _submit_set(self):
+    ctx_out = self._alloc(self.context_spec, self._ctx_structs,
+                          self.batch_size)
+    ex_out = self._alloc(self.example_spec, self._ex_structs,
+                         self.batch_size * self.list_size)
+    sizes = self._np.zeros(self.batch_size, self._np.int32)
+    self._lib.rt_loader_submit(
         self._handle,
         ctypes.cast(self._ctx_structs, ctypes.POINTER(FeatureSpecStruct)),
         len(self.context_spec),
         ctypes.cast(self._ex_structs, ctypes.POINTER(FeatureSpecStruct)),
         len(self.example_spec),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    self._ring.append((ctx_out, ex_out, sizes))
+
+  def __iter__(self):
+    return self
+
+  def _alloc(self, spec_map, structs, rows):
+    # np.empty is safe: the C++ decode worker prefills + writes every row
+    # it returns (faulting the fresh pages off the consumer thread), and
+    # finalize / check_presence only touch rows < n — the uninitialized
+    # tail of a partial final batch is sliced away. The struct array is
+    # reused across submits: rt_loader_submit copies the pointers out
+    # synchronously.
+    np = self._np
+    outputs = {}
+    for i, name in enumerate(sorted(spec_map)):
+      spec = spec_map[name]
+      st = structs[i]
+      presence = None
+      if st.kind == KIND_FIXED_FLOAT:
+        arr = np.empty((rows, st.size), np.float32)
+        st.fout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+      elif st.kind in (KIND_FIXED_INT64, KIND_VARLEN_INT64):
+        arr = np.empty((rows, st.size), np.int64)
+        st.lout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+      else:
+        arr = np.empty((rows, st.size), np.int32)
+        st.iout = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+      if st.kind in (KIND_FIXED_FLOAT, KIND_FIXED_INT64):
+        presence = np.empty(rows, np.int32)
+        st.present = presence.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32))
+      outputs[name] = (arr, spec, presence)
+    return outputs
+
+  def __next__(self):
+    np, parsers = self._np, self._parsers
+    if self._ended:
+      raise StopIteration
+    n = self._lib.rt_loader_wait(self._handle)
     if n < 0:
       raise ValueError(
           'native loader stream error: a record failed to decode (the '
@@ -641,7 +665,10 @@ class NativeLoader:
           '(truncated read / fstat failure); training on the partial '
           'corpus would be silent data loss')
     if n == 0:
+      self._ended = True
       raise StopIteration
+    ctx_out, ex_out, sizes = self._ring.popleft()
+    self._submit_set()  # keep the decode pipeline primed
 
     sizes = sizes[:n]
     mask = np.arange(self.list_size)[None, :] < sizes[:, None]
@@ -674,8 +701,11 @@ class NativeLoader:
 
   def close(self):
     if getattr(self, '_handle', None):
+      # Destroy first: it joins the worker threads, after which no C++
+      # thread can touch the ring's numpy buffers.
       self._lib.rt_loader_destroy(self._handle)
       self._handle = None
+      self._ring.clear()
 
   def __del__(self):
     try:

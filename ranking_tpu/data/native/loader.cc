@@ -75,14 +75,21 @@ struct OwnedSpec {
   const void* vocab;
 };
 
-struct Batch {
-  // Parallel to the loader's ctx/ex spec lists: one buffer per feature.
-  std::vector<std::vector<float>> ctx_f, ex_f;
-  std::vector<std::vector<int32_t>> ctx_i, ex_i;
-  std::vector<std::vector<int64_t>> ctx_l, ex_l;
-  std::vector<std::vector<int32_t>> ctx_p, ex_p;  // presence counts
-  std::vector<int32_t> sizes;
-  int n_rows = 0;
+// Consumer-owned output buffers for ONE batch (numpy memory registered
+// via rt_loader_submit). Decode workers write feature values, presence
+// counts, and sizes straight into these — the loader holds no
+// intermediate buffers and the consumer thread copies nothing. The
+// decoder's own prefill covers defaults for the n decoded rows; rows
+// beyond n are left as-is and sliced away by the binding.
+struct OutPtr {
+  float* f = nullptr;
+  int32_t* i = nullptr;
+  int64_t* l = nullptr;
+  int32_t* present = nullptr;
+};
+struct BufferSet {
+  std::vector<OutPtr> ctx, ex;  // parallel to the loader's spec lists
+  int32_t* sizes = nullptr;
 };
 
 // One mapped (or read) input file, shared by every in-flight record view
@@ -175,13 +182,19 @@ struct Loader {
 
   // Reader -> decoders (bounded; also bounds total in-flight batches).
   std::deque<Work> work_q;
-  // Decoders -> consumer, keyed by assembly sequence number so the
-  // output order never depends on decode-thread scheduling.
-  std::map<int64_t, Batch> out;
-  int64_t next_seq = 0;   // next sequence number the reader will assign
-  int64_t next_out = 0;   // next sequence number the consumer will take
+  // Consumer-submitted output buffer sets awaiting a decoder, and
+  // finished sequence numbers (seq -> decoded row count), both keyed by
+  // assembly sequence number so the output order never depends on
+  // decode-thread scheduling. A worker holding work seq s waits for
+  // bufs[s]; the consumer submits sets in order, so the oldest pending
+  // work always has (or is about to get) its buffers — deadlock-free.
+  std::map<int64_t, BufferSet> bufs;
+  std::map<int64_t, int> done;
+  int64_t next_seq = 0;     // next sequence number the reader will assign
+  int64_t next_submit = 0;  // next sequence number a submit will bind to
+  int64_t next_out = 0;     // next sequence number the consumer will take
   std::mutex mu;
-  std::condition_variable cv_work, cv_space, cv_out;
+  std::condition_variable cv_work, cv_space, cv_out, cv_bufs;
   bool reader_done = false;
   int live_decoders = 0;
   std::atomic<bool> stop{false}, error{false};
@@ -198,33 +211,23 @@ struct Loader {
     cv_work.notify_all();
     cv_space.notify_all();
     cv_out.notify_all();
+    cv_bufs.notify_all();
     for (auto& t : threads)
       if (t.joinable()) t.join();
   }
 };
 
-// Decodes one record batch into a Batch via rt_decode_elwc_batch.
-bool decode_batch(Loader* L, std::vector<RecordRef>& records, Batch* out) {
+// Decodes one record batch DIRECTLY into the consumer's registered
+// buffers (no intermediate copy; rt_decode_*_batch's own prefill covers
+// defaults and presence for the n decoded rows).
+bool decode_into(Loader* L, std::vector<RecordRef>& records,
+                 BufferSet& set) {
   int n = static_cast<int>(records.size());
-  out->n_rows = n;
-  out->sizes.assign(n, 0);
   std::vector<FeatureSpec> ctx(L->ctx_specs.size());
   std::vector<FeatureSpec> ex(L->ex_specs.size());
-  out->ctx_f.resize(L->ctx_specs.size());
-  out->ctx_i.resize(L->ctx_specs.size());
-  out->ctx_l.resize(L->ctx_specs.size());
-  out->ctx_p.resize(L->ctx_specs.size());
-  out->ex_f.resize(L->ex_specs.size());
-  out->ex_i.resize(L->ex_specs.size());
-  out->ex_l.resize(L->ex_specs.size());
-  out->ex_p.resize(L->ex_specs.size());
-
-  auto fill = [&](const std::vector<OwnedSpec>& specs,
-                  std::vector<FeatureSpec>& c_specs,
-                  std::vector<std::vector<float>>& fbufs,
-                  std::vector<std::vector<int32_t>>& ibufs,
-                  std::vector<std::vector<int64_t>>& lbufs,
-                  std::vector<std::vector<int32_t>>& pbufs, size_t rows) {
+  auto build = [&](const std::vector<OwnedSpec>& specs,
+                   const std::vector<OutPtr>& ptrs,
+                   std::vector<FeatureSpec>& c_specs) {
     for (size_t s = 0; s < specs.size(); ++s) {
       c_specs[s].name = specs[s].name.c_str();
       c_specs[s].kind = specs[s].kind;
@@ -232,26 +235,14 @@ bool decode_batch(Loader* L, std::vector<RecordRef>& records, Batch* out) {
       c_specs[s].buckets = specs[s].buckets;
       c_specs[s].default_value = specs[s].default_value;
       c_specs[s].vocab = specs[s].vocab;
-      c_specs[s].fout = nullptr;
-      c_specs[s].iout = nullptr;
-      c_specs[s].lout = nullptr;
-      if (specs[s].kind == 0) {
-        fbufs[s].assign(rows * specs[s].size, 0.0f);
-        c_specs[s].fout = fbufs[s].data();
-      } else if (specs[s].kind <= 2) {
-        lbufs[s].assign(rows * specs[s].size, 0);
-        c_specs[s].lout = lbufs[s].data();
-      } else {
-        ibufs[s].assign(rows * specs[s].size, -1);
-        c_specs[s].iout = ibufs[s].data();
-      }
-      pbufs[s].assign(rows, 0);
-      c_specs[s].present = pbufs[s].data();
+      c_specs[s].fout = ptrs[s].f;
+      c_specs[s].iout = ptrs[s].i;
+      c_specs[s].lout = ptrs[s].l;
+      c_specs[s].present = ptrs[s].present;
     }
   };
-  fill(L->ctx_specs, ctx, out->ctx_f, out->ctx_i, out->ctx_l, out->ctx_p, n);
-  fill(L->ex_specs, ex, out->ex_f, out->ex_i, out->ex_l, out->ex_p,
-       static_cast<size_t>(n) * L->list_size);
+  build(L->ctx_specs, set.ctx, ctx);
+  build(L->ex_specs, set.ex, ex);
 
   std::vector<const uint8_t*> recs(n);
   std::vector<int64_t> lens(n);
@@ -263,7 +254,7 @@ bool decode_batch(Loader* L, std::vector<RecordRef>& records, Batch* out) {
   return decode(recs.data(), lens.data(), n, L->list_size,
                 ctx.data(), static_cast<int>(ctx.size()),
                 ex.data(), static_cast<int>(ex.size()),
-                out->sizes.data()) == 0;
+                set.sizes) == 0;
 }
 
 // Reader-thread side: enqueue one assembled record batch for decoding.
@@ -279,48 +270,54 @@ void push_work(Loader* L, std::vector<RecordRef>&& records) {
 }
 
 void decode_loop(Loader* L) {
-  // Backpressure on the reorder buffer: without it a slow consumer lets
-  // the decoders drain the whole dataset into `out`. Deadlock-free:
-  // work is popped in sequence order, so the batch the consumer is
-  // waiting for is never behind a blocked decoder — it is either being
-  // decoded (that decode always completes and emplaces regardless of
-  // this bound) or already in `out`.
-  const int out_bound = L->ring_capacity + L->num_threads;
+  // Backpressure is the consumer's buffer ring: a worker cannot start a
+  // decode until the consumer has registered output buffers for that
+  // sequence number (the consumer keeps K sets outstanding), so at most
+  // K batches are ever in flight past the work queue. Deadlock-free:
+  // work is popped in sequence order and buffers are submitted in
+  // sequence order, so the oldest pending work always has its buffers.
   for (;;) {
     Work w;
+    BufferSet set;
     {
       std::unique_lock<std::mutex> lock(L->mu);
       L->cv_work.wait(lock, [&] {
         return L->stop || (L->work_q.empty() && L->reader_done) ||
-               (!L->work_q.empty() &&
-                static_cast<int>(L->out.size()) < out_bound);
+               !L->work_q.empty();
       });
       if (L->stop || (L->work_q.empty() && L->reader_done)) break;
-      if (L->work_q.empty() ||
-          static_cast<int>(L->out.size()) >= out_bound)
-        continue;
       w = std::move(L->work_q.front());
       L->work_q.pop_front();
     }
     L->cv_space.notify_one();
-    Batch b;
-    bool ok = decode_batch(L, w.records, &b);
+    {
+      std::unique_lock<std::mutex> lock(L->mu);
+      L->cv_bufs.wait(lock, [&] {
+        return L->stop || L->bufs.count(w.seq) != 0;
+      });
+      if (L->stop) break;
+      auto it = L->bufs.find(w.seq);
+      set = std::move(it->second);
+      L->bufs.erase(it);
+    }
+    bool ok = decode_into(L, w.records, set);
     {
       std::lock_guard<std::mutex> lock(L->mu);
       if (!ok) {
-        // Data corruption: surface it to the consumer (rt_loader_next
+        // Data corruption: surface it to the consumer (rt_loader_wait
         // returns -1 -> Python raises) — the one-shot decode path raises
         // for the same input, and the two paths must match in strictness.
         L->error = true;
         L->stop = true;
       } else {
-        L->out.emplace(w.seq, std::move(b));
+        L->done.emplace(w.seq, static_cast<int>(w.records.size()));
       }
     }
     if (!ok) {
       L->cv_out.notify_all();
       L->cv_work.notify_all();
       L->cv_space.notify_all();
+      L->cv_bufs.notify_all();
       break;
     }
     L->cv_out.notify_all();
@@ -469,53 +466,50 @@ void* rt_loader_create(const char** paths, int n_paths,
 // (FeatureSpec.fout/iout point at numpy arrays sized for a full batch).
 // Returns the number of real rows (0 = end of stream, -1 = a record
 // failed to decode).
-int rt_loader_next(void* handle, FeatureSpec* ctx_specs, int n_ctx,
-                   FeatureSpec* ex_specs, int n_ex, int32_t* sizes_out) {
+// Registers one set of consumer-owned output buffers (numpy memory) for
+// the next unbound sequence number. The caller must keep the buffers
+// alive until rt_loader_wait has returned for that sequence number (or
+// the loader is destroyed). Pointer fields (fout/iout/lout/present) are
+// copied out of the spec structs immediately; the structs themselves may
+// be reused for the next submit.
+int rt_loader_submit(void* handle, FeatureSpec* ctx_specs, int n_ctx,
+                     FeatureSpec* ex_specs, int n_ex, int32_t* sizes_out) {
   auto* L = static_cast<Loader*>(handle);
-  Batch b;
+  BufferSet set;
+  set.ctx.resize(n_ctx);
+  for (int s = 0; s < n_ctx; ++s)
+    set.ctx[s] = OutPtr{ctx_specs[s].fout, ctx_specs[s].iout,
+                        ctx_specs[s].lout, ctx_specs[s].present};
+  set.ex.resize(n_ex);
+  for (int s = 0; s < n_ex; ++s)
+    set.ex[s] = OutPtr{ex_specs[s].fout, ex_specs[s].iout,
+                       ex_specs[s].lout, ex_specs[s].present};
+  set.sizes = sizes_out;
   {
-    std::unique_lock<std::mutex> lock(L->mu);
-    L->cv_out.wait(lock, [&] {
-      return L->stop || L->out.count(L->next_out) ||
-             (L->reader_done && L->work_q.empty() && L->live_decoders == 0);
-    });
-    auto it = L->out.find(L->next_out);
-    if (it == L->out.end()) return L->error ? -1 : 0;
-    b = std::move(it->second);
-    L->out.erase(it);
-    ++L->next_out;
+    std::lock_guard<std::mutex> lock(L->mu);
+    L->bufs.emplace(L->next_submit++, std::move(set));
   }
-  // Reorder-buffer space freed: decoders gated on the out_bound wake.
-  L->cv_work.notify_all();
+  L->cv_bufs.notify_all();
+  return 0;
+}
 
-  auto emitout = [&](FeatureSpec* specs, int n,
-                     std::vector<std::vector<float>>& fbufs,
-                     std::vector<std::vector<int32_t>>& ibufs,
-                     std::vector<std::vector<int64_t>>& lbufs,
-                     std::vector<std::vector<int32_t>>& pbufs) {
-    for (int s = 0; s < n; ++s) {
-      if (specs[s].fout && s < static_cast<int>(fbufs.size()) &&
-          !fbufs[s].empty())
-        std::memcpy(specs[s].fout, fbufs[s].data(),
-                    fbufs[s].size() * sizeof(float));
-      if (specs[s].iout && s < static_cast<int>(ibufs.size()) &&
-          !ibufs[s].empty())
-        std::memcpy(specs[s].iout, ibufs[s].data(),
-                    ibufs[s].size() * sizeof(int32_t));
-      if (specs[s].lout && s < static_cast<int>(lbufs.size()) &&
-          !lbufs[s].empty())
-        std::memcpy(specs[s].lout, lbufs[s].data(),
-                    lbufs[s].size() * sizeof(int64_t));
-      if (specs[s].present && s < static_cast<int>(pbufs.size()) &&
-          !pbufs[s].empty())
-        std::memcpy(specs[s].present, pbufs[s].data(),
-                    pbufs[s].size() * sizeof(int32_t));
-    }
-  };
-  emitout(ctx_specs, n_ctx, b.ctx_f, b.ctx_i, b.ctx_l, b.ctx_p);
-  emitout(ex_specs, n_ex, b.ex_f, b.ex_i, b.ex_l, b.ex_p);
-  std::memcpy(sizes_out, b.sizes.data(), b.sizes.size() * sizeof(int32_t));
-  return b.n_rows;
+// Blocks until the oldest submitted buffer set is filled; returns its
+// decoded row count (0 = end of stream, -1 = stream error). Fill order
+// is the submit order (the reorder map keys decode completion by
+// sequence number), so the caller pops its oldest outstanding set.
+int rt_loader_wait(void* handle) {
+  auto* L = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lock(L->mu);
+  L->cv_out.wait(lock, [&] {
+    return L->stop || L->done.count(L->next_out) ||
+           (L->reader_done && L->work_q.empty() && L->live_decoders == 0);
+  });
+  auto it = L->done.find(L->next_out);
+  if (it == L->done.end()) return L->error ? -1 : 0;
+  int n = it->second;
+  L->done.erase(it);
+  ++L->next_out;
+  return n;
 }
 
 void rt_loader_destroy(void* handle) {

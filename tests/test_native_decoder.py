@@ -213,6 +213,35 @@ def test_native_loader_skip_batches_bitwise(tmp_path):
       np.testing.assert_array_equal(a.mask, b.mask)
 
 
+def test_native_loader_abandoned_mid_stream(tmp_path):
+  """Dropping the loader with batches undrained (and decode workers
+  potentially blocked on the direct-write buffer ring) must join cleanly
+  — close() destroys the C++ side before the ring's numpy buffers go."""
+  from ranking_tpu.data import native
+
+  recs = [proto.make_elwc({}, [{'uid': [float(i)], 'rel': [1]}]
+                          ).SerializeToString() for i in range(40)]
+  path = str(tmp_path / 'abandon.tfrecord')
+  tfrecord.write_records(path, recs)
+  spec = {'uid': FixedLenFeature(shape=(1,), dtype='float32',
+                                 default_value=-7.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64',
+                                 default_value=0)}
+  for consumed in (0, 1, 3):
+    loader = native.NativeLoader([path], {}, spec, batch_size=4,
+                                 list_size=2, shuffle=False, epochs=50,
+                                 num_threads=3)
+    for _ in range(consumed):
+      next(loader)
+    loader.close()  # joins reader + workers; must not hang or crash
+  # And plain GC-driven teardown (__del__ path).
+  loader = native.NativeLoader([path], {}, spec, batch_size=4,
+                               list_size=2, shuffle=False, epochs=50,
+                               num_threads=2)
+  next(loader)
+  del loader
+
+
 def test_python_stream_skip_batches_bitwise(tmp_path):
   """The python engine's skip_batches has the same bitwise-suffix
   contract (record batches are pulled through the seeded shuffle and
