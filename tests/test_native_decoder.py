@@ -304,6 +304,53 @@ def test_native_sequence_example_matches_python():
   np.testing.assert_array_equal(nat.examples['rel'], py.examples['rel'])
 
 
+def test_native_loader_sequence_example_stream(tmp_path):
+  """The STREAMING loader (direct-write ring) on sequence_example format
+  == the python build_ranking_dataset stream."""
+  from ranking_tpu.data import build_ranking_dataset
+  from ranking_tpu.data.dataset import native_ranking_dataset
+
+  rng = np.random.RandomState(4)
+  recs = []
+  for _ in range(13):
+    seq = proto.SequenceExample()
+    seq.context.feature['q'].float_list.value.append(float(rng.randn()))
+    fl = seq.feature_lists.feature_list['f']
+    flr = seq.feature_lists.feature_list['rel']
+    for _ in range(rng.randint(1, 5)):
+      fl.feature.add().float_list.value.extend(
+          [float(v) for v in rng.randn(2)])
+      flr.feature.add().int64_list.value.append(int(rng.randint(0, 4)))
+    recs.append(seq.SerializeToString())
+  path = str(tmp_path / 'seq.tfrecord')
+  tfrecord.write_records(path, recs)
+
+  kwargs = dict(
+      batch_size=4,
+      context_feature_spec={'q': FixedLenFeature(shape=(1,),
+                                                 dtype='float32',
+                                                 default_value=0.0)},
+      example_feature_spec={
+          'f': FixedLenFeature(shape=(2,), dtype='float32',
+                               default_value=0.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64',
+                                 default_value=0)},
+      label_feature_name='rel', list_size=3, epochs=1, shuffle=False,
+      drop_remainder=False)
+  nat = list(native_ranking_dataset(path,
+                                    data_format='sequence_example',
+                                    num_threads=2, **kwargs))
+  py = list(build_ranking_dataset(path, data_format='sequence_example',
+                                  **kwargs))
+  assert len(nat) == len(py) == 4  # 13 records -> 3 full + partial(1)
+  for a, b in zip(nat, py):
+    np.testing.assert_array_equal(a.labels, b.labels)
+    np.testing.assert_array_equal(a.mask, b.mask)
+    np.testing.assert_allclose(a.examples['f'], b.examples['f'],
+                               rtol=1e-6)
+    np.testing.assert_allclose(a.context['q'], b.context['q'], rtol=1e-6)
+
+
 def test_native_eie_matches_python():
   rng = np.random.RandomState(8)
   recs = []
