@@ -31,6 +31,21 @@ class PipelineHparams:
   best_exporter_metric_higher_better: bool = False
   best_exporter_metric: str = 'loss'
   automatic_reduce_lr: bool = False
+  # LR schedule. The reference has two generations: keras = constant +
+  # ReduceLROnPlateau (automatic_reduce_lr above); the Orbit/TFR-BERT
+  # generation = linear warmup + polynomial decay to 0
+  # (examples/keras/tfrbert_antique_train_config.yaml:23-39). 'constant'
+  # (default) | 'linear_decay' (polynomial power 1 from learning_rate to
+  # end_learning_rate over the remaining num_epochs*steps_per_epoch) |
+  # 'cosine_decay'. warmup_steps > 0 prepends a 0 -> learning_rate
+  # linear ramp (the recipe's ~10% of train_steps). Mutually exclusive
+  # with automatic_reduce_lr (which owns the LR at epoch granularity).
+  lr_schedule: str = 'constant'
+  warmup_steps: int = 0
+  end_learning_rate: float = 0.0
+  # Global-norm gradient clipping (0 = off) — standard for the BERT
+  # fine-tune recipes.
+  gradient_clip_norm: float = 0.0
   early_stopping_patience: int = 0
   early_stopping_min_delta: float = 0.0
   use_weighted_metrics: bool = False
@@ -109,10 +124,48 @@ def from_yaml(path: str):
                                                      'dataset')
 
 
+def lr_schedule_from_hparams(hparams: PipelineHparams):
+  """The per-step learning-rate schedule, or a float for constant LR."""
+  import optax
+  kind = hparams.lr_schedule.lower()
+  lr = hparams.learning_rate
+  warmup = max(0, int(hparams.warmup_steps))
+  if kind not in ('constant', 'linear_decay', 'cosine_decay'):
+    raise ValueError(
+        f'Unknown lr_schedule {hparams.lr_schedule!r}; one of constant, '
+        'linear_decay, cosine_decay')
+  if kind != 'constant' or warmup:
+    if hparams.automatic_reduce_lr:
+      raise ValueError(
+          'lr_schedule/warmup_steps and automatic_reduce_lr are mutually '
+          'exclusive: the plateau hook owns the LR at epoch granularity')
+  if kind == 'constant' and not warmup:
+    return lr
+  total = max(1, hparams.num_epochs * hparams.steps_per_epoch)
+  decay_steps = max(1, total - warmup)
+  if kind == 'linear_decay':
+    # The reference TFR-BERT recipe: polynomial power 1 to
+    # end_learning_rate (tfrbert_antique_train_config.yaml:24-31).
+    decay = optax.polynomial_schedule(
+        init_value=lr, end_value=hparams.end_learning_rate, power=1.0,
+        transition_steps=decay_steps)
+  elif kind == 'cosine_decay':
+    decay = optax.cosine_decay_schedule(
+        init_value=lr, decay_steps=decay_steps,
+        alpha=(hparams.end_learning_rate / lr) if lr else 0.0)
+  else:
+    decay = optax.constant_schedule(lr)
+  if not warmup:
+    return decay
+  ramp = optax.linear_schedule(init_value=0.0, end_value=lr,
+                               transition_steps=warmup)
+  return optax.join_schedules([ramp, decay], [warmup])
+
+
 def optimizer_from_hparams(hparams: PipelineHparams):
   import optax
   name = hparams.optimizer.lower()
-  lr = hparams.learning_rate
+  lr = lr_schedule_from_hparams(hparams)
   if name == 'lazy_adam':  # dense params ride plain adam
     name = 'adam'
   elif name == 'lazy_adagrad':  # dense params ride plain adagrad
@@ -121,12 +174,25 @@ def optimizer_from_hparams(hparams: PipelineHparams):
                'sgd': optax.sgd, 'adamw': optax.adamw}
   if name not in factories:
     raise ValueError(f'Unknown optimizer {hparams.optimizer!r}')
+  clip = (float(hparams.gradient_clip_norm)
+          if hparams.gradient_clip_norm and hparams.gradient_clip_norm > 0
+          else None)
   if hparams.automatic_reduce_lr:
     # Hyperparam-injected form: the pipeline's plateau logic rewrites
     # opt_state.hyperparams['learning_rate'] between epochs
-    # (ReduceLROnPlateau analog, keras/pipeline.py:512-517).
-    return optax.inject_hyperparams(factories[name])(learning_rate=lr)
-  return factories[name](lr)
+    # (ReduceLROnPlateau analog, keras/pipeline.py:512-517). Clipping
+    # goes INSIDE the injected factory so opt_state.hyperparams stays
+    # the top-level state the plateau hook expects.
+    def factory(learning_rate):
+      tx = factories[name](learning_rate)
+      if clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+      return tx
+    return optax.inject_hyperparams(factory)(learning_rate=lr)
+  tx = factories[name](lr)
+  if clip is not None:
+    tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+  return tx
 
 
 def sparse_optimizer_from_hparams(hparams: PipelineHparams):
@@ -142,6 +208,13 @@ def sparse_optimizer_from_hparams(hparams: PipelineHparams):
     raise ValueError(
         f"optimizer={name!r} does not support automatic_reduce_lr "
         '(the plateau hook rewrites only the dense optax state)')
+  if (hparams.lr_schedule.lower() != 'constant' or hparams.warmup_steps
+      or (hparams.gradient_clip_norm and hparams.gradient_clip_norm > 0)):
+    raise ValueError(
+        f'optimizer={name!r} supports constant learning rate only: the '
+        'sparse row updates apply hparams.learning_rate directly, so a '
+        'schedule/warmup/clip would silently diverge between the dense '
+        'and sparse parameter groups')
   from ranking_tpu.train.sparse import LazyAdagrad, LazyAdam
   # Tables sharded over 'model' must not route through the local DMA
   # scatter kernel (see LazyAdam.dma_scatter).

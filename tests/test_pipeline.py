@@ -111,6 +111,73 @@ def test_pipeline_resumes_from_checkpoint(tmp_path):
   assert int(pipe2.final_state.step) == 9
 
 
+def test_lr_schedule_and_clipping(tmp_path):
+  """lr_schedule: warmup + linear decay per the reference TFR-BERT
+  recipe (tfrbert_antique_train_config.yaml:23-39: polynomial power 1 to
+  0, ~10% warmup), cosine variant, gradient_clip_norm, and the guards
+  (plateau exclusivity, lazy-optimizer constant-LR-only)."""
+  from ranking_tpu.pipeline.hparams import (lr_schedule_from_hparams,
+                                            optimizer_from_hparams,
+                                            sparse_optimizer_from_hparams)
+
+  def hp(**kw):
+    return _hparams(tmp_path, **kw)
+
+  # Constant stays a float (optax factories take either).
+  assert lr_schedule_from_hparams(hp()) == 0.05
+
+  # Warmup + linear decay: ramp 0 -> lr over warmup, then linear to end.
+  sched = lr_schedule_from_hparams(hp(
+      num_epochs=10, steps_per_epoch=10, lr_schedule='linear_decay',
+      warmup_steps=10, end_learning_rate=0.0))
+  assert np.isclose(float(sched(0)), 0.0)
+  assert np.isclose(float(sched(5)), 0.025)
+  assert np.isclose(float(sched(10)), 0.05)
+  mid = float(sched(55))  # halfway through the 90 decay steps
+  assert 0.0 < mid < 0.05
+  assert np.isclose(float(sched(100)), 0.0, atol=1e-9)
+
+  sched = lr_schedule_from_hparams(hp(
+      num_epochs=10, steps_per_epoch=10, lr_schedule='cosine_decay'))
+  assert np.isclose(float(sched(0)), 0.05)
+  assert float(sched(100)) < 1e-8
+
+  with pytest.raises(ValueError, match='Unknown lr_schedule'):
+    lr_schedule_from_hparams(hp(lr_schedule='exponential'))
+  with pytest.raises(ValueError, match='mutually'):
+    lr_schedule_from_hparams(hp(lr_schedule='linear_decay',
+                                automatic_reduce_lr=True))
+  with pytest.raises(ValueError, match='constant learning rate only'):
+    sparse_optimizer_from_hparams(hp(optimizer='lazy_adam',
+                                     lr_schedule='linear_decay'))
+
+  # Clipping: a huge gradient updates by at most ~clip_norm * lr (sgd).
+  import jax.numpy as jnp
+  import optax
+  tx = optimizer_from_hparams(hp(optimizer='sgd', learning_rate=1.0,
+                                 gradient_clip_norm=1.0))
+  params = {'w': jnp.zeros(4)}
+  grads = {'w': jnp.full(4, 1e6)}
+  updates, _ = tx.update(grads, tx.init(params), params)
+  assert np.isclose(float(jnp.linalg.norm(updates['w'])), 1.0, rtol=1e-5)
+
+  # Plateau + clipping compose: hyperparams stays the top-level state.
+  tx = optimizer_from_hparams(hp(automatic_reduce_lr=True,
+                                 gradient_clip_norm=1.0))
+  state = tx.init(params)
+  assert 'learning_rate' in state.hyperparams
+
+
+def test_pipeline_trains_with_lr_schedule(tmp_path):
+  pipe = pipeline.SimplePipeline(
+      _model(), _builder(),
+      _hparams(tmp_path, lr_schedule='linear_decay', warmup_steps=2,
+               gradient_clip_norm=5.0))
+  history = pipe.train_and_validate()
+  assert np.isfinite(history['loss'])
+  assert int(pipe.final_state.step) == 6
+
+
 def test_resume_dataset_bitwise_identical(tmp_path):
   """hparams.resume_dataset: interrupted-and-resumed training consumes
   exactly the uninterrupted run's batch sequence (the stream is seed-
