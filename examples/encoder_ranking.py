@@ -42,6 +42,13 @@ def parse_args():
                       '(lower peak HBM, ~1/3 extra FLOPs)')
   p.add_argument('--loss', default='softmax_loss')
   p.add_argument('--learning_rate', type=float, default=1e-3)
+  # The reference TFR-BERT recipe trains adamw + linear decay to 0 with
+  # ~10% linear warmup (tfrbert_antique_train_config.yaml:23-39).
+  p.add_argument('--optimizer', default='adam')
+  p.add_argument('--lr_schedule', default='constant',
+                 choices=['constant', 'linear_decay', 'cosine_decay'])
+  p.add_argument('--warmup_steps', type=int, default=0)
+  p.add_argument('--gradient_clip_norm', type=float, default=0.0)
   p.add_argument('--num_epochs', type=int, default=2)
   p.add_argument('--steps_per_epoch', type=int, default=5)
   p.add_argument('--validation_steps', type=int, default=2)
@@ -204,6 +211,10 @@ def main():
       steps_per_epoch=args.steps_per_epoch,
       validation_steps=args.validation_steps,
       learning_rate=args.learning_rate,
+      optimizer=args.optimizer,
+      lr_schedule=args.lr_schedule,
+      warmup_steps=args.warmup_steps,
+      gradient_clip_norm=args.gradient_clip_norm,
       loss=args.loss)
 
   pipe = pipeline.SimplePipeline(model, builder, hparams)

@@ -150,6 +150,9 @@ def test_encoder_ranking_example(tmp_path, monkeypatch, capsys):
       '--vocab_buckets=200', '--hidden_dim=16', '--num_layers=1',
       '--num_heads=2', '--num_epochs=1', '--steps_per_epoch=2',
       '--validation_steps=1',
+      # The TFR-BERT recipe knobs (adamw + warmup + linear decay + clip).
+      '--optimizer=adamw', '--lr_schedule=linear_decay',
+      '--warmup_steps=1', '--gradient_clip_norm=1.0',
   ])
   assert 'final:' in out
 
