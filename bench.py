@@ -395,15 +395,24 @@ def cpu_e2e_child():
   key = jax.random.PRNGKey(1)
   state, metrics = multi(state, stacked, key)
   float(metrics['loss'][-1])
-  best = 0.0
-  for _ in range(2):
-    t0 = time.perf_counter()
-    state, metrics = multi(state, stacked, key)
-    float(metrics['loss'][-1])
-    best = max(best, BATCH * scan_iters / (time.perf_counter() - t0))
-  print(f'CPUSYNTH {best:.2f}', flush=True)
 
+  def synth_rate():
+    nonlocal state
+    best = 0.0
+    for _ in range(2):
+      t0 = time.perf_counter()
+      state, metrics = multi(state, stacked, key)
+      float(metrics['loss'][-1])
+      best = max(best, BATCH * scan_iters / (time.perf_counter() - t0))
+    return best
+
+  # Interleave synthetic measurements around the e2e pass (the parent
+  # keeps the max): this shared VM varies identical runs 1.5x+, and a
+  # transient slowdown during one synthetic window once produced an
+  # e2e/synthetic fraction > 1.
+  print(f'CPUSYNTH {synth_rate():.2f}', flush=True)
   e2e(mesh, loss_fn, n_chips=1, variants=(('e2e_cpu', 'f32'),))
+  print(f'CPUSYNTH {synth_rate():.2f}', flush=True)
 
 
 def main():
@@ -453,7 +462,9 @@ def main():
     elif parts[0] == 'DEVMS':
       devms_by_tag[parts[1]] = float(parts[2])
     elif parts[0] == 'CPUSYNTH':
-      extras['synthetic_cpu_value'] = float(parts[1])
+      # Interleaved around the e2e pass; keep the cleanest (max) window.
+      extras['synthetic_cpu_value'] = max(
+          extras.get('synthetic_cpu_value', 0.0), float(parts[1]))
     elif parts[0] == 'DEVKIND':
       extras['device_kind'] = ' '.join(parts[1:])
 
