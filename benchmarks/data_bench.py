@@ -86,20 +86,25 @@ def web30k_curve():
   # registered numpy buffers, no intermediate copy) lifted it from
   # ~10.7k to ~58k lists/s at this shape.
   from ranking_tpu.data import native as native_mod
+  # num_threads=6 -> a ring of 8 pre-registered buffer sets; drain
+  # exactly that many so the timed window measures ONLY the consumer
+  # wrap cost, never a live decode racing the drain.
   loader = native_mod.NativeLoader(
       sorted(__import__('glob').glob(
           os.path.join(corpus_dir, 'part-*.tfrecord'))),
       specs['context_feature_spec'], specs['example_feature_spec'],
       batch_size=128, list_size=e2e_common.LIST_SIZE, shuffle=False,
-      epochs=3, num_threads=3, ring_capacity=8)
+      epochs=3, num_threads=6, ring_capacity=8)
   next(loader)
-  time.sleep(2.0)
-  t0 = time.perf_counter()
-  drain = 10
-  for _ in range(drain):
-    next(loader)
-  out['consumer_ceiling_lists_per_s'] = round(
-      128 * drain / (time.perf_counter() - t0))
+  best = 0.0
+  drain = 8
+  for _ in range(3):  # best-of-3 drains: shared-VM noise swings 10x
+    time.sleep(1.5)  # let the workers fill every submitted buffer set
+    t0 = time.perf_counter()
+    for _ in range(drain):
+      next(loader)
+    best = max(best, 128 * drain / (time.perf_counter() - t0))
+  out['consumer_ceiling_lists_per_s'] = round(best)
   loader.close()
 
   # Extrapolated decode-core count to feed the chip. On a host with few

@@ -213,22 +213,33 @@ def main():
       if k in prev:
         out[k] = prev[k]
   for kind in [s.strip() for s in args.sides.split(',') if s.strip()]:
-    child = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), f'--child={kind}'],
-        capture_output=True, text=True, timeout=1200)
     row = None
-    for line in child.stdout.splitlines():
-      if line.startswith('CHILD '):
-        row = json.loads(line[len('CHILD '):])
+    for attempt in range(2):  # the axon tunnel can hang a device fetch
+      try:
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), f'--child={kind}'],
+            capture_output=True, text=True, timeout=1200)
+      except subprocess.TimeoutExpired:
+        print(json.dumps({names[kind]: f'timeout (attempt {attempt + 1})'}),
+              flush=True)
+        continue
+      for line in child.stdout.splitlines():
+        if line.startswith('CHILD '):
+          row = json.loads(line[len('CHILD '):])
+      if row is not None:
+        break
+      print(json.dumps({names[kind]:
+                        f'no CHILD line rc={child.returncode} '
+                        f'(attempt {attempt + 1})'}), flush=True)
+      sys.stderr.write(child.stdout[-2000:] + child.stderr[-2000:])
     if row is None:
-      raise RuntimeError(
-          f'{kind} child produced no CHILD line (rc={child.returncode}):\n'
-          f'{child.stdout[-2000:]}\n{child.stderr[-2000:]}')
+      continue  # keep the other sides' rows; this one keeps its old row
     out[names[kind]] = row
     print(json.dumps({names[kind]: row}), flush=True)
+    # Incremental write: a later side hanging must not lose earlier rows.
+    with open(RESULT, 'w') as f:
+      json.dump(out, f, indent=2)
 
-  with open(RESULT, 'w') as f:
-    json.dump(out, f, indent=2)
   print(json.dumps({'done': True}))
 
 

@@ -296,8 +296,11 @@ def _row(train_wall, steps, eval_wall, best_chunk, metrics, backend):
       'train_steps': steps,
       'train_lists_per_s': round(steps * BATCH / train_wall, 1),
       # Best CHUNK_STEPS window: the de-noised rate (this host is a
-      # shared VM; whole-epoch walls of IDENTICAL runs vary 1.5x).
-      'train_lists_per_s_best_chunk': round(best_chunk, 1),
+      # shared VM; whole-epoch walls of IDENTICAL runs vary 1.5x). Runs
+      # shorter than one chunk (--steps-cap < 32) fall back to the
+      # whole-run rate instead of reporting 0.
+      'train_lists_per_s_best_chunk': round(
+          best_chunk or steps * BATCH / train_wall, 1),
       'eval_wall_s': round(eval_wall, 1),
       **{k: round(v, 4) for k, v in metrics.items()},
   }

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import concurrent.futures
 import glob as glob_lib
-import itertools
 import queue
 import threading
 from typing import (Any, Callable, Dict, Iterable, Iterator, List, Mapping,
@@ -248,8 +247,10 @@ def build_ranking_dataset(
   if shuffle:
     stream = _shuffled(stream, shuffle_buffer_size, rng)
   batches = _batched(stream, batch_size, drop_remainder)
-  if skip_batches:
-    batches = itertools.islice(batches, int(skip_batches), None)
+  # skip_batches is applied inside _fill, NOT by slicing `batches`: the
+  # per-batch shuffle_examples seed draws must still occur for skipped
+  # batches, or the shared rng stream shifts and the post-skip batches
+  # diverge from batches[skip:] of an unskipped run.
 
   warned_fallback = [False]
 
@@ -335,9 +336,11 @@ def build_ranking_dataset(
       # truncates the dataset: enqueue the exception itself.
       sentinel = None
       try:
-        for recs in it:
+        for index, recs in enumerate(it):
           seed = (int(rng.randint((1 << 31) - 1))
                   if shuffle_examples else None)
+          if index < skip_batches:
+            continue  # parse-free fast-forward; rng draws stay aligned
           try:
             fut = pool.submit(_parse, recs, seed)
           except RuntimeError:
@@ -401,7 +404,12 @@ def native_ranking_dataset(
   ``skip_batches``: decode-free fast-forward (pipeline ``resume_dataset``)
   — the C++ reader drops the leading record batches at mmap-scan speed
   (~2M rec/s); the stream continues bitwise-equal to
-  ``batches[skip_batches:]`` of an unskipped run."""
+  ``batches[skip_batches:]`` of an unskipped run.
+
+  Validation (globbing, spec support, NativeLoader construction) happens
+  EAGERLY at call time, not at first ``next()`` — the pipeline's 'auto'
+  engine relies on catching ``ValueError`` here to fall back to the
+  python stream if ``loader_supported`` ever drifts permissive."""
   from ranking_tpu.data import native
   paths = sorted(glob_lib.glob(file_pattern))
   if not paths:
@@ -416,15 +424,19 @@ def native_ranking_dataset(
       drop_remainder=drop_remainder, seed=seed or 0,
       data_format=data_format, num_threads=num_threads,
       skip_batches=skip_batches)
-  try:
-    for parsed in loader:
-      yield parsed_to_batch(
-          parsed, label_feature_name,
-          convert_labels_to_binary=convert_labels_to_binary,
-          mask_feature_name=mask_feature_name,
-          size_feature_name=size_feature_name)
-  finally:
-    loader.close()
+
+  def _gen():
+    try:
+      for parsed in loader:
+        yield parsed_to_batch(
+            parsed, label_feature_name,
+            convert_labels_to_binary=convert_labels_to_binary,
+            mask_feature_name=mask_feature_name,
+            size_feature_name=size_feature_name)
+    finally:
+      loader.close()
+
+  return _gen()
 
 
 def in_memory_batches(

@@ -385,12 +385,27 @@ class SimplePipeline:
       # pulling and discarding decoded batches.
       import inspect
       skip = int(state.step)
+      # The guarantee needs a seed-deterministic stream: a builder whose
+      # seed is None re-shuffles differently on every construction (the
+      # python engine's RandomState(None)), which would silently re-train
+      # on seen batches while promising bitwise resume.
+      if (hasattr(self.dataset_builder, 'seed')
+          and self.dataset_builder.seed is None):
+        raise ValueError(
+            'resume_dataset=True requires a seeded dataset builder '
+            '(seed=None re-shuffles differently on every construction, '
+            'so the fast-forwarded stream would not match the '
+            'interrupted run); pass an explicit seed to the builder')
       try:
         fast = ('skip_batches' in inspect.signature(
             self.dataset_builder.train_batches).parameters)
       except (TypeError, ValueError):
         fast = False
       if fast:
+        # Release the already-open stream (its C++ reader/decoder threads
+        # and buffered batches) before building the skipped one.
+        if hasattr(raw_iter, 'close'):
+          raw_iter.close()
         base_iter = iter(self.dataset_builder.train_batches(
             skip_batches=skip))
       else:

@@ -275,6 +275,39 @@ def test_python_stream_skip_batches_bitwise(tmp_path):
     np.testing.assert_array_equal(a.examples['uid'], b.examples['uid'])
 
 
+def test_python_stream_skip_preserves_shuffle_examples_rng(tmp_path):
+  """skip_batches with shuffle_examples=True: the per-batch within-list
+  shuffle seeds for SKIPPED batches must still be drawn from the shared
+  rng, or every post-skip batch sees a shifted rng stream and diverges
+  from batches[skip:] (review finding, round 4)."""
+  from ranking_tpu.data.dataset import build_ranking_dataset
+
+  recs = [proto.make_elwc({}, [{'uid': [float(i * 10 + d)], 'rel': [1]}
+                               for d in range(4)]).SerializeToString()
+          for i in range(20)]
+  path = str(tmp_path / 'skip_se.tfrecord')
+  tfrecord.write_records(path, recs)
+
+  kwargs = dict(
+      data_format='example_list_with_context',
+      batch_size=5,
+      context_feature_spec={},
+      example_feature_spec={
+          'uid': FixedLenFeature(shape=(1,), dtype='float32',
+                                 default_value=-7.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64',
+                                 default_value=0)},
+      label_feature_name='rel',
+      list_size=4, shuffle=True, shuffle_buffer_size=8,
+      shuffle_examples=True, epochs=2, seed=9)
+
+  full = list(build_ranking_dataset(path, **kwargs))
+  skipped = list(build_ranking_dataset(path, skip_batches=2, **kwargs))
+  assert len(skipped) == len(full) - 2
+  for a, b in zip(full[2:], skipped):
+    np.testing.assert_array_equal(a.examples['uid'], b.examples['uid'])
+
+
 def test_native_sequence_example_matches_python():
   rng = np.random.RandomState(4)
   recs = []
