@@ -64,7 +64,6 @@ def _xplane_device_ms(trace_dir):
   benchmarks/profile_step.py). None if the xplane protos are
   unavailable."""
   import glob as glob_mod
-  from collections import defaultdict
   try:
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
   except Exception:
@@ -79,10 +78,7 @@ def _xplane_device_ms(trace_dir):
         continue
       for line in plane.lines:
         if line.name == 'XLA Modules':
-          agg = defaultdict(int)
-          for ev in line.events:
-            agg[ev.metadata_id] += ev.duration_ps
-          total_ps += sum(agg.values())
+          total_ps += sum(ev.duration_ps for ev in line.events)
   return total_ps / 1e9 if total_ps else None
 
 

@@ -106,11 +106,14 @@ class RankingMetric:
         # free at trace time, and turns a silent aliasing bug (if a
         # future edit drops the pin) into an immediate failure.
         pinned = hit[0]
-        assert (pinned[0] is labels and pinned[1] is predictions
-                and pinned[2] is weights and pinned[3] is mask), (
-                    'shared_sort_scope id-cache hit with non-identical '
-                    'operands: id() was recycled; the pinned inputs '
-                    'tuple must keep keyed objects alive')
+        if not (pinned[0] is labels and pinned[1] is predictions
+                and pinned[2] is weights and pinned[3] is mask):
+          # Explicit raise, not `assert`: python -O must not strip the
+          # tripwire that turns this silent aliasing bug into a failure.
+          raise AssertionError(
+              'shared_sort_scope id-cache hit with non-identical '
+              'operands: id() was recycled; the pinned inputs tuple '
+              'must keep keyed objects alive')
         return hit[1]
       inputs = (labels, predictions, weights, mask)  # pin ids
     labels = jnp.asarray(labels, jnp.float32)

@@ -58,13 +58,20 @@ class SimpleDatasetBuilder:
         return self._native_batches(pattern, batch_size, list_size,
                                     shuffle, epochs,
                                     skip_batches=skip_batches)
-      except ValueError:
+      except ValueError as e:
         # loader_supported() mirrors NativeLoader's validation; if the
         # two ever drift in the permissive direction, 'auto' must fall
         # back to the python stream instead of raising (explicit
-        # 'native_loader' still surfaces the error).
+        # 'native_loader' still surfaces the error). Warn on fallback: a
+        # silent one would hide both the drift bug and a 5-10x ingestion
+        # regression (same rule as dataset.py _native_parse).
         if not auto:
           raise
+        import warnings
+        warnings.warn(
+            'dataset_engine=auto: native loader rejected a spec that '
+            f'loader_supported() accepted ({e}); falling back to the '
+            'python stream (slower). Please report this drift.')
     return ds.build_ranking_dataset(
         pattern,
         data_format=self.hparams.dataset_reader,
