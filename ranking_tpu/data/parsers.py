@@ -434,3 +434,36 @@ def parse_tf_example(
     sizes.append(1)
   return _assemble(ctx_rows, ex_rows, sizes, context_spec, example_spec,
                    list_size)
+
+
+def parse_with_native_fallback(
+    serialized: Sequence[bytes],
+    context_spec: Mapping[str, FeatureSpec],
+    example_spec: Mapping[str, FeatureSpec],
+    list_size: int,
+    data_format: str = 'example_list_with_context',
+) -> ParsedLists:
+  """One-shot parse: C++ decoder fast path, python parser fallback.
+
+  The single implementation of the pattern every serving entry point
+  needs (Predictor.predict/regress, ExportedPredictor._parse_elwc/
+  regress — previously four hand-copies that had already drifted). The
+  native decoder handles the spec kinds it supports; on a capability
+  rejection (ValueError/RuntimeError) the strict python parser — the
+  semantics reference — parses instead, so a genuinely corrupt record
+  still raises, from there, with a better message; the double parse only
+  costs on failures.
+  """
+  try:
+    from ranking_tpu.data import native
+    if native.available():
+      return native.decode_elwc_batch(
+          list(serialized), list_size, context_spec, example_spec,
+          data_format=data_format)
+  except (ValueError, RuntimeError):
+    pass
+  if data_format == 'tf_example':
+    return parse_tf_example(serialized, context_spec, example_spec,
+                            list_size=list_size)
+  return parse_example_list(serialized, context_spec, example_spec,
+                            list_size=list_size)

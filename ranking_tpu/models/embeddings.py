@@ -31,7 +31,12 @@ def pooled_lookup(
 
   Args:
     table: ``[vocab, dim]`` embedding table.
-    ids: integer ids, any shape ``[..., T]``; ids < 0 are padding.
+    ids: integer ids, any shape ``[..., T]``; ids < 0 are padding. Ids
+      >= vocab clip to the last row and still count toward the combiner
+      (explicit ``mode='clip'`` — jnp.take's default would fill NaN
+      under jit, and the sharded explicit-collective path
+      (parallel.sharded_pooled_lookup) clamps identically so the two
+      paths agree on out-of-range inputs).
     combiner: 'mean' | 'sum' | 'sqrtn'.
 
   Returns:
@@ -39,7 +44,7 @@ def pooled_lookup(
   """
   valid = ids >= 0
   safe_ids = jnp.where(valid, ids, 0)
-  embeds = jnp.take(table, safe_ids, axis=0)
+  embeds = jnp.take(table, safe_ids, axis=0, mode='clip')
   embeds = jnp.where(valid[..., None], embeds, 0.0)
   summed = jnp.sum(embeds, axis=-2)
   counts = jnp.sum(valid.astype(embeds.dtype), axis=-1, keepdims=True)

@@ -90,6 +90,12 @@ def sharded_pooled_lookup(
   """
   n_model = mesh.shape[mesh_lib.MODEL_AXIS]
   vocab = table.shape[0]
+  # Reproduce pooled_lookup's jnp.take clip semantics for out-of-range
+  # ids: clamp to the last REAL row (>= vocab would otherwise be silently
+  # dropped by the ownership test — and, on a pre-padded table, could
+  # address an uninitialized padding row); the clamped token still counts
+  # toward the combiner, exactly like the automatic path.
+  ids = jnp.where(ids >= 0, jnp.minimum(ids, vocab - 1), ids)
   rows = -(-vocab // n_model)  # ceil: arbitrary vocab sizes supported
   pad = rows * n_model - vocab
   if pad:
@@ -120,6 +126,16 @@ class ShardedEmbeddingEncoder(nn.Module):
   The table param is named ``embedding`` so ``mesh.param_shardings``'
   default rules shard it P('model', None). Use inside models trained under
   a 2-D mesh; on a model=1 mesh this degenerates to the replicated encoder.
+
+  Checkpoint-portability note: the stored param is pre-padded to a
+  multiple of the mesh's model-axis size (``vocab + (-vocab) % n_model``
+  rows), so when ``vocab_size`` is not divisible by every deployment's
+  model-axis size, a checkpoint trained on one topology has a different
+  param SHAPE than a module built on another (Orbax restore fails with a
+  shape mismatch). Pick a vocab_size divisible by the largest model-axis
+  you will deploy (the usual practice: round vocab to a power of two),
+  or serve from an ``export_predictor`` artifact, which bakes the padded
+  shape in and is topology-independent at load time.
   """
 
   vocab_size: int

@@ -106,18 +106,37 @@ def _as_plain_dicts(tree, where='variables'):
   return tree
 
 
+# np.savez writes ml_dtypes arrays (bfloat16, fp8, ...) as raw void
+# ('|V2') and np.load hands those back, mismatching the exported graph's
+# avals at first serve. Such leaves are stored as a same-width uint view
+# under a tagged companion key and viewed back on load.
+_DTYPE_TAG = '::dtype'
+
+
 def _flatten_vars(variables) -> dict:
   flat = {}
   for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
     key = _SEP.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
                     for p in path)
-    flat[key] = np.asarray(leaf)
+    arr = np.asarray(leaf)
+    if arr.dtype.kind == 'V' or arr.dtype.name not in np.sctypeDict:
+      uint = np.dtype(f'u{arr.dtype.itemsize}')
+      flat[key + _DTYPE_TAG] = np.array(arr.dtype.name)
+      arr = arr.view(uint)
+    flat[key] = arr
   return flat
 
 
 def _unflatten_vars(flat: Mapping[str, np.ndarray]) -> dict:
+  import ml_dtypes  # noqa: F401 — registers bfloat16/fp8 with numpy
   tree: dict = {}
+  tags = {key[:-len(_DTYPE_TAG)]: str(value)
+          for key, value in flat.items() if key.endswith(_DTYPE_TAG)}
   for key, value in flat.items():
+    if key.endswith(_DTYPE_TAG):
+      continue
+    if key in tags:
+      value = value.view(np.dtype(tags[key]))
     node = tree
     parts = key.split(_SEP)
     for part in parts[:-1]:
@@ -232,6 +251,17 @@ def export_predictor(
   """
   example_feature_spec = {k: v for k, v in example_feature_spec.items()
                           if k != label_feature_name}
+  # Fail at EXPORT, not at first serve: a spec feature missing from the
+  # sample batch would be silently dropped from the exported avals while
+  # the manifest still advertises it — the serving-side parse would then
+  # pass an extra pytree leaf and fn.call would raise in production.
+  missing_ex = sorted(set(example_feature_spec) - set(sample_batch.examples))
+  missing_ctx = sorted(set(context_feature_spec) - set(sample_batch.context))
+  if missing_ex or missing_ctx:
+    raise ValueError(
+        'export_predictor: feature spec names absent from sample_batch — '
+        f'examples: {missing_ex}, context: {missing_ctx}; the sample must '
+        'carry every feature the serving spec will parse')
   sample_examples = {k: v for k, v in dict(sample_batch.examples).items()
                      if k in example_feature_spec}
   sample_context = {k: v for k, v in dict(sample_batch.context).items()
@@ -312,7 +342,10 @@ class ExportedPredictor:
     self.buckets = list(manifest['list_size_buckets'])
 
     with np.load(os.path.join(path, _PARAMS)) as z:
-      self.variables = _unflatten_vars({k: z[k] for k in z.files})
+      # device_put ONCE: serving from host numpy would re-upload every
+      # parameter (embedding tables included) on every predict call.
+      self.variables = jax.device_put(
+          _unflatten_vars({k: z[k] for k in z.files}))
 
     self._fns = {}
     for bucket in self.buckets:
@@ -346,39 +379,17 @@ class ExportedPredictor:
     return self._run(parsed, bucket)
 
   def _parse_elwc(self, serialized, bucket):
-    try:
-      from ranking_tpu.data import native
-      if native.available():
-        return native.decode_elwc_batch(
-            list(serialized), bucket, self.context_feature_spec,
-            self.example_feature_spec)
-    except (ValueError, RuntimeError):
-      # Capability fallback (spec kinds the native decoder rejects). The
-      # Python parser below is the strict semantics reference, so a
-      # genuinely corrupt record still raises — from there, with a
-      # better message; the double parse only costs on failures.
-      pass
-    return parsers.parse_example_list(
+    return parsers.parse_with_native_fallback(
         serialized, self.context_feature_spec, self.example_feature_spec,
-        list_size=bucket)
+        bucket)
 
   def regress(self, serialized_examples: Sequence[bytes]) -> np.ndarray:
     """[B] scores from serialized pointwise tf.Example protos."""
     if not serialized_examples:
       return np.zeros((0,), np.float32)
-    parsed = None
-    try:
-      from ranking_tpu.data import native
-      if native.available():
-        parsed = native.decode_elwc_batch(
-            list(serialized_examples), 1, self.context_feature_spec,
-            self.example_feature_spec, data_format='tf_example')
-    except (ValueError, RuntimeError):
-      parsed = None
-    if parsed is None:
-      parsed = parsers.parse_tf_example(
-          serialized_examples, self.context_feature_spec,
-          self.example_feature_spec, list_size=1)
+    parsed = parsers.parse_with_native_fallback(
+        serialized_examples, self.context_feature_spec,
+        self.example_feature_spec, 1, data_format='tf_example')
     return self._run(parsed, 1)[:, 0]
 
   def score_batch(self, batch) -> np.ndarray:

@@ -40,7 +40,9 @@ class Predictor:
       label_feature_name: Optional[str] = None,
   ):
     self.model = model
-    self.variables = dict(variables)
+    # device_put ONCE: numpy/Orbax-restored params would otherwise be
+    # re-uploaded host->device on every predict call.
+    self.variables = jax.device_put(dict(variables))
     self.context_feature_spec = dict(context_feature_spec)
     # The label is never a model input at serving time; drop it from the
     # spec if callers pass training specs verbatim.
@@ -90,38 +92,16 @@ class Predictor:
       # Cheap top-level varint walk (C++ when available) — no full parse.
       list_size = parsers.bucket_list_size(
           parsers.elwc_list_sizes(serialized_elwcs).max())
-    parsed = None
-    try:
-      # C++ decode fast path (data/native/decoder.cc) when the specs are
-      # natively decodable; python parse otherwise.
-      from ranking_tpu.data import native
-      if native.available():
-        parsed = native.decode_elwc_batch(
-            list(serialized_elwcs), list_size, self.context_feature_spec,
-            self.example_feature_spec)
-    except (ValueError, RuntimeError):
-      parsed = None
-    if parsed is None:
-      parsed = parsers.parse_example_list(
-          serialized_elwcs, self.context_feature_spec,
-          self.example_feature_spec, list_size=list_size)
+    parsed = parsers.parse_with_native_fallback(
+        serialized_elwcs, self.context_feature_spec,
+        self.example_feature_spec, list_size)
     return self._run(parsed)
 
   def regress(self, serialized_examples: Sequence[bytes]) -> np.ndarray:
     """[B] scores from serialized pointwise tf.Example protos."""
-    parsed = None
-    try:
-      from ranking_tpu.data import native
-      if native.available():
-        parsed = native.decode_elwc_batch(
-            list(serialized_examples), 1, self.context_feature_spec,
-            self.example_feature_spec, data_format='tf_example')
-    except (ValueError, RuntimeError):
-      parsed = None
-    if parsed is None:
-      parsed = parsers.parse_tf_example(
-          serialized_examples, self.context_feature_spec,
-          self.example_feature_spec, list_size=1)
+    parsed = parsers.parse_with_native_fallback(
+        serialized_examples, self.context_feature_spec,
+        self.example_feature_spec, 1, data_format='tf_example')
     return self._run(parsed)[:, 0]
 
   def score_batch(self, batch) -> np.ndarray:

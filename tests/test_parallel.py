@@ -65,6 +65,23 @@ def test_sharded_lookup_all_padding_row():
   np.testing.assert_allclose(np.asarray(out), 0.0)
 
 
+def test_sharded_lookup_out_of_range_ids_match_take_clip():
+  """Ids >= vocab must reproduce pooled_lookup's jnp.take clip semantics
+  (clamp to the last row, still counted by the combiner) — the explicit
+  path used to drop them silently, diverging from the automatic path
+  (review finding, round 4)."""
+  mesh = parallel.make_mesh(model=4)
+  rng = np.random.RandomState(1)
+  table = jnp.asarray(rng.randn(30, 5).astype(np.float32))  # pads to 32
+  ids = jnp.asarray(rng.randint(-1, 40, size=(8, 3, 4)))  # some >= vocab
+  assert int((np.asarray(ids) >= 30).sum()) > 0
+  for combiner in ('mean', 'sum'):
+    expected = embeddings.pooled_lookup(table, ids, combiner)
+    got = parallel.sharded_pooled_lookup(table, ids, mesh, combiner)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_encoder_module_grad_flows():
   mesh = parallel.make_mesh(model=2)
   enc = parallel.ShardedEmbeddingEncoder(

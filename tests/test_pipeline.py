@@ -852,6 +852,63 @@ def test_tensorboard_zero_valued_scalar_survives(tmp_path):
   assert got.get('loss') == 0.0 and abs(got['ndcg'] - 0.5) < 1e-6
 
 
+def test_export_bfloat16_params_roundtrip():
+  """np.savez writes ml_dtypes arrays as raw void ('|V2'); the flatten/
+  unflatten pair must tag and view them back (review finding, round 4:
+  a bf16-param export previously loaded as V2 and failed at first
+  serve)."""
+  import tempfile
+
+  import ml_dtypes
+
+  from ranking_tpu.pipeline.export import _flatten_vars, _unflatten_vars
+
+  tree = {'params': {
+      'w': np.arange(6, dtype=np.float32).astype(
+          ml_dtypes.bfloat16).reshape(2, 3),
+      'b': np.ones(3, np.float32)}}
+  with tempfile.TemporaryDirectory() as d:
+    path = os.path.join(d, 'p.npz')
+    np.savez(path, **_flatten_vars(tree))
+    with np.load(path) as z:
+      back = _unflatten_vars({k: z[k] for k in z.files})
+  assert back['params']['w'].dtype == ml_dtypes.bfloat16
+  np.testing.assert_array_equal(
+      back['params']['w'].astype(np.float32),
+      tree['params']['w'].astype(np.float32))
+  assert back['params']['b'].dtype == np.float32
+
+
+def test_export_rejects_spec_feature_missing_from_sample(tmp_path):
+  """A spec feature absent from the sample batch must fail at EXPORT —
+  previously it was silently dropped from the exported avals while the
+  manifest still advertised it, crashing at the first production
+  predict (review finding, round 4)."""
+  import optax
+
+  from ranking_tpu.data import batch as batch_lib
+  from ranking_tpu.pipeline import export as export_lib
+
+  spec = {'float_features': FixedLenFeature(shape=(4,), dtype='float32',
+                                            default_value=0.0),
+          'phantom': FixedLenFeature(shape=(2,), dtype='float32',
+                                     default_value=0.0)}
+  model = models.RankingModel(scorer=models.DNNScorer(
+      hidden_layer_dims=(4,), dropout=0.0, use_batch_norm=False))
+  sample = batch_lib.batch_from_labels(
+      labels=np.zeros((2, 3), np.float32),
+      examples={'float_features': np.zeros((2, 3, 4), np.float32)})
+  import jax
+
+  from ranking_tpu import train
+  state = train.create_train_state(
+      model, optax.adam(1e-3), jax.random.PRNGKey(0),
+      sample.context, sample.examples, sample.mask)
+  with pytest.raises(ValueError, match='phantom'):
+    export_lib.export_predictor(model, state.variables, {}, spec,
+                                str(tmp_path / 'x'), sample)
+
+
 def test_int8_quantized_export(tmp_path):
   """quantize='int8': large float matrices stored as int8 + per-channel
   scales with dequantization baked into the exported graph — the loader
