@@ -145,7 +145,15 @@ class GroupwiseDNNScorer(nn.Module):
       # The reference shuffles valid items for ANY non-predict pass with
       # group_size > 1, even at num_shuffles == 1 (model.py:313-339) —
       # without it every document is grouped with the same list-order
-      # neighbors on every step (window-composition bias).
+      # neighbors on every step (window-composition bias). DELIBERATE
+      # DEVIATION: this scorer shuffles only when ``training`` — the
+      # reference also shuffles at EVAL (its eval metrics are therefore
+      # nondeterministic run to run), while here eval == predict uses the
+      # fixed rolling windows, making val metrics, best-export decisions,
+      # and the serving scores deterministic AND mutually consistent
+      # (scoring under eval-only shuffles would diverge from what the
+      # exported model serves). Set num_shuffles > 1 at training to
+      # average window composition where it matters for learning.
       if training and g > 1:
         key = jax.random.fold_in(self.make_rng('shuffle'), shuffle_idx)
       indices, group_mask = rolling_group_indices(mask, g, key=key)

@@ -60,8 +60,25 @@ class CheckpointManager:
         raise ValueError(
             f'best_metric {self.best_metric!r} missing from save metrics '
             f'{sorted(metrics)}')
-      self._best.save(step, args=ocp.args.StandardSave(_savable(state)),
-                      metrics=metrics, force=force)
+      # Orbax's best_fn drives retention only, not should_save: without
+      # this check every eval would serialize the FULL TrainState (multi-
+      # GB for sparse tables) into <dir>/best and then garbage-collect it
+      # when not best. Skip the write when strictly not better; if the
+      # previous best's metrics can't be read, save (GC keeps it correct).
+      skip = False
+      prev_step = self._best.best_step()
+      if prev_step is not None and not force:
+        try:
+          prev = (self._best.metrics(prev_step) or {}).get(self.best_metric)
+        except Exception:
+          prev = None
+        if prev is not None:
+          current = metrics[self.best_metric]
+          skip = (current <= prev if self.best_mode == 'max'
+                  else current >= prev)
+      if not skip:
+        self._best.save(step, args=ocp.args.StandardSave(_savable(state)),
+                        metrics=metrics, force=force)
 
   def wait(self) -> None:
     self._mgr.wait_until_finished()
@@ -93,8 +110,19 @@ class CheckpointManager:
     step = self._best.best_step()
     if step is None:
       return state
-    restored = self._best.restore(
-        step, args=ocp.args.StandardRestore(_savable(state)))
+    try:
+      restored = self._best.restore(
+          step, args=ocp.args.StandardRestore(_savable(state)))
+    except (ValueError, KeyError) as e:
+      # Same explanatory wrapping as restore(): the raw Orbax error for a
+      # structure mismatch is opaque (and may surface from the async
+      # path).
+      raise ValueError(
+          f'Best checkpoint at {self.directory}/best step {step} does not '
+          f'match the current TrainState structure — commonly a sparse/'
+          f'dense optimizer toggle (sparse_opt_state present on one side '
+          f'only). Use a fresh model_dir or the original optimizer. '
+          f'Original error: {e}') from e
     return _merge(state, restored)
 
   def latest_step(self) -> Optional[int]:

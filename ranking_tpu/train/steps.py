@@ -63,6 +63,14 @@ def _forward(state, batch: RankingBatch, training: bool,
 
 def _make_total_loss(loss_fn, multi_task_weights):
   """Single or dict-of-task loss -> scalar total-loss closure."""
+  if (isinstance(loss_fn, Mapping) and multi_task_weights
+      and not set(multi_task_weights) <= set(loss_fn)):
+    # A typo'd task name would otherwise be silently ignored (every real
+    # task defaults to weight 1.0 and the entry is never consulted).
+    raise ValueError(
+        f'multi_task_weights names unknown tasks '
+        f'{sorted(set(multi_task_weights) - set(loss_fn))}; '
+        f'tasks are {sorted(loss_fn)}')
 
   def _total_loss(labels, logits, features, key):
     if isinstance(loss_fn, Mapping):
@@ -213,11 +221,19 @@ def make_sparse_train_step(
         jax.random.fold_in(key, state.step), 4)
     dense_params, sp_params = sparse_lib.partition(state.params,
                                                    state.sparse_tx)
-    uncovered = set(sp_params) - {ef.param_path for ef in embed_features}
+    declared = {ef.param_path for ef in embed_features}
+    uncovered = set(sp_params) - declared
     if uncovered:
       raise ValueError(
           f'sparse tables with no declared id feature: {sorted(uncovered)}; '
           'declare them in embed_features or narrow table_pattern')
+    unknown = declared - set(sp_params)
+    if unknown:
+      # Without this, a typo'd param_path dies later as a bare KeyError
+      # with no hint that embed_features is the thing to fix.
+      raise ValueError(
+          f'embed_features declare param_paths that match no sparse table: '
+          f'{sorted(unknown)}; sparse tables are {sorted(sp_params)}')
 
     context = dict(batch.context)
     examples = dict(batch.examples)
@@ -229,19 +245,43 @@ def make_sparse_train_step(
     by_path: Dict[str, list] = {}
     for ef in embed_features:
       by_path.setdefault(ef.param_path, []).append(ef)
+    # One feature feeding two tables cannot be expressed: the remap below
+    # rewrites the feature to batch-local slot ids for ITS table, so a
+    # second table reading the same feature would dedup slot values as if
+    # they were raw ids and train garbage rows with no error.
+    seen_feats: Dict[Tuple[str, str], str] = {}
+    for path, group in by_path.items():
+      for ef in group:
+        k = (ef.source, ef.feature)
+        if k in seen_feats and seen_feats[k] != path:
+          raise ValueError(
+              f'feature {ef.feature!r} ({ef.source}) feeds two sparse '
+              f'tables ({seen_feats[k]!r} and {path!r}); the sparse step '
+              'rewrites features to per-table slot ids, so each feature '
+              'can feed one table — duplicate the feature under another '
+              'name, or train those tables with the dense-grad path')
+        seen_feats[k] = path
     for path, group in by_path.items():
       ids_list = []
       for ef in group:
-        src = context if ef.source == 'context' else examples
+        # Read RAW ids from the original batch: `context`/`examples` are
+        # progressively rewritten to slot ids, and any second consumer
+        # (a loss weights_feature, a raw scorer input) must never see a
+        # remap — batch2 only carries remaps for the declared features.
+        src = batch.context if ef.source == 'context' else batch.examples
         ids = src[ef.feature]
         # Ids must index the table: reduce modulo num_buckets (hash
         # encoders), defaulting to the table's own row count — for
         # HashEmbeddingEncoder the table IS [num_buckets, dim], so this
         # reproduces its jnp.mod exactly even when EmbedFeature was
-        # derived without bucket info; for direct-index tables valid ids
-        # are already < rows and the mod is a no-op. This also keeps
-        # every deduplicated id in range for the slab gather and the row
-        # scatter.
+        # derived without bucket info (pinned by
+        # test_sparse_step_hash_encoder_without_declared_buckets). This
+        # also keeps every deduplicated id in range for the slab gather
+        # and the row scatter. Known asymmetry: a DIRECT-index table fed
+        # an out-of-range id (a bug upstream) mods here but clips in the
+        # dense path's pooled_lookup — hash encoders, where raw ids
+        # beyond the table are NORMAL, take precedence because the step
+        # cannot tell the encoder kinds apart from params alone.
         modulus = ef.num_buckets or sp_params[path].shape[0]
         ids_list.append(jnp.where(ids >= 0, jnp.mod(ids, modulus), ids))
       flat = jnp.concatenate([i.reshape(-1) for i in ids_list])
@@ -365,23 +405,22 @@ def make_eval_step(
       values, weights = fn(task_labels, task_logits, features=batch.features)
       out[name] = metric_states[name].update(values, weights)
     if loss_fn is not None:
-      if isinstance(loss_fn, Mapping):
-        loss = jnp.zeros((), jnp.float32)
-        for task, fn in sorted(loss_fn.items()):
-          w = (1.0 if not multi_task_weights
-               else multi_task_weights.get(task, 1.0))
-          loss = loss + w * fn(batch.labels[task], logits[task],
-                               features=batch.features, key=None)
-      else:
-        loss = loss_fn(batch.labels, logits, features=batch.features,
-                       key=None)
+      # Same reduction as the train step (key=None: fold_in is skipped,
+      # so the dict-of-task weighting stays a single implementation —
+      # train loss and the streamed val_loss cannot silently diverge).
+      loss = _make_total_loss(loss_fn, multi_task_weights)(
+          batch.labels, logits, batch.features, None)
       # Weight by the batch's valid-list count so a ragged final batch
       # (drop_remainder=False) contributes proportionally, not equally —
       # the streamed value is then the exact global mean the callbacks
-      # (plateau LR, early stop, best export) should see.
+      # (plateau LR, early stop, best export) should see. An all-padding
+      # batch (possible under sharded padded eval) gets weight 0 and a
+      # zeroed value: its loss over zero valid lists is typically NaN,
+      # and 0-weight alone would not stop NaN * 0 from poisoning the
+      # running sum.
       n_lists = jnp.sum(jnp.any(batch.mask, axis=-1).astype(jnp.float32))
-      out['loss'] = metric_states['loss'].update(
-          loss[None], jnp.maximum(n_lists, 1.0)[None])
+      loss = jnp.where(n_lists > 0, loss, 0.0)
+      out['loss'] = metric_states['loss'].update(loss[None], n_lists[None])
     return out, logits
 
   return eval_step

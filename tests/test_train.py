@@ -209,3 +209,38 @@ def test_eval_loss_weights_ragged_batches():
     per.append(float(loss_fn(b.labels, logits, features=b.features)))
   expected = (per[0] * 8 + per[1] * 2) / 10
   np.testing.assert_allclose(streamed, expected, rtol=1e-5)
+
+
+def test_eval_all_padding_batch_contributes_nothing():
+  """An all-padding eval batch (possible under sharded padded eval) must
+  get weight 0 with a ZEROED loss value — a NaN loss over zero valid
+  lists would otherwise poison the streamed val_loss and break plateau
+  LR / early stop / best export (review finding, round 4)."""
+  rng = np.random.RandomState(3)
+  real = _synthetic_batch(rng, batch=4)
+  empty = batch_from_labels(
+      labels=np.full((4, 10), -1.0, np.float32),
+      examples={'float_features': np.zeros((4, 10, 4), np.float32)})
+  _, state = _make_state(real)
+  metric_fns = {'mrr': ops.make_ranking_metric_fn(ops.RankingMetricKey.MRR)}
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  eval_step = jax.jit(train.make_eval_step(metric_fns, loss_fn=loss_fn))
+  states = train.init_metric_states(metric_fns, with_loss=True)
+  for b in (real, empty):
+    states, _ = eval_step(state, b, states)
+  streamed = float(train.metric_results(states)['loss'])
+  assert np.isfinite(streamed)
+  logits, _ = train.steps._forward(state, real, training=False)
+  expected = float(loss_fn(real.labels, logits, features=real.features))
+  np.testing.assert_allclose(streamed, expected, rtol=1e-5)
+
+
+def test_multi_task_weights_unknown_task_raises():
+  """A typo'd multi_task_weights key must raise at build time, not be
+  silently ignored (review finding, round 4)."""
+  import pytest
+
+  loss_fns = {'clicks': ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS),
+              'buys': ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)}
+  with pytest.raises(ValueError, match='unknown tasks'):
+    train.make_train_step(loss_fns, multi_task_weights={'click': 0.1})
