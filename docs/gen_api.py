@@ -31,7 +31,8 @@ def kind_of(obj) -> str:
   return 'const'
 
 
-def main():
+def render() -> str:
+  """Returns the full api.md content for the live package surface."""
   import ranking_tpu
   from ranking_tpu import ops
 
@@ -60,11 +61,15 @@ def main():
             ', '.join(f'`{k}`' for k in loss_keys)]
   lines += ['', '## Metric keys (`ops.RankingMetricKey`)', '',
             ', '.join(f'`{k}`' for k in metric_keys), '']
+  return '\n'.join(lines)
 
+
+def main():
+  content = render()
   out = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'api.md')
   with open(out, 'w') as f:
-    f.write('\n'.join(lines))
-  print(f'wrote {out}: {len(lines)} lines')
+    f.write(content)
+  print(f'wrote {out}: {len(content.splitlines())} lines')
 
 
 if __name__ == '__main__':

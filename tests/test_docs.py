@@ -34,3 +34,25 @@ def test_getting_started_blocks_compile():
   """getting_started.md uses placeholder paths; require syntax validity."""
   for i, block in enumerate(_python_blocks(DOCS / 'getting_started.md')):
     compile(block, f'getting_started.md[{i}]', 'exec')
+
+
+def test_api_reference_in_sync():
+  """docs/api.md must match the live public surface (docs/gen_api.py).
+
+  Catches API drift: adding/renaming a public symbol or changing a
+  dataclass signature without regenerating the reference doc fails here
+  with the exact stale lines."""
+  import importlib.util
+  spec = importlib.util.spec_from_file_location(
+      'ranking_tpu_gen_api', DOCS / 'gen_api.py')
+  gen = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(gen)
+  fresh = gen.render()
+  committed = (DOCS / 'api.md').read_text()
+  if fresh != committed:
+    stale = [f'-{a!r} vs +{b!r}'
+             for a, b in zip(committed.splitlines(), fresh.splitlines())
+             if a != b]
+    raise AssertionError(
+        'docs/api.md is stale — run `python docs/gen_api.py`. Drift:\n'
+        + '\n'.join(stale[:10]))
