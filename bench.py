@@ -415,23 +415,6 @@ def main():
   import queue
   import threading
 
-  proc = subprocess.Popen(
-      [sys.executable, os.path.abspath(__file__), '--child'],
-      stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-      cwd=os.path.dirname(os.path.abspath(__file__)))
-  # A dedicated reader thread: a blocking readline() in the main loop
-  # would suspend the deadline/kill logic for exactly as long as the
-  # child hangs in a device fetch — the failure mode this parent exists
-  # to survive. The thread blocks; the main loop polls with timeouts.
-  lines: 'queue.Queue[str]' = queue.Queue()
-
-  def _read():
-    for line in proc.stdout:  # EOF on child exit
-      lines.put(line)
-
-  reader = threading.Thread(target=_read, daemon=True)
-  reader.start()
-
   by_tag = {'bnoff': [], 'bnon': [], 'bf16': []}
   scan_by_tag = {}
   e2e_by_tag = {}
@@ -464,26 +447,53 @@ def main():
     elif parts[0] == 'DEVKIND':
       extras['device_kind'] = ' '.join(parts[1:])
 
-  deadline = time.time() + CHILD_TIMEOUT_S
-  try:
-    while time.time() < deadline:
-      try:
-        _consume(lines.get(timeout=0.2))
-      except queue.Empty:
-        if proc.poll() is not None and lines.empty():
-          break
-        # Keep polling until the child exits: the scan-dispatch chunks
-        # stream after the per-step ones and usually raise the best.
-  finally:
-    if proc.poll() is None:
-      proc.kill()
-    # Drain chunks the child wrote before the deadline/kill — banked
-    # results must not be lost to the pipe buffer.
+  def _run_tpu_child():
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), '--child'],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    # A dedicated reader thread: a blocking readline() in the main loop
+    # would suspend the deadline/kill logic for exactly as long as the
+    # child hangs in a device fetch — the failure mode this parent exists
+    # to survive. The thread blocks; the main loop polls with timeouts.
+    lines: 'queue.Queue[str]' = queue.Queue()
+
+    def _read():
+      for line in proc.stdout:  # EOF on child exit
+        lines.put(line)
+
+    threading.Thread(target=_read, daemon=True).start()
+    deadline = time.time() + CHILD_TIMEOUT_S
     try:
-      while True:
-        _consume(lines.get(timeout=0.5))
-    except queue.Empty:
-      pass
+      while time.time() < deadline:
+        try:
+          _consume(lines.get(timeout=0.2))
+        except queue.Empty:
+          if proc.poll() is not None and lines.empty():
+            break
+          # Keep polling until the child exits: the scan-dispatch chunks
+          # stream after the per-step ones and usually raise the best.
+    finally:
+      if proc.poll() is None:
+        proc.kill()
+      # Drain chunks the child wrote before the deadline/kill — banked
+      # results must not be lost to the pipe buffer.
+      try:
+        while True:
+          _consume(lines.get(timeout=0.5))
+      except queue.Empty:
+        pass
+
+  _run_tpu_child()
+  if not by_tag['bnoff']:
+    # A wedged tunnel hangs the very first device fetch and recovers only
+    # once the hung process dies (observed repeatedly on this link). The
+    # child is dead now; one fresh attempt after a cool-down routinely
+    # succeeds — without it the round records a 0-value measurement.
+    print('first TPU child produced no chunks; cooling down 90s and '
+          'retrying once', file=sys.stderr, flush=True)
+    time.sleep(90)
+    _run_tpu_child()
   # CPU-backend e2e fraction: identical code path, memcpy transfer —
   # isolates the framework feed from the tunnel (own child, own clock).
   cpu_proc = subprocess.Popen(
