@@ -463,7 +463,9 @@ def main():
         lines.put(line)
 
     threading.Thread(target=_read, daemon=True).start()
-    deadline = time.time() + CHILD_TIMEOUT_S
+    start = time.time()
+    deadline = start + CHILD_TIMEOUT_S
+    timed_out = False
     try:
       while time.time() < deadline:
         try:
@@ -473,9 +475,17 @@ def main():
             break
           # Keep polling until the child exits: the scan-dispatch chunks
           # stream after the per-step ones and usually raise the best.
+      else:
+        timed_out = True
     finally:
       if proc.poll() is None:
         proc.kill()
+        # Reap: an unreaped zombie holds the tunnel session open, and the
+        # cool-down below assumes the hung process is actually gone.
+        try:
+          proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+          pass
       # Drain chunks the child wrote before the deadline/kill — banked
       # results must not be lost to the pipe buffer.
       try:
@@ -483,17 +493,36 @@ def main():
           _consume(lines.get(timeout=0.5))
       except queue.Empty:
         pass
+    return {'timed_out': timed_out, 'returncode': proc.poll(),
+            'elapsed_s': time.time() - start}
 
-  _run_tpu_child()
+  child1 = _run_tpu_child()
   if not by_tag['bnoff']:
     # A wedged tunnel hangs the very first device fetch and recovers only
     # once the hung process dies (observed repeatedly on this link). The
     # child is dead now; one fresh attempt after a cool-down routinely
     # succeeds — without it the round records a 0-value measurement.
-    print('first TPU child produced no chunks; cooling down 90s and '
-          'retrying once', file=sys.stderr, flush=True)
-    time.sleep(90)
-    _run_tpu_child()
+    # A child that exited quickly with a nonzero status is NOT a tunnel
+    # wedge (import/compile error): retrying would just repeat the error
+    # and burn ~27 min, so skip the retry for that shape of failure.
+    fast_failure = (not child1['timed_out']
+                    and child1['returncode'] not in (0, None)
+                    and child1['elapsed_s'] < 120)
+    if fast_failure:
+      print('TPU child failed fast (exit %s in %.0fs); not a tunnel wedge, '
+            'skipping retry' % (child1['returncode'], child1['elapsed_s']),
+            file=sys.stderr, flush=True)
+    else:
+      print('first TPU child produced no chunks; cooling down 90s and '
+            'retrying once', file=sys.stderr, flush=True)
+      time.sleep(90)
+      _run_tpu_child()
+  missing = [t for t in ('bnoff', 'bnon', 'bf16') if not by_tag[t]]
+  if missing:
+    # Partial results (wedge after the first pass) must be visible, not
+    # silently reported as a complete measurement.
+    print('WARNING: TPU child produced no chunks for variants: %s'
+          % ', '.join(missing), file=sys.stderr, flush=True)
   # CPU-backend e2e fraction: identical code path, memcpy transfer —
   # isolates the framework feed from the tunnel (own child, own clock).
   cpu_proc = subprocess.Popen(

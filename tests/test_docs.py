@@ -50,9 +50,11 @@ def test_api_reference_in_sync():
   fresh = gen.render()
   committed = (DOCS / 'api.md').read_text()
   if fresh != committed:
-    stale = [f'-{a!r} vs +{b!r}'
-             for a, b in zip(committed.splitlines(), fresh.splitlines())
-             if a != b]
+    import difflib
+    diff = list(difflib.unified_diff(
+        committed.splitlines(), fresh.splitlines(),
+        fromfile='docs/api.md (committed)', tofile='gen_api.render() (fresh)',
+        lineterm='', n=1))
     raise AssertionError(
         'docs/api.md is stale — run `python docs/gen_api.py`. Drift:\n'
-        + '\n'.join(stale[:10]))
+        + '\n'.join(diff[:40]))
