@@ -392,6 +392,7 @@ def native_ranking_dataset(
     shard_index: Optional[int] = None,
     num_shards: Optional[int] = None,
     skip_batches: int = 0,
+    cache_dir: Optional[str] = None,
 ) -> Iterator[RankingBatch]:
   """ELWC stream fully driven by the native loader (data/native/loader.cc):
   a C++ reader thread owns file reading, shuffling, and batch assembly;
@@ -406,6 +407,16 @@ def native_ranking_dataset(
   (~2M rec/s); the stream continues bitwise-equal to
   ``batches[skip_batches:]`` of an unskipped run.
 
+  ``cache_dir``: decoded-once epoch cache (pipeline ``dataset_cache``) —
+  the first pass decodes each record once into an mmap'd spill file under
+  this directory (named by a content fingerprint of files + specs);
+  epochs >= 2 (and later runs over the same corpus) stream decoded
+  payloads at memory bandwidth with NO proto decode. The batch stream is
+  bitwise-identical with the cache off, building, or complete — the C++
+  reader's seeded shuffle draws depend only on file/record counts. The
+  reference's tf.data pipeline (python/data.py:914-1017) re-parses every
+  epoch and never caches.
+
   Validation (globbing, spec support, NativeLoader construction) happens
   EAGERLY at call time, not at first ``next()`` — the pipeline's 'auto'
   engine relies on catching ``ValueError`` here to fall back to the
@@ -417,13 +428,18 @@ def native_ranking_dataset(
   paths = _shard_paths(paths, shard_index, num_shards, file_pattern)
   if list_size is None:
     raise ValueError('native loader requires a fixed list_size')
+  cache_path = None
+  if cache_dir is not None:
+    cache_path = native.cache_file_for(
+        cache_dir, paths, context_feature_spec, example_feature_spec,
+        list_size, data_format=data_format)
   loader = native.NativeLoader(
       paths, context_feature_spec, example_feature_spec,
       batch_size=batch_size, list_size=list_size, shuffle=shuffle,
       shuffle_buffer=shuffle_buffer_size, epochs=epochs,
       drop_remainder=drop_remainder, seed=seed or 0,
       data_format=data_format, num_threads=num_threads,
-      skip_batches=skip_batches)
+      skip_batches=skip_batches, cache_path=cache_path)
 
   def _gen():
     try:

@@ -260,6 +260,43 @@ def loader_supported(context_spec, example_spec,
   return True
 
 
+def cache_file_for(cache_dir, paths, context_spec, example_spec,
+                   list_size, data_format='example_list_with_context'):
+  """Spill-file path for the decoded-once epoch cache (loader.cc Cache).
+
+  The name folds in a CONTENT fingerprint of everything that shapes
+  decoded payloads — the file list, every spec field, vocab token lists
+  and OOV bucket counts, hash bucket counts, list_size, format — so a
+  recipe change gets a fresh spill instead of colliding with a stale one.
+  (The C++ side separately re-validates structure and per-file size/mtime
+  on open and rebuilds in place when they drift.) Creates ``cache_dir``
+  if needed and returns ``cache_dir/rtcache-<hex>.bin``.
+  """
+  import hashlib
+
+  from ranking_tpu.data import parsers
+  h = hashlib.sha256()
+  h.update(f'{data_format}|{list_size}|'.encode())
+  for p in paths:
+    h.update(str(p).encode() + b'\x00')
+  for tag, spec_map in (('ctx', context_spec), ('ex', example_spec)):
+    for name in sorted(spec_map):
+      spec = spec_map[name]
+      h.update(f'|{tag}:{name}:'.encode())
+      if isinstance(spec, parsers.FixedLenFeature):
+        h.update(
+            f'F{spec.shape}:{spec.dtype}:{spec.default_value!r}'.encode())
+      else:
+        h.update(f'V{spec.dtype}:{spec.max_len}:{spec.pad_value!r}:'
+                 f'{spec.hash_buckets}'.encode())
+        if spec.vocab is not None:
+          h.update(str(spec.vocab.num_oov_buckets).encode())
+          for t in spec.vocab.tokens:
+            h.update(t + b'\x00')
+  os.makedirs(cache_dir, exist_ok=True)
+  return os.path.join(cache_dir, f'rtcache-{h.hexdigest()[:24]}.bin')
+
+
 def check_presence(outputs, valid_rows) -> None:
   """Enforces the strict Python-parser semantics on the native fast path.
 
@@ -474,8 +511,10 @@ def _register_loader_api(lib) -> None:
       ctypes.POINTER(FeatureSpecStruct), ctypes.c_int,
       ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
       ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
-      ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+      ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_char_p,
   ]
+  lib.rt_loader_cache_state.restype = ctypes.c_int
+  lib.rt_loader_cache_state.argtypes = [ctypes.c_void_p]
   lib.rt_loader_submit.restype = ctypes.c_int
   lib.rt_loader_submit.argtypes = [
       ctypes.c_void_p,
@@ -502,7 +541,7 @@ class NativeLoader:
                list_size, shuffle=True, shuffle_buffer=1000, epochs=1,
                drop_remainder=True, seed=0, ring_capacity=None,
                data_format='example_list_with_context', num_threads=None,
-               skip_batches=0):
+               skip_batches=0, cache_path=None):
     import numpy as np
     from ranking_tpu.data import parsers
     lib = _load()
@@ -590,7 +629,13 @@ class NativeLoader:
         # reader drops this many leading record batches at mmap-scan
         # speed; the stream after the skip is bitwise-equal to
         # batches[skip:] of an unskipped run.
-        int(skip_batches))
+        int(skip_batches),
+        # Decoded-once epoch cache spill file (loader.cc Cache): None =
+        # off. The loader validates a structural fingerprint (specs,
+        # list_size, format, per-file size+mtime); CONTENT identity of
+        # vocab tables is the caller's job — derive the path with
+        # `cache_file_for`, which folds vocab/hash content into the name.
+        str(cache_path).encode() if cache_path else None)
 
     # Direct-write buffer ring: K freshly-allocated numpy buffer sets are
     # registered with the C++ side ahead of consumption; decode workers
@@ -622,6 +667,19 @@ class NativeLoader:
 
   def __iter__(self):
     return self
+
+  @property
+  def cache_state(self) -> str:
+    """Epoch-cache engagement: 'off' (no cache requested, path unusable,
+    or another loader holds the lock), 'build' (decoding + writing the
+    spill), or 'read' (streaming a complete spill, proto files never
+    opened). Settles once the reader thread has initialized — i.e. by the
+    time the first batch arrives; earlier calls may transiently say
+    'off'."""
+    if not getattr(self, '_handle', None):
+      return 'off'
+    return {0: 'off', 1: 'build',
+            2: 'read'}[self._lib.rt_loader_cache_state(self._handle)]
 
   def _alloc(self, spec_map, structs, rows):
     # np.empty is safe: the C++ decode worker prefills + writes every row

@@ -99,6 +99,16 @@ class DatasetHparams:
   # python stream; 'native_loader' forces the C++ loader (raises on
   # unsupported specs); 'python' forces the python stream.
   dataset_engine: str = 'auto'
+  # Decoded-once epoch cache directory (None = off; native engine only).
+  # The first pass decodes each record once into an mmap'd spill file
+  # under this directory (named by a content fingerprint of the file
+  # list + specs; stale spills rebuild on size/mtime/spec drift); epochs
+  # >= 2 and later runs stream decoded payloads at memory bandwidth with
+  # no proto decode. The batch stream is bitwise-identical with the
+  # cache off, building, or complete. The reference's
+  # build_ranking_dataset re-parses every epoch and never caches
+  # (python/data.py:914-1017).
+  dataset_cache: Optional[str] = None
 
 
 def from_yaml(path: str):

@@ -53,6 +53,7 @@ class SimpleDatasetBuilder:
       engine = ('native_loader' if native.loader_supported(
           self.context_feature_spec, self.example_feature_spec,
           self.hparams.dataset_reader, list_size) else 'python')
+    cache_dir = getattr(self.hparams, 'dataset_cache', None)
     if engine == 'native_loader':
       try:
         return self._native_batches(pattern, batch_size, list_size,
@@ -72,6 +73,12 @@ class SimpleDatasetBuilder:
             'dataset_engine=auto: native loader rejected a spec that '
             f'loader_supported() accepted ({e}); falling back to the '
             'python stream (slower). Please report this drift.')
+    elif cache_dir is not None:
+      import warnings
+      warnings.warn(
+          'dataset_cache is set but the dataset engine resolved to the '
+          'python stream (dataset_engine=%r); the decoded-once epoch '
+          'cache lives in the C++ loader and is ignored here' % engine)
     return ds.build_ranking_dataset(
         pattern,
         data_format=self.hparams.dataset_reader,
@@ -108,6 +115,7 @@ class SimpleDatasetBuilder:
         mask_feature_name=self.hparams.mask_feature_name,
         size_feature_name=self.hparams.size_feature_name,
         skip_batches=skip_batches,
+        cache_dir=getattr(self.hparams, 'dataset_cache', None),
         seed=self.seed)
 
   def train_batches(self, skip_batches: int = 0) -> Iterator[RankingBatch]:

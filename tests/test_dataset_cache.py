@@ -1,0 +1,213 @@
+"""Decoded-once epoch cache (loader.cc Cache): stream identity + states.
+
+The cache replays each record's decoded payload from an mmap'd spill
+instead of re-parsing protos every epoch — a capability the reference's
+tf.data pipeline lacks (build_ranking_dataset,
+tensorflow_ranking/python/data.py:914-1017, re-parses per epoch). The
+contract under test: the batch stream is BITWISE-identical whether the
+cache is off, building (first pass), or complete (later runs); stale or
+partial spills rebuild; lock contention degrades to uncached, never to a
+wrong stream.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from ranking_tpu.data import FixedLenFeature, VarLenFeature, native
+from ranking_tpu.data import parsers, proto, tfrecord
+from ranking_tpu.data.dataset import native_ranking_dataset
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason='no native toolchain')
+
+VOCAB = parsers.Vocabulary([b'aa', b'bb', b'cc'], num_oov_buckets=2)
+
+
+def _specs():
+  return dict(
+      context_feature_spec={
+          'qf': FixedLenFeature(shape=(2,), dtype='float32',
+                                default_value=0.0)},
+      example_feature_spec={
+          'f': FixedLenFeature(shape=(4,), dtype='float32',
+                               default_value=0.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64', default_value=0),
+          'toks': VarLenFeature(dtype='string', max_len=6, vocab=VOCAB),
+      })
+
+
+def _write_corpus(dirpath, n_files=3, n_records=40, seed=0):
+  rng = np.random.RandomState(seed)
+  for fi in range(n_files):
+    recs = []
+    for _ in range(n_records):
+      docs = [{'f': [float(x) for x in rng.randn(4)],
+               'rel': int(rng.randint(5)),
+               'toks': [b'aa', b'bb', b'cc', b'zz'][:rng.randint(1, 5)]}
+              for _ in range(rng.randint(1, 12))]
+      ctx = {'qf': [float(x) for x in rng.randn(2)]}
+      recs.append(proto.make_elwc(ctx, docs).SerializeToString())
+    tfrecord.write_records(
+        os.path.join(dirpath, f'part-{fi}.tfrecord'), recs)
+  return os.path.join(dirpath, 'part-*.tfrecord')
+
+
+def _collect(pattern, cache_dir, epochs=3, **kw):
+  out = []
+  for b in native_ranking_dataset(
+      pattern, batch_size=16, list_size=8, label_feature_name='rel',
+      epochs=epochs, shuffle=True, shuffle_buffer_size=64,
+      drop_remainder=False, seed=7, cache_dir=cache_dir, **_specs(), **kw):
+    out.append((b.labels.copy(), b.mask.copy(),
+                {k: v.copy() for k, v in b.context.items()},
+                {k: v.copy() for k, v in b.examples.items()}))
+  return out
+
+
+def _assert_streams_equal(a, b):
+  assert len(a) == len(b)
+  for (l1, m1, c1, e1), (l2, m2, c2, e2) in zip(a, b):
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(m1, m2)
+    assert c1.keys() == c2.keys() and e1.keys() == e2.keys()
+    for k in c1:
+      np.testing.assert_array_equal(c1[k], c2[k])
+    for k in e1:
+      np.testing.assert_array_equal(e1[k], e2[k])
+
+
+def _loader(paths, cache_path, **kw):
+  sp = _specs()
+  kw.setdefault('epochs', 1)
+  return native.NativeLoader(
+      paths, sp['context_feature_spec'], sp['example_feature_spec'],
+      batch_size=16, list_size=8, seed=7, drop_remainder=False,
+      cache_path=cache_path, **kw)
+
+
+def test_stream_bitwise_identical_off_build_read(tmp_path):
+  pattern = _write_corpus(str(tmp_path))
+  cdir = str(tmp_path / 'cache')
+  base = _collect(pattern, None)              # no cache
+  built = _collect(pattern, cdir)             # first pass: builds
+  _assert_streams_equal(base, built)
+  assert len(os.listdir(cdir)) == 1
+  again = _collect(pattern, cdir)             # complete spill: read mode
+  _assert_streams_equal(base, again)
+
+
+def test_cache_states_and_lock_fallback(tmp_path):
+  pattern = _write_corpus(str(tmp_path))
+  cdir = str(tmp_path / 'cache')
+  _collect(pattern, cdir, epochs=1)  # build + complete
+  paths = sorted(glob.glob(pattern))
+  sp = _specs()
+  cp = native.cache_file_for(cdir, paths, sp['context_feature_spec'],
+                             sp['example_feature_spec'], 8)
+  assert os.path.exists(cp)
+
+  rd = _loader(paths, cp)
+  next(rd)
+  assert rd.cache_state == 'read'
+  # A second concurrent reader shares the complete spill (LOCK_SH).
+  rd2 = _loader(paths, cp)
+  next(rd2)
+  assert rd2.cache_state == 'read'
+  rd.close()
+  rd2.close()
+
+  # Corpus drift (mtime) -> fingerprint mismatch -> in-place rebuild...
+  os.utime(paths[0], (1_000_000_000, 1_000_000_000))
+  bd = _loader(paths, cp)
+  next(bd)
+  assert bd.cache_state == 'build'
+  # ...and a loader contending with the builder's LOCK_EX runs uncached
+  # (correct stream, no cache) instead of failing or double-writing.
+  off = _loader(paths, cp)
+  next(off)
+  assert off.cache_state == 'off'
+  bd.close()
+  off.close()
+
+
+def test_incomplete_spill_rebuilds_and_matches(tmp_path):
+  pattern = _write_corpus(str(tmp_path))
+  cdir = str(tmp_path / 'cache')
+  base = _collect(pattern, None)
+  # Abandon the stream mid-build: the spill stays incomplete on disk.
+  it = native_ranking_dataset(
+      pattern, batch_size=16, list_size=8, label_feature_name='rel',
+      epochs=3, shuffle=True, shuffle_buffer_size=64,
+      drop_remainder=False, seed=7, cache_dir=cdir, **_specs())
+  next(it)
+  it.close()
+  assert len(os.listdir(cdir)) == 1
+  # An incomplete spill is never trusted: the next loader rebuilds from
+  # scratch and the stream still matches the uncached one bitwise.
+  rebuilt = _collect(pattern, cdir)
+  _assert_streams_equal(base, rebuilt)
+  again = _collect(pattern, cdir)
+  _assert_streams_equal(base, again)
+
+
+def test_spec_change_gets_distinct_spill(tmp_path):
+  pattern = _write_corpus(str(tmp_path))
+  cdir = str(tmp_path / 'cache')
+  paths = sorted(glob.glob(pattern))
+  sp = _specs()
+  a = native.cache_file_for(cdir, paths, sp['context_feature_spec'],
+                            sp['example_feature_spec'], 8)
+  b = native.cache_file_for(cdir, paths, sp['context_feature_spec'],
+                            sp['example_feature_spec'], 16)  # list_size
+  assert a != b
+  # Vocab CONTENT feeds the name (the C++ structural hash can't see it).
+  sp2 = _specs()
+  sp2['example_feature_spec']['toks'] = VarLenFeature(
+      dtype='string', max_len=6,
+      vocab=parsers.Vocabulary([b'aa', b'bb', b'DIFFERENT'],
+                               num_oov_buckets=2))
+  c = native.cache_file_for(cdir, paths, sp2['context_feature_spec'],
+                            sp2['example_feature_spec'], 8)
+  assert a != c
+
+
+def test_pipeline_dataset_cache_hparam(tmp_path):
+  from ranking_tpu.pipeline import DatasetHparams
+  from ranking_tpu.pipeline.pipeline import SimpleDatasetBuilder
+  pattern = _write_corpus(str(tmp_path))
+  sp = _specs()
+
+  def builder(**over):
+    hp = DatasetHparams(
+        train_input_pattern=pattern, valid_input_pattern=pattern,
+        train_batch_size=16, valid_batch_size=16, list_size=8,
+        label_feature_name='rel', shuffle_buffer_size=64, **over)
+    return SimpleDatasetBuilder(sp['context_feature_spec'],
+                                sp['example_feature_spec'], hp, seed=7)
+
+  def take(b, n=6):
+    it = b.train_batches()
+    out = [next(it) for _ in range(n)]
+    labels = [x.labels.copy() for x in out]
+    feats = [x.examples['f'].copy() for x in out]
+    try:
+      it.close()
+    except AttributeError:
+      pass
+    return labels, feats
+
+  plain_l, plain_f = take(builder())
+  cdir = str(tmp_path / 'cache')
+  cached_l, cached_f = take(builder(dataset_cache=cdir))
+  for a, b in zip(plain_l, cached_l):
+    np.testing.assert_array_equal(a, b)
+  for a, b in zip(plain_f, cached_f):
+    np.testing.assert_array_equal(a, b)
+  assert os.listdir(cdir)  # the spill actually landed under the hparam
+
+  # python engine: the cache is a no-op and must say so.
+  with pytest.warns(UserWarning, match='dataset_cache'):
+    take(builder(dataset_cache=cdir, dataset_engine='python'))
