@@ -486,16 +486,47 @@ def in_memory_batches(
     epoch += 1
 
 
+def flatten_examples(batch: RankingBatch) -> RankingBatch:
+  """Host-side flat device layout: ``[B, L, F...]`` -> ``[B*L, F...]``.
+
+  The device half is ``train.steps.restore_flat_examples`` (applied
+  automatically inside every train/eval step): feeding example features
+  flattened lets XLA place the entry argument directly in the tiled
+  layout the scorer matmuls consume. A ``[B, L, F]`` device entry can
+  never be that layout — TPU tiling covers the two minormost dims, so
+  every 3-D choice pads L up to the 128-lane tile (200 -> 256 at the
+  flagship shape) and the step pays a physical re-tile copy, measured at
+  7-8% of the flagship bf16 train step (round 5). The host reshape is a
+  free numpy view; the in-step restore cancels against the scorer's own
+  flatten. Only rank >= 3 example features flatten; labels, mask, and
+  context are untouched, and L == 1 batches pass through (no ambiguity,
+  no re-tile to remove).
+  """
+  b, l = batch.mask.shape
+  if l <= 1:
+    return batch
+  examples = {
+      k: (v.reshape((b * l,) + tuple(v.shape[2:]))
+          if getattr(v, 'ndim', 0) >= 3 and v.shape[:2] == (b, l) else v)
+      for k, v in batch.examples.items()}
+  return batch.replace(examples=examples)
+
+
 def prefetch_to_device(
     batches: Iterable[RankingBatch],
     sharding: Optional[jax.sharding.Sharding] = None,
     buffer_size: int = 2,
+    flat_examples: bool = False,
 ) -> Iterator[RankingBatch]:
   """Double-buffered host->device feed (python/data.py:1015 prefetch analog).
 
   Dispatches ``jax.device_put`` for up to ``buffer_size`` batches ahead of
-  the consumer so transfer overlaps step compute.
+  the consumer so transfer overlaps step compute. ``flat_examples=True``
+  applies :func:`flatten_examples` before the transfer (the train/eval
+  steps restore the listwise view in-graph for free).
   """
+  if flat_examples:
+    batches = (flatten_examples(b) for b in batches)
   put = (lambda b: jax.device_put(b, sharding)) if sharding else jax.device_put
   it = iter(batches)
   buf: List[RankingBatch] = []

@@ -44,6 +44,34 @@ def _masked_mean(values: Array, mask: Array) -> Array:
   return jnp.sum(values * mask) / denom
 
 
+def restore_flat_examples(batch: RankingBatch) -> RankingBatch:
+  """Restores ``[B*L, ...]`` example features to ``[B, L, ...]``.
+
+  The host side of the pair is ``data.dataset.flatten_examples``: feeding
+  the flattened layout lets XLA place the entry argument directly in the
+  tiled layout the tower matmuls want. A ``[B, L, F]`` device entry can
+  never be that layout — TPU tiling applies to the two minormost dims,
+  so every 3-D choice pads ``L`` to the 128-lane tile (200 -> 256 at the
+  flagship shape) and the step pays a physical re-tile copy
+  (~7-8% of the bf16 step, round-5 measurement; the in-jit reshape here
+  cancels against the scorer's own flatten and costs nothing).
+
+  A leaf is restored iff its leading axis is ``B*L`` (mask gives B, L);
+  with L > 1 that cannot collide with a legal unflattened feature, whose
+  leading axis is ``B``. L == 1 batches are returned untouched ([B*L,
+  ...] and [B, L, ...] are the same bytes there and the 3-D re-tile this
+  feature removes does not arise). No-op for already-listwise batches.
+  """
+  b, l = batch.mask.shape
+  if l <= 1:
+    return batch
+  examples = {
+      k: (v.reshape((b, l) + tuple(v.shape[1:]))
+          if v.ndim >= 1 and v.shape[0] == b * l else v)
+      for k, v in batch.examples.items()}
+  return batch.replace(examples=examples)
+
+
 def _forward(state, batch: RankingBatch, training: bool,
              rngs: Optional[Mapping[str, Array]] = None,
              params: Optional[Any] = None):
@@ -115,6 +143,7 @@ def make_train_step(
   _total_loss = _make_total_loss(loss_fn, multi_task_weights)
 
   def train_step(state, batch: RankingBatch, key: Array):
+    batch = restore_flat_examples(batch)
     dropout_key, noise_key, shuffle_key, loss_key = jax.random.split(
         jax.random.fold_in(key, state.step), 4)
 
@@ -217,6 +246,7 @@ def make_sparse_train_step(
       raise ValueError('make_sparse_train_step requires a TrainState built '
                        'with sparse_tx (train.sparse.LazyAdam or '
                        'LazyAdagrad)')
+    batch = restore_flat_examples(batch)
     dropout_key, noise_key, shuffle_key, loss_key = jax.random.split(
         jax.random.fold_in(key, state.step), 4)
     dense_params, sp_params = sparse_lib.partition(state.params,
@@ -374,6 +404,7 @@ def make_eval_step(
 
   def eval_step(state, batch: RankingBatch,
                 metric_states: Dict[str, MeanState]):
+    batch = restore_flat_examples(batch)
     logits, _ = _forward(state, batch, training=False)
     # One shared sort order per (scores, mask) across the whole metric
     # suite (plus NDCG's ideal sorts): the default NDCG@1/5/10/full+MRR

@@ -244,3 +244,59 @@ def test_multi_task_weights_unknown_task_raises():
               'buys': ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)}
   with pytest.raises(ValueError, match='unknown tasks'):
     train.make_train_step(loss_fns, multi_task_weights={'click': 0.1})
+
+
+def test_flat_examples_feed_bitwise_equals_listwise():
+  """data.dataset.flatten_examples + the steps' automatic
+  restore_flat_examples: the flat device layout is a pure input-layout
+  optimization — train and eval results are bitwise-equal to the
+  listwise feed."""
+  from ranking_tpu.data.dataset import flatten_examples
+  rng = np.random.RandomState(3)
+  batch = _synthetic_batch(rng)
+  flat = flatten_examples(batch)
+  assert flat.examples['x'].shape == (16 * 10, 4)
+  # Round trip is exact.
+  restored = train.steps.restore_flat_examples(flat)
+  np.testing.assert_array_equal(restored.examples['x'],
+                                batch.examples['x'])
+
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
+  key = jax.random.PRNGKey(42)
+  step = jax.jit(train.make_train_step(loss_fn))
+  _, state_a = _make_state(batch)
+  _, state_b = _make_state(batch)
+  for _ in range(3):
+    state_a, ma = step(state_a, batch, key)
+    state_b, mb = step(state_b, flatten_examples(batch), key)
+  assert float(ma['loss']) == float(mb['loss'])
+  jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+               state_a.params, state_b.params)
+
+  metric_fns = {'ndcg@5': ops.make_ranking_metric_fn(
+      ops.RankingMetricKey.NDCG, topn=5)}
+  estep = jax.jit(train.make_eval_step(metric_fns))
+  s0 = train.init_metric_states(metric_fns)
+  (sa, _), (sb, _) = estep(state_a, batch, s0), estep(state_a, flat, s0)
+  assert float(sa['ndcg@5'].total) == float(sb['ndcg@5'].total)
+
+
+def test_flat_examples_l1_and_non3d_passthrough():
+  from ranking_tpu.data.dataset import flatten_examples
+  # L == 1: flatten and restore are both no-ops (no ambiguity window).
+  b1 = batch_from_labels(
+      labels=jnp.zeros((4, 1)),
+      examples={'x': jnp.ones((4, 1, 3))})
+  assert flatten_examples(b1).examples['x'].shape == (4, 1, 3)
+  assert train.steps.restore_flat_examples(b1).examples['x'].shape == (
+      4, 1, 3)
+  # 2-D [B, L] features (e.g. weights) pass through flatten untouched.
+  b2 = batch_from_labels(
+      labels=jnp.zeros((4, 6)),
+      examples={'x': jnp.ones((4, 6, 3)), 'w': jnp.ones((4, 6))})
+  f2 = flatten_examples(b2)
+  assert f2.examples['x'].shape == (24, 3)
+  assert f2.examples['w'].shape == (4, 6)
+  r2 = train.steps.restore_flat_examples(f2)
+  assert r2.examples['x'].shape == (4, 6, 3)
+  assert r2.examples['w'].shape == (4, 6)
