@@ -345,6 +345,18 @@ class SimplePipeline:
 
   # -- loops ---------------------------------------------------------------
 
+  def _flat_feed(self) -> bool:
+    """Whether to feed the flat ``[B*L, ...]`` device layout.
+
+    Measured rule (round 5, TPU v5e flagship): flat removes the 3-D
+    entry re-tile (-8% device step) for plain towers, but the fused-BN
+    Pallas path measured ~3% SLOWER with it — so batch-norm scorers
+    feed listwise. Either way results are bitwise-identical (the steps
+    restore the listwise view in-graph; equality-tested).
+    """
+    scorer = getattr(self.model, 'scorer', None)
+    return not getattr(scorer, 'use_batch_norm', False)
+
   def _run_eval(self, state) -> Dict[str, float]:
     states = train.init_metric_states(self.metric_fns, with_loss=True)
     n = 0
@@ -357,9 +369,11 @@ class SimplePipeline:
       # Flat device layout (dataset.flatten_examples; the eval step
       # restores in-graph): skips the 3-D entry re-tile — bitwise-equal
       # results, measured -8% device step time at the flagship shape.
+      flat = self._flat_feed()
       from ranking_tpu.data.dataset import flatten_examples
       for batch in self.dataset_builder.valid_batches():
-        batch = flatten_examples(batch)
+        if flat:
+          batch = flatten_examples(batch)
         if batch.batch_size % n_data == 0:
           yield jax.device_put(batch, sharding)
         else:
@@ -437,7 +451,7 @@ class SimplePipeline:
     else:
       train_iter = prefetch_to_device(base_iter,
                                       parallel.batch_sharding(self.mesh),
-                                      flat_examples=True)
+                                      flat_examples=self._flat_feed())
     key = jax.random.PRNGKey((hp.seed or 0) + 1)
 
     from ranking_tpu.data.batch import stack_numpy_batches
@@ -475,11 +489,12 @@ class SimplePipeline:
           # the host on every dispatch and defeat steps_per_execution.
           host_batches = [next(train_iter) for _ in range(chunk)]
           from ranking_tpu.data.dataset import flatten_examples
+          if self._flat_feed():
+            host_batches = [flatten_examples(b) for b in host_batches]
           stacked = jax.tree.map(
               lambda x: jax.device_put(x, stacked_sharding),
               stack_numpy_batches([
-                  jax.tree.map(np.asarray, flatten_examples(b))
-                  for b in host_batches]))
+                  jax.tree.map(np.asarray, b) for b in host_batches]))
           state, metrics = self._multi_step(state, stacked, key)
           examples_seen += sum(b.batch_size for b in host_batches)
           losses.append(metrics['loss'])
