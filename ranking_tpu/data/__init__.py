@@ -11,7 +11,9 @@ from ranking_tpu.data import trec
 from ranking_tpu.data.batch import RankingBatch, batch_from_labels
 from ranking_tpu.data.dataset import (
     build_ranking_dataset,
+    flatten_examples,
     in_memory_batches,
+    native_ranking_dataset,
     prefetch_to_device,
 )
 from ranking_tpu.data.parsers import (
@@ -30,8 +32,10 @@ __all__ = [
     'bert',
     'build_ranking_dataset',
     'dataset',
+    'flatten_examples',
     'in_memory_batches',
     'libsvm',
+    'native_ranking_dataset',
     'parsers',
     'prefetch_to_device',
     'proto',
