@@ -422,21 +422,25 @@ def main():
                      '(shared-VM host: whole-epoch walls of identical '
                      'runs vary up to 1.5x)',
       'quality_claim': 'silicon-independent: ranking_tpu wins every '
-                       'quality metric at the reference\'s own recipe '
-                       'with lower seed variance, on CPU as well as TPU '
-                       '(same math either backend).',
-      'throughput_claim': 'environment-capped: the TPU row is 100% '
-                          'host->device transfer-bound — 13.9 MB/batch '
-                          'over the ~56 MB/s axon tunnel caps it at '
-                          '~515 lists/s. Device compute at this exact '
-                          'shape is 1.106 ms/step measured from the '
-                          'profiler xplane (PARITY.md f32 BN-off row) '
-                          '= ~115.7k lists/s untethered, ~250x the '
-                          'TF-CPU row; the committed 1.11x margin is a '
-                          'tunnel artifact, not the silicon capability. '
-                          'The jax-CPU row trails TF-on-CPU here '
-                          '(XLA:CPU matmuls vs oneDNN — non-target '
-                          'backend property, both compute-bound).',
+                       'quality metric (NDCG@1/5/10, MRR[rel>=3]) at '
+                       'the reference\'s own recipe with lower seed '
+                       'variance, on CPU as well as TPU (same math '
+                       'either backend).',
+      'throughput_claim': 'environment-capped, NOT a silicon claim: the '
+                          'TPU row is 100% host->device transfer-bound '
+                          '— 13.9 MB/batch over the erratic axon tunnel '
+                          '(~49-56 MB/s across rounds) caps it at '
+                          '~450-515 lists/s, above or below the TF-CPU '
+                          'row depending on tunnel health that day. '
+                          'Device compute at this exact shape is '
+                          '1.106 ms/step from the profiler xplane '
+                          '(PARITY.md f32 BN-off row) = ~115.7k lists/s '
+                          'untethered, ~220x the TF-CPU row; the '
+                          'wall-throughput column measures the tunnel, '
+                          'not the silicon. The jax-CPU row trails '
+                          'TF-on-CPU here (XLA:CPU matmuls vs oneDNN — '
+                          'non-target backend property, both '
+                          'compute-bound).',
       'eval_dumps': '.scale_dumps/{side}_seed{n}.npz (untracked): '
                     'per-seed validation labels+logits; metrics '
                     're-render from these without retraining.',
