@@ -131,9 +131,16 @@ def web30k_curve():
 
   import shutil
   shutil.rmtree(cache_dir, ignore_errors=True)
+  # The build wall includes the crash-safety fsync of the whole spill at
+  # stream close (this point opens/closes a 1-epoch stream); a multi-
+  # epoch stream pays it once after its last epoch.
   build_rate = cached_epoch(4, cache_dir)
   out['cache_build_lists_per_s'] = round(build_rate)
-  for threads in (1, 2, 4):
+  # Replay is one contiguous memcpy per feature per record (~stride
+  # bytes, 112 KB at this shape): the rate is memory-bandwidth-bound,
+  # not decode-bound — the thread curve tracks the host's bus, and the
+  # decode-core extrapolation below no longer applies from epoch 2.
+  for threads in (1, 2, 3, 4):
     best = 0.0
     for _ in range(2):
       best = max(best, cached_epoch(threads, cache_dir))
@@ -152,7 +159,7 @@ def web30k_curve():
   out['extrapolated_decode_cores_to_feed_device'] = round(
       DEVICE_LISTS_PER_S / per_decoder, 1)
   read_rates = [(t, out[f'cache_read_t{t}_lists_per_s'])
-                for t in (1, 2, 4)]
+                for t in (1, 2, 3, 4)]
   feeding = [t for t, r in read_rates if r >= DEVICE_LISTS_PER_S]
   out['cache_cores_to_feed_device'] = (
       min(feeding) if feeding else f'>{read_rates[-1][0]}')
