@@ -101,8 +101,15 @@ NO_LAMBDA = 'no_lambda'
 # fixed ÷0.1 recipe lets trained logit growth saturate the rank sigmoid
 # at realistic list sizes (measured: BOTH frameworks land ~0.49-0.51
 # NDCG@5 at L=128 where the standardized form lands 0.68, with lower
-# seed variance than either). Pass scale_invariant=False (and
-# temperature, default then 0.1) for the reference-exact recipe —
+# seed variance than either). The default is STATIC across list sizes
+# by measurement, not assumption: the round-5 crossover sweep
+# (benchmarks/si_sweep.py, SI_SWEEP.json — L in {10,32,64,128,200},
+# 5 seeds, approx_ndcg + approx_mrr on the Web30K-shaped corpus) found
+# NO crossover — SI wins at every L, from +0.07 NDCG@5 at L=10 to
+# +0.25 at L=200, at 3-40x the pooled seed std (the round-4 "L=10
+# gives back ~0.05" reading came from the 9-query bundled split's run
+# noise). Pass scale_invariant=False (and temperature, default then
+# 0.1) for the reference-exact recipe —
 # tests/test_reference_parity.py pins value parity that way.
 _SCALE_INVARIANT_DEFAULT_KEYS = frozenset({
     RankingLossKey.APPROX_NDCG_LOSS,
