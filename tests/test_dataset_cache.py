@@ -211,3 +211,70 @@ def test_pipeline_dataset_cache_hparam(tmp_path):
   # python engine: the cache is a no-op and must say so.
   with pytest.warns(UserWarning, match='dataset_cache'):
     take(builder(dataset_cache=cdir, dataset_engine='python'))
+
+
+def test_cache_with_file_sharding_distinct_spills(tmp_path):
+  """num_shards path subsets get distinct spill files (the fingerprint
+  covers the exact path list) and identical streams vs uncached."""
+  pattern = _write_corpus(str(tmp_path), n_files=4)
+  cdir = str(tmp_path / 'cache')
+
+  def collect(shard, cache):
+    out = []
+    for b in native_ranking_dataset(
+        pattern, batch_size=8, list_size=8, label_feature_name='rel',
+        epochs=2, shuffle=True, shuffle_buffer_size=32,
+        drop_remainder=False, seed=5, cache_dir=cache,
+        shard_index=shard, num_shards=2, **_specs()):
+      out.append((b.labels.copy(),
+                  {k: v.copy() for k, v in b.examples.items()}))
+    return out
+
+  for shard in (0, 1):
+    base = collect(shard, None)
+    built = collect(shard, cdir)
+    again = collect(shard, cdir)
+    assert len(base) == len(built) == len(again)
+    for (l1, e1), (l2, e2), (l3, e3) in zip(base, built, again):
+      np.testing.assert_array_equal(l1, l2)
+      np.testing.assert_array_equal(l1, l3)
+      for k in e1:
+        np.testing.assert_array_equal(e1[k], e2[k])
+        np.testing.assert_array_equal(e1[k], e3[k])
+  assert len(os.listdir(cdir)) == 2  # one spill per shard
+
+
+def test_cache_skip_batches_resume_identity(tmp_path):
+  """skip_batches fast-forward over a cache (build AND read modes)
+  continues bitwise-equal to batches[skip:] of an unskipped run — and
+  the skipped records still reach the spill via the backfill."""
+  pattern = _write_corpus(str(tmp_path))
+  cdir = str(tmp_path / 'cache')
+
+  def collect(cache, skip=0, epochs=2):
+    out = []
+    for b in native_ranking_dataset(
+        pattern, batch_size=16, list_size=8, label_feature_name='rel',
+        epochs=epochs, shuffle=True, shuffle_buffer_size=64,
+        drop_remainder=True, seed=9, cache_dir=cache,
+        skip_batches=skip, **_specs()):
+      out.append((b.labels.copy(),
+                  {k: v.copy() for k, v in b.examples.items()}))
+    return out
+
+  full = collect(None)
+  # Build-mode skip: epoch-1 skipped batches never decode for the
+  # consumer; the end-of-stream backfill must still complete the spill.
+  skipped_build = collect(cdir, skip=3)
+  assert len(skipped_build) == len(full) - 3
+  for (l1, e1), (l2, e2) in zip(full[3:], skipped_build):
+    np.testing.assert_array_equal(l1, l2)
+    for k in e1:
+      np.testing.assert_array_equal(e1[k], e2[k])
+  # Read-mode skip over the (completed) spill.
+  skipped_read = collect(cdir, skip=5)
+  assert len(skipped_read) == len(full) - 5
+  for (l1, e1), (l2, e2) in zip(full[5:], skipped_read):
+    np.testing.assert_array_equal(l1, l2)
+    for k in e1:
+      np.testing.assert_array_equal(e1[k], e2[k])
