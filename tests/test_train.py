@@ -300,3 +300,33 @@ def test_flat_examples_l1_and_non3d_passthrough():
   r2 = train.steps.restore_flat_examples(f2)
   assert r2.examples['x'].shape == (4, 6, 3)
   assert r2.examples['w'].shape == (4, 6)
+
+
+def test_flat_feed_sharded_matches_unsharded():
+  """The flat [B*L, F] device feed under the 8-device data mesh: the
+  in-step restore reshards cleanly (B*L rows split on contiguous list
+  boundaries when B divides the axis) and the result matches the
+  single-device listwise step."""
+  from ranking_tpu.data.dataset import flatten_examples
+  rng = np.random.RandomState(2)
+  batch = _synthetic_batch(rng)
+  _, state = _make_state(batch, tx=optax.sgd(0.1))
+  loss_fn = ops.make_loss_fn(ops.RankingLossKey.SIGMOID_CROSS_ENTROPY_LOSS)
+  step = train.make_train_step(loss_fn)
+  key = jax.random.PRNGKey(7)
+
+  state1, m1 = jax.jit(step)(state, batch, key)
+
+  mesh = parallel.make_mesh()
+  sflat = parallel.shard_batch(flatten_examples(batch), mesh)
+  assert sflat.examples['x'].shape == (16 * 10, 4)
+  sstate = jax.tree.map(
+      lambda x: jax.device_put(x, parallel.replicated(mesh)), state)
+  state2, m2 = jax.jit(step)(sstate, sflat, key)
+
+  np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                             rtol=1e-5)
+  for a, b in zip(jax.tree.leaves(state1.params),
+                  jax.tree.leaves(state2.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
