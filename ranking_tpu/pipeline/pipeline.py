@@ -393,7 +393,8 @@ class SimplePipeline:
   def train_and_validate(self, verbose: bool = False) -> Dict[str, float]:
     hp = self.hparams
     import itertools
-    from ranking_tpu.data.dataset import prefetch_to_device
+    from ranking_tpu.data.dataset import flatten_examples, prefetch_to_device
+    flat_feed = self._flat_feed()
     raw_iter = iter(self.dataset_builder.train_batches())
     # Peek one batch to build the state (shapes come from data).
     first = next(raw_iter)
@@ -451,7 +452,7 @@ class SimplePipeline:
     else:
       train_iter = prefetch_to_device(base_iter,
                                       parallel.batch_sharding(self.mesh),
-                                      flat_examples=self._flat_feed())
+                                      flat_examples=flat_feed)
     key = jax.random.PRNGKey((hp.seed or 0) + 1)
 
     from ranking_tpu.data.batch import stack_numpy_batches
@@ -488,8 +489,7 @@ class SimplePipeline:
           # on device — fetching a scan result per dispatch would block
           # the host on every dispatch and defeat steps_per_execution.
           host_batches = [next(train_iter) for _ in range(chunk)]
-          from ranking_tpu.data.dataset import flatten_examples
-          if self._flat_feed():
+          if flat_feed:
             host_batches = [flatten_examples(b) for b in host_batches]
           stacked = jax.tree.map(
               lambda x: jax.device_put(x, stacked_sharding),
