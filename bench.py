@@ -310,11 +310,24 @@ def e2e(mesh, loss_fn, n_chips, variants=(('e2e', 'f32'),
                                 input_grad=False,
                                 use_batch_norm=False, dtype=dtype),
         transform_name='log1p')
+    cache_dir = None
+    if tag.endswith('_cached'):
+      # Decoded-once epoch cache (dataset_cache production knob): one
+      # loader-only pass decodes the corpus into the spill, then the
+      # measured stream REPLAYS decoded payloads at memory bandwidth —
+      # the steady state of every epoch >= 2 / later run.
+      cache_dir = os.path.join(E2E_CORPUS_DIR, 'spill')
+      for _ in native_ranking_dataset(
+          f'{E2E_CORPUS_DIR}/part-*.tfrecord', batch_size=BATCH,
+          label_feature_name='relevance', list_size=LIST_SIZE,
+          epochs=1, shuffle=False, drop_remainder=False,
+          cache_dir=cache_dir, **specs):
+        pass
     stream = native_ranking_dataset(
         f'{E2E_CORPUS_DIR}/part-*.tfrecord', batch_size=BATCH,
         label_feature_name='relevance', list_size=LIST_SIZE,
         epochs=None, shuffle=True, shuffle_buffer_size=1024,
-        **specs)
+        cache_dir=cache_dir, **specs)
     if dtype == jnp.bfloat16:
       # Host-side cast before the device put: on a transfer-bound link
       # this halves host->device bytes, and the tower computes in bf16
@@ -428,7 +441,8 @@ def cpu_e2e_child():
   # transient slowdown during one synthetic window once produced an
   # e2e/synthetic fraction > 1.
   print(f'CPUSYNTH {synth_rate():.2f}', flush=True)
-  e2e(mesh, loss_fn, n_chips=1, variants=(('e2e_cpu', 'f32'),))
+  e2e(mesh, loss_fn, n_chips=1, variants=(('e2e_cpu', 'f32'),
+                                          ('e2e_cpu_cached', 'f32')))
   print(f'CPUSYNTH {synth_rate():.2f}', flush=True)
 
 
@@ -642,6 +656,14 @@ def main():
     out['e2e_cpu_value'] = round(max(e2e_by_tag['e2e_cpu']), 2)
     out['e2e_frac_of_synthetic_cpu'] = round(
         out['e2e_cpu_value'] / extras['synthetic_cpu_value'], 4)
+  # Same, streaming from a complete decoded-once epoch cache (the
+  # dataset_cache production knob): the steady state of epochs >= 2.
+  if (e2e_by_tag.get('e2e_cpu_cached')
+      and extras.get('synthetic_cpu_value')):
+    out['e2e_cpu_cached_value'] = round(
+        max(e2e_by_tag['e2e_cpu_cached']), 2)
+    out['e2e_frac_of_synthetic_cpu_cached'] = round(
+        out['e2e_cpu_cached_value'] / extras['synthetic_cpu_value'], 4)
   print(json.dumps(out))
 
 
