@@ -433,9 +433,10 @@ def main():
                           '~450-515 lists/s, above or below the TF-CPU '
                           'row depending on tunnel health that day. '
                           'Device compute at this exact shape is '
-                          '1.106 ms/step from the profiler xplane '
-                          '(PARITY.md f32 BN-off row) = ~115.7k lists/s '
-                          'untethered, ~220x the TF-CPU row; the '
+                          '0.996 ms/step from the profiler xplane '
+                          '(PARITY.md f32 BN-off row, round-5 flat '
+                          'feed) = ~128.5k lists/s untethered, ~245x '
+                          'the TF-CPU row; the '
                           'wall-throughput column measures the tunnel, '
                           'not the silicon. The jax-CPU row trails '
                           'TF-on-CPU here (XLA:CPU matmuls vs oneDNN — '
