@@ -50,6 +50,38 @@ class RankingBatch:
   def list_size(self) -> int:
     return self.mask.shape[1]
 
+  def pad_to(self, batch_size: int) -> 'RankingBatch':
+    """Pads the batch axis with fully-masked rows up to ``batch_size``.
+
+    Padded rows carry labels −1, mask False, and zero features, so every
+    mask-aware loss/metric weights them zero — semantics are unchanged
+    (tests pin that an all-padding list contributes nothing). Used by
+    the eval loop to keep a finite split's final partial batch shardable
+    over the data mesh axis with static shapes (shard_map models require
+    exact divisibility; dropping the tail would silently truncate the
+    eval set — python/data.py:1008 keeps it).
+    """
+    pad = batch_size - self.batch_size
+    if pad <= 0:
+      return self
+
+    def _pad(a):
+      a = np.asarray(a)
+      return np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+    def _pad_labels(lab):
+      lab = np.asarray(lab)
+      return np.concatenate(
+          [lab, np.full((pad,) + lab.shape[1:], -1.0, lab.dtype)])
+
+    return RankingBatch(
+        context={k: _pad(v) for k, v in self.context.items()},
+        examples={k: _pad(v) for k, v in self.examples.items()},
+        labels=(jax.tree.map(_pad_labels, dict(self.labels))
+                if isinstance(self.labels, dict)
+                else _pad_labels(self.labels)),
+        mask=_pad(self.mask))
+
 
 def batch_from_labels(
     labels: Labels,

@@ -46,6 +46,13 @@ class SimpleDatasetBuilder:
   def _batches(self, pattern, batch_size, list_size, shuffle, epochs,
                skip_batches=0):
     from ranking_tpu.data import dataset as ds
+    # The reference's rule (python/data.py:1008): drop the partial batch
+    # only on repeated (training) streams — a finite eval pass keeps its
+    # final partial batch, so validation scores the FULL split. Both
+    # engines were silently defaulting to drop_remainder=True here,
+    # which truncated eval sets that don't divide the batch size
+    # (round-5 parity fix).
+    drop_remainder = epochs is None
     engine = getattr(self.hparams, 'dataset_engine', 'auto')
     auto = engine == 'auto'
     if auto:
@@ -58,6 +65,7 @@ class SimpleDatasetBuilder:
       try:
         return self._native_batches(pattern, batch_size, list_size,
                                     shuffle, epochs,
+                                    drop_remainder=drop_remainder,
                                     skip_batches=skip_batches)
       except ValueError as e:
         # loader_supported() mirrors NativeLoader's validation; if the
@@ -94,11 +102,12 @@ class SimpleDatasetBuilder:
         mask_feature_name=self.hparams.mask_feature_name,
         size_feature_name=self.hparams.size_feature_name,
         interleave_files=self.hparams.interleave_files,
+        drop_remainder=drop_remainder,
         skip_batches=skip_batches,
         seed=self.seed)
 
   def _native_batches(self, pattern, batch_size, list_size, shuffle, epochs,
-                      skip_batches=0):
+                      drop_remainder=True, skip_batches=0):
     from ranking_tpu.data import dataset as ds
     return ds.native_ranking_dataset(
         pattern,
@@ -114,6 +123,7 @@ class SimpleDatasetBuilder:
         shuffle_buffer_size=self.hparams.shuffle_buffer_size,
         mask_feature_name=self.hparams.mask_feature_name,
         size_feature_name=self.hparams.size_feature_name,
+        drop_remainder=drop_remainder,
         skip_batches=skip_batches,
         cache_dir=getattr(self.hparams, 'dataset_cache', None),
         seed=self.seed)
@@ -364,20 +374,21 @@ class SimplePipeline:
     sharding = parallel.batch_sharding(self.mesh)
 
     def _feed():
-      # Ragged final eval batches (drop_remainder=False) may not divide
-      # the data axis; feed those unsharded (jit recompiles per shape).
-      # Flat device layout (dataset.flatten_examples; the eval step
-      # restores in-graph): skips the 3-D entry re-tile — bitwise-equal
-      # results, measured -8% device step time at the flagship shape.
+      # Ragged final eval batches (drop_remainder=False, reference
+      # parity: the full split is scored) are PADDED up to the data-axis
+      # multiple with fully-masked rows — zero metric weight, static
+      # shapes, and shard_map models (row-sharded embeddings) keep their
+      # exact-divisibility contract. Flat device layout
+      # (dataset.flatten_examples; the eval step restores in-graph)
+      # skips the 3-D entry re-tile.
       flat = self._flat_feed()
       from ranking_tpu.data.dataset import flatten_examples
       for batch in self.dataset_builder.valid_batches():
+        if batch.batch_size % n_data != 0:
+          batch = batch.pad_to(-(-batch.batch_size // n_data) * n_data)
         if flat:
           batch = flatten_examples(batch)
-        if batch.batch_size % n_data == 0:
-          yield jax.device_put(batch, sharding)
-        else:
-          yield jax.device_put(batch)
+        yield jax.device_put(batch, sharding)
 
     for batch in _feed():
       states, _ = self._eval_step(state, batch, states)

@@ -422,3 +422,26 @@ def test_dataset_stream_error_propagates(tmp_path):
         path, data_format='example_list_with_context', batch_size=1,
         context_feature_spec={}, example_feature_spec=spec,
         label_feature_name='rel', list_size=2, epochs=1, shuffle=False))
+
+
+def test_batch_pad_to_masked_rows():
+  from ranking_tpu.data.batch import batch_from_labels
+  import numpy as np
+  b = batch_from_labels(
+      labels=np.array([[1.0, 0.0], [2.0, -1.0], [0.0, 1.0]]),
+      examples={'x': np.ones((3, 2, 4), np.float32)},
+      context={'q': np.ones((3, 5), np.float32)})
+  p = b.pad_to(5)
+  assert p.batch_size == 5 and p.list_size == 2
+  assert not p.mask[3:].any()
+  np.testing.assert_array_equal(p.labels[3:], -1.0)
+  np.testing.assert_array_equal(p.examples['x'][:3], b.examples['x'])
+  np.testing.assert_array_equal(p.examples['x'][3:], 0.0)
+  assert b.pad_to(3) is b and b.pad_to(2) is b  # no-op when not short
+  # Dict labels: every task padded to -1.
+  d = batch_from_labels(
+      labels={'a': np.array([[1.0, -1.0]]), 'b': np.array([[0.0, 2.0]])})
+  pd = d.pad_to(4)
+  for task in ('a', 'b'):
+    np.testing.assert_array_equal(pd.labels[task][1:], -1.0)
+  assert not pd.mask[1:].any()

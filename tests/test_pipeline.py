@@ -1008,3 +1008,44 @@ def test_dataset_engine_auto_selects_native_and_falls_back(tmp_path):
   assert set(native_batch.examples) == set(py_batch.examples)
   assert native_batch.labels.shape == py_batch.labels.shape
   assert native_batch.mask.shape == py_batch.mask.shape
+
+
+def test_valid_batches_keep_final_partial_batch(tmp_path):
+  """Reference parity (python/data.py:1008): drop_remainder applies to
+  repeated training streams only — a finite eval pass keeps its final
+  partial batch so validation scores the FULL split. Regression test for
+  the round-5 fix (both engines silently dropped eval tails)."""
+  from ranking_tpu.data import FixedLenFeature, proto, tfrecord
+  from ranking_tpu.pipeline.pipeline import SimpleDatasetBuilder
+  rng = np.random.RandomState(0)
+  recs = []
+  for _ in range(11):  # 11 lists at batch 4 -> 2 full + one of 3
+    docs = [{'f': [float(x) for x in rng.randn(3)],
+             'rel': int(rng.randint(3))} for _ in range(5)]
+    recs.append(proto.make_elwc({}, docs).SerializeToString())
+  path = str(tmp_path / 'data.tfrecord')
+  tfrecord.write_records(path, recs)
+  specs = dict(
+      context_feature_spec={},
+      example_feature_spec={
+          'f': FixedLenFeature(shape=(3,), dtype='float32',
+                               default_value=0.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64',
+                                 default_value=0)})
+  for engine in ('native_loader', 'python'):
+    hp = pipeline.DatasetHparams(
+        train_input_pattern=path, valid_input_pattern=path,
+        train_batch_size=4, valid_batch_size=4, list_size=5,
+        label_feature_name='rel', dataset_engine=engine)
+    builder = SimpleDatasetBuilder(specs['context_feature_spec'],
+                                   specs['example_feature_spec'], hp,
+                                   seed=1)
+    batches = list(builder.valid_batches())
+    assert [b.batch_size for b in batches] == [4, 4, 3], engine
+    # The training stream (repeated) still drops partials: every batch
+    # it ever yields is full.
+    it = builder.train_batches()
+    sizes = {next(it).batch_size for _ in range(6)}
+    if hasattr(it, 'close'):
+      it.close()
+    assert sizes == {4}, engine
