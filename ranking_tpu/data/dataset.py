@@ -208,6 +208,13 @@ def build_ranking_dataset(
   flight (protobuf upb parsing releases the GIL) — the AUTOTUNE-prefetch
   analog of python/data.py:1015.
 
+  ``drop_remainder`` defaults to True at this level (static batch shapes
+  are the TPU-friendly default); note the reference drops the final
+  partial batch only on REPEATED streams (``drop_final_batch or
+  num_epochs is None``, python/data.py:1008) — the pipeline's dataset
+  builders apply that rule, so pass ``drop_remainder=False`` explicitly
+  for a standalone finite eval pass that must score the full split.
+
   ``skip_batches``: parse-free fast-forward for deterministic data resume
   (pipeline ``resume_dataset``): the leading record batches are pulled
   through the (seed-deterministic) shuffle and dropped unparsed, so the
