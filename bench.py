@@ -103,6 +103,8 @@ def child():
       examples={'float_features': rng.randn(
           BATCH, LIST_SIZE, NUM_FEATURES).astype(np.float32)})
 
+  from ranking_tpu.data.dataset import flatten_examples
+
   mesh = parallel.make_mesh()  # all local devices on the data axis
   batch = parallel.shard_batch(host_batch, mesh)
   loss_fn = ops.make_loss_fn(ops.RankingLossKey.SOFTMAX_LOSS)
@@ -133,7 +135,6 @@ def child():
     # The fused-BN tower is the exception: its Pallas operand measured
     # 1.232 -> 1.267 ms with the flat entry, so BN-on feeds listwise
     # (the pipeline applies the same rule via scorer.use_batch_norm).
-    from ranking_tpu.data.dataset import flatten_examples
     fbatch = (batch if use_bn
               else parallel.shard_batch(flatten_examples(host_batch), mesh))
 
@@ -191,8 +192,7 @@ def child():
     # in-scan the listwise restore folds, and the body skips the 3-D
     # re-tile (measured -8% device step time, round 5; BN-on stays
     # listwise — the fused-BN Pallas operand measured 3% slower flat).
-    from ranking_tpu.data.dataset import flatten_examples as _flat
-    tag_fbatch = tag_batch if use_bn else _flat(tag_batch)
+    tag_fbatch = tag_batch if use_bn else flatten_examples(tag_batch)
     stacked = jax.jit(lambda b: jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (SCAN_ITERS,) + x.shape),
         b))(tag_fbatch)
@@ -292,7 +292,8 @@ def e2e(mesh, loss_fn, n_chips, variants=(('e2e', 'f32'),
 
   from ranking_tpu import models, parallel, train
   from ranking_tpu.data.batch import stack_numpy_batches
-  from ranking_tpu.data.dataset import native_ranking_dataset
+  from ranking_tpu.data.dataset import (flatten_examples,
+                                        native_ranking_dataset)
 
   sys.path.insert(0, os.path.join(
       os.path.dirname(os.path.abspath(__file__)), 'benchmarks'))
@@ -355,7 +356,6 @@ def e2e(mesh, loss_fn, n_chips, variants=(('e2e', 'f32'),
     def dispatch(state, host_batches):
       # Flat device layout (free numpy view host-side; the step restores
       # in-graph) — same -8% device win as the synthetic passes.
-      from ranking_tpu.data.dataset import flatten_examples
       stacked = jax.tree.map(
           lambda x: jax.device_put(x, stacked_sharding),
           stack_numpy_batches([
