@@ -132,11 +132,10 @@ def child():
     # restores the listwise view in-graph for free): the [B, L, F] entry
     # would be re-tiled on device (L padded 200->256 by the minor-dim
     # tiling) — measured -8% device step time at this shape (round 5).
-    # The fused-BN tower is the exception: its Pallas operand measured
-    # 1.232 -> 1.267 ms with the flat entry, so BN-on feeds listwise
-    # (the pipeline applies the same rule via scorer.use_batch_norm).
-    fbatch = (batch if use_bn
-              else parallel.shard_batch(flatten_examples(host_batch), mesh))
+    # BN-on measures at parity flat-vs-listwise in a same-process A/B
+    # (an apparent 3% cross-run delta was tunnel-day variance), so every
+    # variant feeds flat — same as the production pipeline.
+    fbatch = parallel.shard_batch(flatten_examples(host_batch), mesh)
 
     for _ in range(WARMUP):
       state, metrics = step(state, fbatch, key)
@@ -190,9 +189,8 @@ def child():
     # tunnel is minutes of transfer; the steps' compute is identical.
     # The stack carries the FLAT example layout (see fbatch above):
     # in-scan the listwise restore folds, and the body skips the 3-D
-    # re-tile (measured -8% device step time, round 5; BN-on stays
-    # listwise — the fused-BN Pallas operand measured 3% slower flat).
-    tag_fbatch = tag_batch if use_bn else flatten_examples(tag_batch)
+    # re-tile (measured -8% device step time, round 5).
+    tag_fbatch = flatten_examples(tag_batch)
     stacked = jax.jit(lambda b: jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (SCAN_ITERS,) + x.shape),
         b))(tag_fbatch)

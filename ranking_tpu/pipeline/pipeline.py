@@ -355,18 +355,6 @@ class SimplePipeline:
 
   # -- loops ---------------------------------------------------------------
 
-  def _flat_feed(self) -> bool:
-    """Whether to feed the flat ``[B*L, ...]`` device layout.
-
-    Measured rule (round 5, TPU v5e flagship): flat removes the 3-D
-    entry re-tile (-8% device step) for plain towers, but the fused-BN
-    Pallas path measured ~3% SLOWER with it — so batch-norm scorers
-    feed listwise. Either way results are bitwise-identical (the steps
-    restore the listwise view in-graph; equality-tested).
-    """
-    scorer = getattr(self.model, 'scorer', None)
-    return not getattr(scorer, 'use_batch_norm', False)
-
   def _run_eval(self, state) -> Dict[str, float]:
     states = train.init_metric_states(self.metric_fns, with_loss=True)
     n = 0
@@ -381,14 +369,11 @@ class SimplePipeline:
       # exact-divisibility contract. Flat device layout
       # (dataset.flatten_examples; the eval step restores in-graph)
       # skips the 3-D entry re-tile.
-      flat = self._flat_feed()
       from ranking_tpu.data.dataset import flatten_examples
       for batch in self.dataset_builder.valid_batches():
         if batch.batch_size % n_data != 0:
           batch = batch.pad_to(-(-batch.batch_size // n_data) * n_data)
-        if flat:
-          batch = flatten_examples(batch)
-        yield jax.device_put(batch, sharding)
+        yield jax.device_put(flatten_examples(batch), sharding)
 
     for batch in _feed():
       states, _ = self._eval_step(state, batch, states)
@@ -405,7 +390,6 @@ class SimplePipeline:
     hp = self.hparams
     import itertools
     from ranking_tpu.data.dataset import flatten_examples, prefetch_to_device
-    flat_feed = self._flat_feed()
     raw_iter = iter(self.dataset_builder.train_batches())
     # Peek one batch to build the state (shapes come from data).
     first = next(raw_iter)
@@ -463,7 +447,7 @@ class SimplePipeline:
     else:
       train_iter = prefetch_to_device(base_iter,
                                       parallel.batch_sharding(self.mesh),
-                                      flat_examples=flat_feed)
+                                      flat_examples=True)
     key = jax.random.PRNGKey((hp.seed or 0) + 1)
 
     from ranking_tpu.data.batch import stack_numpy_batches
@@ -500,8 +484,7 @@ class SimplePipeline:
           # on device — fetching a scan result per dispatch would block
           # the host on every dispatch and defeat steps_per_execution.
           host_batches = [next(train_iter) for _ in range(chunk)]
-          if flat_feed:
-            host_batches = [flatten_examples(b) for b in host_batches]
+          host_batches = [flatten_examples(b) for b in host_batches]
           stacked = jax.tree.map(
               lambda x: jax.device_put(x, stacked_sharding),
               stack_numpy_batches([
