@@ -278,3 +278,60 @@ def test_cache_skip_batches_resume_identity(tmp_path):
     np.testing.assert_array_equal(l1, l2)
     for k in e1:
       np.testing.assert_array_equal(e1[k], e2[k])
+
+
+def test_cache_lifecycle_fuzz(tmp_path):
+  """Randomized lifecycle: random corpora/specs, partial consumption at
+  random points, staleness events, repeated reopens — after every event
+  the full stream must stay bitwise-equal to the uncached stream. The
+  cache-side state machine (build/read/rebuild/backfill) must never
+  change WHAT is streamed, only how fast."""
+  for trial in range(4):
+    rng = np.random.RandomState(100 + trial)
+    d = tmp_path / f't{trial}'
+    d.mkdir()
+    n_files = int(rng.randint(1, 4))
+    pattern = _write_corpus(str(d), n_files=n_files,
+                            n_records=int(rng.randint(5, 40)),
+                            seed=trial)
+    cdir = str(d / 'cache')
+    bs = int(rng.randint(3, 17))
+    ls = int(rng.randint(4, 12))
+    epochs = int(rng.randint(1, 4))
+    drop = bool(rng.randint(2))
+    seed = int(rng.randint(1000))
+
+    def collect(cache, limit=None):
+      out = []
+      it = native_ranking_dataset(
+          pattern, batch_size=bs, list_size=ls, label_feature_name='rel',
+          epochs=epochs, shuffle=True, shuffle_buffer_size=32,
+          drop_remainder=drop, seed=seed, cache_dir=cache, **_specs())
+      for i, b in enumerate(it):
+        out.append((b.labels.copy(),
+                    {k: v.copy() for k, v in b.examples.items()}))
+        if limit is not None and i + 1 >= limit:
+          it.close()
+          break
+      return out
+
+    def check(got):
+      assert len(got) == len(base)
+      for (l1, e1), (l2, e2) in zip(base, got):
+        np.testing.assert_array_equal(l1, l2)
+        for k in e1:
+          np.testing.assert_array_equal(e1[k], e2[k])
+
+    base = collect(None)
+    # Random sequence of lifecycle events.
+    for _ in range(3):
+      event = rng.randint(3)
+      if event == 0:        # full pass (build or read)
+        check(collect(cdir))
+      elif event == 1:      # abandon early -> possibly incomplete spill
+        collect(cdir, limit=int(rng.randint(1, max(2, len(base)))))
+      else:                 # staleness: touch a corpus file
+        paths = sorted(glob.glob(pattern))
+        os.utime(paths[rng.randint(len(paths))],
+                 (1_000_000_000 + trial, 1_000_000_000))
+    check(collect(cdir))    # and the stream is still exact
