@@ -364,19 +364,25 @@ class SimplePipeline:
     def _feed():
       # Ragged final eval batches (drop_remainder=False, reference
       # parity: the full split is scored) are PADDED up to the data-axis
-      # multiple with fully-masked rows — zero metric weight, static
-      # shapes, and shard_map models (row-sharded embeddings) keep their
-      # exact-divisibility contract. Flat device layout
-      # (dataset.flatten_examples; the eval step restores in-graph)
-      # skips the 3-D entry re-tile.
+      # multiple with fully-masked rows — static shapes, and shard_map
+      # models (row-sharded embeddings) keep their exact-divisibility
+      # contract. The real row count rides along: the eval step zeroes
+      # the padded rows' metric weights, because the REFERENCE's metric
+      # semantics give even an all-invalid list value 0 / weight 1
+      # (metrics_impl, oracle-verified) — padding without the explicit
+      # zero-weight would bias every unweighted metric down. Flat device
+      # layout (dataset.flatten_examples; the eval step restores
+      # in-graph) skips the 3-D entry re-tile.
       from ranking_tpu.data.dataset import flatten_examples
       for batch in self.dataset_builder.valid_batches():
-        if batch.batch_size % n_data != 0:
-          batch = batch.pad_to(-(-batch.batch_size // n_data) * n_data)
-        yield jax.device_put(flatten_examples(batch), sharding)
+        n_real = batch.batch_size
+        if n_real % n_data != 0:
+          batch = batch.pad_to(-(-n_real // n_data) * n_data)
+        yield jax.device_put(flatten_examples(batch), sharding), n_real
 
-    for batch in _feed():
-      states, _ = self._eval_step(state, batch, states)
+    for batch, n_real in _feed():
+      states, _ = self._eval_step(state, batch, states,
+                                  np.int32(n_real))
       n += 1
       if n >= self.hparams.validation_steps:
         break

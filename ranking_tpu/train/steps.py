@@ -403,7 +403,16 @@ def make_eval_step(
                      'rename the metric.')
 
   def eval_step(state, batch: RankingBatch,
-                metric_states: Dict[str, MeanState]):
+                metric_states: Dict[str, MeanState],
+                num_valid_rows=None):
+    """``num_valid_rows``: rows >= this index are shardability padding
+    (RankingBatch.pad_to) and get metric weight 0. The distinction
+    matters because an all-invalid list is NOT weightless in the
+    reference's metric semantics — NDCGMetric gives it value 0, weight
+    1 (metrics_impl; oracle-verified) — so padded rows would otherwise
+    bias every unweighted metric down. None = every row is real data
+    (all-invalid REAL lists then count exactly as the reference
+    counts them)."""
     batch = restore_flat_examples(batch)
     logits, _ = _forward(state, batch, training=False)
     # One shared sort order per (scores, mask) across the whole metric
@@ -412,10 +421,12 @@ def make_eval_step(
     # 0.54 ms of a 0.95 ms eval step at B128xL200 (utils/list_ops.py
     # shared_sort_scope; results are bitwise identical).
     with list_ops.shared_sort_scope():
-      out, logits = _eval_metrics(state, batch, metric_states, logits)
+      out, logits = _eval_metrics(state, batch, metric_states, logits,
+                                  num_valid_rows)
     return out, logits
 
-  def _eval_metrics(state, batch, metric_states, logits):
+  def _eval_metrics(state, batch, metric_states, logits,
+                    num_valid_rows=None):
     out = {}
     for name, fn in metric_fns.items():
       if isinstance(logits, dict):
@@ -434,6 +445,10 @@ def make_eval_step(
       else:
         task_logits, task_labels = logits, batch.labels
       values, weights = fn(task_labels, task_logits, features=batch.features)
+      if num_valid_rows is not None:
+        rows = jnp.arange(weights.shape[0]) < num_valid_rows
+        weights = weights * rows.reshape(
+            (-1,) + (1,) * (weights.ndim - 1)).astype(weights.dtype)
       out[name] = metric_states[name].update(values, weights)
     if loss_fn is not None:
       # Same reduction as the train step (key=None: fold_in is skipped,

@@ -1049,3 +1049,92 @@ def test_valid_batches_keep_final_partial_batch(tmp_path):
     if hasattr(it, 'close'):
       it.close()
     assert sizes == {4}, engine
+
+
+def test_eval_padded_tail_matches_direct_full_split():
+  """End-to-end guard for the padded eval tail: pipeline eval metrics
+  (weighted + unweighted) over a split that does NOT divide the batch
+  size must equal the direct whole-split computation — padded masked
+  rows contribute exactly nothing."""
+  import tempfile
+
+  from ranking_tpu.data import FixedLenFeature, proto, tfrecord
+  from ranking_tpu.pipeline.pipeline import (SimpleDatasetBuilder,
+                                             SimplePipeline)
+  rng = np.random.RandomState(4)
+  labels_all, feats_all, w_all = [], [], []
+  recs = []
+  L = 6
+  for _ in range(11):  # 11 lists at valid_batch_size 4 -> ragged tail 3
+    n = int(rng.randint(2, L + 1))
+    f = rng.randn(L, 3).astype(np.float32)
+    f[n:] = 0.0
+    y = np.full(L, -1.0, np.float32)
+    y[:n] = rng.randint(0, 3, n)
+    w = np.zeros(L, np.float32)
+    w[:n] = rng.rand(n).astype(np.float32) + 0.5
+    labels_all.append(y)
+    feats_all.append(f)
+    w_all.append(w)
+    docs = [{'f': [float(x) for x in f[j]], 'rel': int(y[j]),
+             'w': float(w[j])} for j in range(n)]
+    recs.append(proto.make_elwc({}, docs).SerializeToString())
+  tmp = tempfile.mkdtemp()
+  path = os.path.join(tmp, 'data.tfrecord')
+  tfrecord.write_records(path, recs)
+
+  hp_ds = pipeline.DatasetHparams(
+      train_input_pattern=path, valid_input_pattern=path,
+      train_batch_size=4, valid_batch_size=4, list_size=L,
+      label_feature_name='rel')
+  specs = dict(
+      context_feature_spec={},
+      example_feature_spec={
+          'f': FixedLenFeature(shape=(3,), dtype='float32',
+                               default_value=0.0),
+          'w': FixedLenFeature(shape=(), dtype='float32',
+                               default_value=0.0),
+          'rel': FixedLenFeature(shape=(), dtype='int64',
+                                 default_value=0)})
+  builder = SimpleDatasetBuilder(specs['context_feature_spec'],
+                                 specs['example_feature_spec'], hp_ds,
+                                 seed=2)
+  hp = pipeline.PipelineHparams(
+      model_dir=tempfile.mkdtemp(), loss='softmax_loss', num_epochs=1,
+      steps_per_epoch=1, validation_steps=10, learning_rate=0.0,
+      weights_feature_name='w', use_weighted_metrics=True, seed=5)
+  model = models.RankingModel(scorer=models.DNNScorer(
+      hidden_layer_dims=(8,), use_batch_norm=False, dropout=0.0))
+  pipe = SimplePipeline(model, builder, hp)
+  result = pipe.train_and_validate()
+
+  # Direct whole-split computation with the SAME trained params
+  # (restored from the pipeline's own checkpoint).
+  import jax
+  import optax
+
+  from ranking_tpu import train
+  sample = next(builder.valid_batches())
+  template = train.create_train_state(
+      model, optax.adam(1e-3), jax.random.PRNGKey(0), sample.context,
+      sample.examples, sample.mask)
+  mgr = train.CheckpointManager(
+      os.path.join(hp.model_dir, 'checkpoints'))
+  state = mgr.restore(template)
+  from ranking_tpu.data.batch import batch_from_labels
+  full = batch_from_labels(
+      labels=np.stack(labels_all),
+      examples={'f': np.stack(feats_all), 'w': np.stack(w_all)})
+  logits, _ = train.steps._forward(state, full, training=False)
+  # Weighted AND unweighted variants: the padded rows must not leak
+  # into either (the unweighted case is the subtle one — the
+  # reference's semantics give even an all-invalid list weight 1, so
+  # the eval step zeroes padded rows explicitly).
+  for key, wname in (('ndcg@5', None), ('weighted_ndcg@5', 'w')):
+    fn = ops.make_ranking_metric_fn(ops.RankingMetricKey.NDCG, topn=5,
+                                    weights_feature_name=wname)
+    direct = float(ops.eval_metric(
+        fn, labels=full.labels, predictions=np.asarray(logits),
+        features=full.features))
+    np.testing.assert_allclose(result[key], direct, rtol=1e-5,
+                               err_msg=key)
